@@ -1,0 +1,130 @@
+"""Graph connectivity validation + auto-connection.
+
+Faithful port of the reference's connectivity semantics
+(/root/reference/ontocast/tool/validate.py:18-379):
+
+- connected components over the *undirected* URI↔URI edge graph (literals are
+  not entities);
+- if more than one component, add a hub: the chunk IRI typed
+  ``schema:TextDigitalDocument`` with label "Chunk {hid}", connected to one
+  representative entity per component via ``schema:hasPart`` and a reverse
+  ``prov:wasQuotedFrom``;
+- representative choice (ref validate.py:346-379): prefer entities having an
+  rdfs:label/rdfs:comment, then maximum degree. Where the reference's choice
+  is set-iteration-order-dependent, we break ties by graph insertion order —
+  deterministic, and triple-set cardinality is identical either way.
+
+Unlike the reference (rdflib graph object), this operates on our
+insertion-ordered TripleGraph; graphs here are per-chunk (tens of triples),
+so the pure-Python BFS is not a hot path — the engine calls it inside a
+``map_batches`` task, once per chunk row.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+from ontocast_ray.rdf.graph import TripleGraph
+from ontocast_ray.rdf.namespaces import PROV, RDF, RDFS, SCHEMA
+from ontocast_ray.rdf.terms import Literal, URI
+
+
+def _all_entities(graph: TripleGraph) -> list[URI]:
+    """Unique URI entities in insertion order (ref validate.py:94-108 uses a set)."""
+    seen: dict[URI, None] = {}
+    for s, _, o in graph:
+        if isinstance(s, URI):
+            seen.setdefault(s, None)
+        if isinstance(o, URI):
+            seen.setdefault(o, None)
+    return list(seen)
+
+
+def _adjacency(graph: TripleGraph) -> dict[URI, dict[URI, None]]:
+    adj: dict[URI, dict[URI, None]] = {}
+    for s, _, o in graph:
+        if isinstance(s, URI) and isinstance(o, URI):
+            adj.setdefault(s, {})[o] = None
+            adj.setdefault(o, {})[s] = None
+    return adj
+
+
+def find_connected_components(graph: TripleGraph) -> list[list[URI]]:
+    """BFS components over URI entities (ref validate.py:125-155), insertion-ordered."""
+    entities = _all_entities(graph)
+    adj = _adjacency(graph)
+    visited: set[URI] = set()
+    components: list[list[URI]] = []
+    for entity in entities:
+        if entity in visited:
+            continue
+        component: list[URI] = []
+        queue = deque([entity])
+        while queue:
+            current = queue.popleft()
+            if current in visited:
+                continue
+            visited.add(current)
+            component.append(current)
+            for neighbor in adj.get(current, {}):
+                if neighbor not in visited:
+                    queue.append(neighbor)
+        if component:
+            components.append(component)
+    return components
+
+
+def _choose_representative(component: list[URI], graph: TripleGraph) -> Optional[URI]:
+    """Labeled entity with max degree, else max degree (ref validate.py:346-379)."""
+    if not component:
+        return None
+    degrees: dict[URI, int] = {}
+    labeled: list[URI] = []
+    for entity in component:
+        degree = sum(1 for s, _, o in graph if s == entity or o == entity)
+        degrees[entity] = degree
+        for s, p, _ in graph:
+            if s == entity and (p == RDFS.label or p == RDFS.comment):
+                labeled.append(entity)
+                break
+    pool = labeled if labeled else component
+    # max() keeps the first maximum → insertion order is the deterministic tiebreak
+    return max(pool, key=lambda e: degrees.get(e, 0))
+
+
+def make_graph_connected(graph: TripleGraph, chunk_iri: str) -> TripleGraph:
+    """Connect components via a chunk-IRI hub (ref validate.py:283-344)."""
+    components = find_connected_components(graph)
+    if len(components) <= 1:
+        return graph
+    connected = graph.copy()
+    hub_uri = URI(chunk_iri)
+    hub_id = str(hub_uri).split("/")[-1]
+    connected.add((hub_uri, RDF.type, SCHEMA.TextDigitalDocument))
+    connected.add((hub_uri, RDFS.label, Literal(f"Chunk {hub_id}")))
+    for component in components:
+        representative = _choose_representative(component, connected)
+        connected.add((hub_uri, SCHEMA.hasPart, representative))
+        connected.add((representative, PROV.wasQuotedFrom, hub_uri))
+    return connected
+
+
+def validate_and_connect(graph: TripleGraph, chunk_iri: str, auto_connect: bool = True) -> TripleGraph:
+    """validate_and_connect_chunk semantics (ref validate.py:18-72)."""
+    if auto_connect:
+        return make_graph_connected(graph, chunk_iri)
+    return graph
+
+
+def connectivity_report(graph: TripleGraph) -> dict:
+    """Summary stats matching ref validate.py:250-281 (component/entity counts)."""
+    components = find_connected_components(graph)
+    entities = _all_entities(graph)
+    return {
+        "is_fully_connected": len(components) <= 1,
+        "num_components": len(components),
+        "total_entities": len(entities),
+        "largest_component_size": max((len(c) for c in components), default=0),
+        "isolated_entities": [c[0] for c in components if len(c) == 1],
+    }
