@@ -57,6 +57,7 @@ TRIPLES_SCHEMA = pa.schema(
         pa.field("object_datatype", pa.string()),
         pa.field("object_lang", pa.string()),
         pa.field("doc_id", pa.string()),
+        pa.field("doc_iri", pa.string()),
         pa.field("chunk_hid", pa.string()),
         pa.field("chunk_idx", pa.int32()),
         pa.field("graph_scope", pa.string()),  # "facts" | "ontology"
@@ -99,6 +100,7 @@ def cell_to_node(value: str):
 def graph_to_rows(
     graph: TripleGraph,
     doc_id: str = "",
+    doc_iri: str = "",
     chunk_hid: str = "",
     chunk_idx: int = 0,
     graph_scope: str = "facts",
@@ -114,6 +116,7 @@ def graph_to_rows(
         cols["object_datatype"].append(dt)
         cols["object_lang"].append(lang)
         cols["doc_id"].append(doc_id)
+        cols["doc_iri"].append(doc_iri)
         cols["chunk_hid"].append(chunk_hid)
         cols["chunk_idx"].append(chunk_idx)
         cols["graph_scope"].append(graph_scope)
