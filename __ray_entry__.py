@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here calls
+``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline over /root/testdata/sf0.001
+  documents wrapped into the north-rule span-struct shape (deterministic
+  entity sentences interleaved — the driver's flat text has no extractable
+  entities; FIXTURES.md §1 says the span table is synthesized by us).
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data ops). SQL-expressible ops have ``oracle_sql()`` twins
+  with matching column names; stateful/hash/model ops are rows-only.
 """
 
 from __future__ import annotations
@@ -18,27 +17,282 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+KG_DOC_LIMIT = 200  # KG correctness queries run on a bounded, sorted doc subset
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (no SQL equivalent → rows-only checks)
+
+
+def _kg_docs(sf_dir: str, limit: int = KG_DOC_LIMIT):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ontocast_ray.pipelines.kg import spanify_flat_documents
+
+    flat = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    flat = flat.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(limit))),
+        batch_format="pyarrow",
+    )
+    return spanify_flat_documents(flat, seed=42, inject_entities=True)
+
+
+def _q_kg_triples(sf_dir: str):
+    from ontocast_ray.pipelines.kg import build_kg_pipeline
+
+    return build_kg_pipeline(
+        _kg_docs(sf_dir),
+        chunk_concurrency=4,
+        extract_concurrency=4,
+        min_chunk_size=200,
+        max_chunk_size=2000,
+    )
+
+
+def _q_kg_chunks(sf_dir: str):
+    from ontocast_ray.stages.assemble import assemble_spans
+    from ontocast_ray.stages.chunking import ChunkDocuments
+
+    docs = _kg_docs(sf_dir)
+    ds = docs.map_batches(assemble_spans, batch_format="pyarrow")
+    ds = ds.map_batches(
+        ChunkDocuments,
+        fn_constructor_kwargs={"min_chunk_size": 200, "max_chunk_size": 2000},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return ds.select_columns(["doc_id", "doc_hid", "chunk_idx", "chunk_hid"])
+
+
+def _q_kg_aggregated_facts(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _q_kg_triples(sf_dir)
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["graph_scope"], pa.scalar("facts"))),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "subject", "predicate", "object", "object_is_literal"])
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+
+
+def _q_exact_dedup(sf_dir: str):
+    from ontocast_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_token_stats(sf_dir: str):
+    from ontocast_ray.ops.text import token_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_stats, batch_format="pyarrow"
+    )
+
+
+def _q_quality_stats(sf_dir: str):
+    from ontocast_ray.ops.text import quality_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_stats, batch_format="pyarrow"
+    )
+
+
+def _q_lang_dist(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return docs.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    return events.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def _q_knn(sf_dir: str):
+    import numpy as np
+
+    from ontocast_ray.ops.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        emb.filter(lambda r: r["vec_id"] < 2).take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    out = knn_bruteforce(emb, queries, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only ops queries
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    return ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3)
+
+
+def _q_simhash(sf_dir: str):
+    from ontocast_ray.ops.dedup import simhash_signatures
+
+    return simhash_signatures(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from ontocast_ray.ops.dedup import embedding_dedup_candidates
+
+    return embedding_dedup_candidates(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.99
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    from ontocast_ray.ops.text import LangId
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from ontocast_ray.ops.text import fingerprint
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+
+    from ontocast_ray.ops.similarity import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(
+        emb.filter(lambda r: r["vec_id"] < 2).take_all(), key=lambda r: r["vec_id"]
+    )
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return knn_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import extract_media_features, synth_media_table
+
+    media = ray.data.from_arrow(synth_media_table(n=64))
+    return extract_media_features(media, decoder="fake")
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _q_kg_triples(SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG-construction pipeline (SURVEY §2 / §3.4)
+        "kg_triples": _q_kg_triples,
+        "kg_chunks": _q_kg_chunks,
+        "kg_aggregated_facts": _q_kg_aggregated_facts,
+        # relational / text ops with DuckDB oracles
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "lang_dist": _q_lang_dist,
+        "events_by_type": _q_events_by_type,
+        "knn_cosine_top10": _q_knn,
+        # training-data ops, rows-only (hash/model-based, not SQL-expressible)
+        "minhash_dedup_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash,
+        "embedding_dedup_pairs": _q_embedding_dedup,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "knn_ivf_top10": _q_knn_ivf,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS n_tokens_bpeish
+            FROM documents
+        """,
+        "quality_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                   len(regexp_extract_all(text, '[^\w\s]'))
+                       / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+                   len(regexp_extract_all(text, '\d'))
+                       / greatest(length(text), 1)::DOUBLE AS digit_ratio,
+                   len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                             w -> w IN ('the','and','of','to','a','in','is','that','it','for','on','with','as')))
+                       / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1)::DOUBLE
+                       AS stopword_ratio
+            FROM documents
+        """,
+        "lang_dist": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "knn_cosine_top10": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 2
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS cosine
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id,
+                   rank FROM (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+    }

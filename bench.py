@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "kg_docs_per_sec": ...}
+
+--scaling: runs the headline KG pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _read(table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/{table}.parquet", columns=columns)
+
+
+def _n_docs() -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+
+def run_kg(concurrency: int) -> int:
+    """Headline: full KG pipeline over the spanified documents table."""
+    from ontocast_ray.pipelines.kg import build_kg_pipeline, spanify_flat_documents
+
+    flat = _read("documents", columns=["doc_id", "text"])
+    docs = spanify_flat_documents(flat, seed=42, inject_entities=True)
+    triples = build_kg_pipeline(
+        docs,
+        chunk_concurrency=concurrency,
+        extract_concurrency=concurrency,
+        min_chunk_size=200,
+        max_chunk_size=2000,
+    )
+    return triples.count()
+
+
+def run_exact_dedup() -> int:
+    from ontocast_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_read("documents", columns=["doc_id", "text"])).count()
+
+
+def run_minhash() -> int:
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _read("documents", columns=["doc_id", "text"]), num_perm=64, bands=16,
+        shingle_k=3, concurrency=max(2, NUM_CPUS // 4),
+    ).count()
+
+
+def run_knn() -> int:
+    import numpy as np
+
+    from ontocast_ray.ops.similarity import knn_bruteforce
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    qrows = emb.limit(8).take_all()
+    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    return knn_bruteforce(emb, queries, k=10, concurrency=max(2, NUM_CPUS // 4)).count()
+
+
+def run_text_stats() -> int:
+    from ontocast_ray.ops.text import quality_stats, token_stats
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    a = docs.map_batches(token_stats, batch_format="pyarrow").count()
+    b = docs.map_batches(quality_stats, batch_format="pyarrow").count()
+    return a + b
+
+
+def main() -> None:
+    _init_ray(NUM_CPUS)
+    concurrency = max(2, NUM_CPUS - 2)
+    queries = {}
+    t_all = time.perf_counter()
+
+    t = time.perf_counter()
+    n_triples = run_kg(concurrency)
+    queries["kg_pipeline"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_exact_dedup()
+    queries["exact_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_minhash()
+    queries["minhash_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_knn()
+    queries["knn_bruteforce"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_text_stats()
+    queries["text_stats"] = round(time.perf_counter() - t, 3)
+
+    total = round(time.perf_counter() - t_all, 3)
+    docs_per_sec = round(_n_docs() / queries["kg_pipeline"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "ontocast_ray end-to-end (kg pipeline + dedup + knn + text stats)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "kg_docs_per_sec": docs_per_sec,
+                "kg_triples": n_triples,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+def scaling_child(num_cpus: int) -> None:
+    _init_ray(num_cpus)
+    t = time.perf_counter()
+    run_kg(max(2, num_cpus - 2))
+    elapsed = time.perf_counter() - t
+    print(json.dumps({"num_cpus": num_cpus, "sec": elapsed, "docs": _n_docs()}))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling_main() -> None:
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n)],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    thr8 = results[8]["docs"] / results[8]["sec"]
+    thr32 = results[32]["docs"] / results[32]["sec"]
+    efficiency = (thr32 / thr8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "kg pipeline scaling 8→32 cpus",
+                "value": round(efficiency, 4),
+                "unit": "efficiency",
+                "docs_per_sec_8": round(thr8, 2),
+                "docs_per_sec_32": round(thr32, 2),
+                "sec_8": round(results[8]["sec"], 3),
+                "sec_32": round(results[32]["sec"], 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        scaling_child(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling_main()
+    else:
+        main()

@@ -122,16 +122,23 @@ def spanify_documents(
     doc_ids,
     texts,
     seed: int = 42,
+    inject_entities: bool = False,
 ) -> pa.Table:
     """Wrap flat (doc_id, text) rows into the span-struct shape, deterministically.
 
     The per-doc split depends only on (seed, doc_id) so the result is stable
-    regardless of row order or batching.
+    regardless of row order or batching. With ``inject_entities=True`` each
+    doc additionally gets deterministic entity sentences appended (seeded by
+    doc_id) — the driver's flat text is keyword soup with nothing to extract,
+    and the north-rule span table is synthesized by us anyway (FIXTURES.md §1).
     """
     out_ids, spans_rows = [], []
     for doc_id, text in zip(doc_ids, texts):
         rng = random.Random(f"{seed}:{doc_id}")
         text = text or ""
+        if inject_entities:
+            sents = _sentences_for_doc(rng, 0, rng.random() < 0.3)
+            text = text + " " + " ".join(sents)
         n_spans = rng.randint(2, 8)
         cut_points = sorted(rng.sample(range(1, max(2, len(text))), min(n_spans - 1, max(1, len(text) - 1)))) if len(text) > n_spans else []
         pieces = []
@@ -167,8 +174,11 @@ def spanify_documents(
     )
 
 
-def spanify_batch(batch: pa.Table, seed: int = 42) -> pa.Table:
+def spanify_batch(batch: pa.Table, seed: int = 42, inject_entities: bool = False) -> pa.Table:
     """map_batches wrapper for spanify_documents over a flat documents table."""
     return spanify_documents(
-        batch["doc_id"].to_pylist(), batch["text"].to_pylist(), seed=seed
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        seed=seed,
+        inject_entities=inject_entities,
     )

@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k. The query matrix is broadcast once
+  (``ray.put``), every batch computes a vectorized matmul against it and
+  emits per-batch PARTIAL top-k rows; a single small groupby(query_id) merge
+  picks the global top-k. The shuffle moves k rows per (query, batch) — not
+  the corpus.
+- ``knn_ivf``: the scale path — seeded k-means-lite centroids (built from a
+  driver-side sample), cluster assignment per batch, search only the
+  ``n_probe`` closest clusters per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ontocast_ray.util import pool
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _PartialTopK:
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        self.queries = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        vecs = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float32))
+        sims = self.queries @ vecs.T  # (n_queries, n_batch)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        q_out, id_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                q_out.append(qi)
+                id_out.append(ids[j])
+                s_out.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                self.id_col: pa.array(id_out),
+                "cosine": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
+
+def _final_topk_factory(k: int, id_col: str):
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(
+            ["cosine", id_col], ascending=[False, True]
+        ).head(k).copy()
+        top["rank"] = range(1, len(top) + 1)
+        top["cosine"] = top["cosine"].round(6)
+        return top[["query_id", id_col, "cosine", "rank"]]
+
+    return _final
+
+
+def knn_bruteforce(
+    embeddings: "ray.data.Dataset",
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """→ (query_id, vec_id, cosine, rank): exact top-k per query row."""
+    queries_ref = ray.put(np.asarray(query_matrix, dtype=np.float32))
+    partial = embeddings.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=pool(concurrency),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_factory(k, id_col), batch_format="pandas"
+    )
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, seed: int = 3, iters: int = 8) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (centroid table is tiny)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    centroids = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    embeddings: "ray.data.Dataset",
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2000,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """IVF-style ANN: probe only the n_probe nearest clusters per query."""
+    sample_rows = embeddings.limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    centroids = kmeans_lite(sample, n_clusters, seed=seed)
+    queries = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    probes = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_sets = [set(map(int, row)) for row in probes]
+
+    centroids_ref = ray.put(centroids)
+    queries_ref = ray.put(queries)
+
+    class ProbedTopK:
+        def __init__(self):
+            self.centroids = ray.get(centroids_ref)
+            self.queries = ray.get(queries_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_pylist())
+            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            assign = (vecs @ self.centroids.T).argmax(axis=1)
+            q_out, id_out, s_out = [], [], []
+            for qi, probe in enumerate(probe_sets):
+                mask = np.isin(assign, list(probe))
+                if not mask.any():
+                    continue
+                sub = vecs[mask]
+                sub_ids = ids[mask]
+                sims = self.queries[qi] @ sub.T
+                kk = min(k, len(sub_ids))
+                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                for j in top:
+                    q_out.append(qi)
+                    id_out.append(sub_ids[j])
+                    s_out.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, type=pa.int64()),
+                    id_col: pa.array(id_out),
+                    "cosine": pa.array(s_out, type=pa.float64()),
+                }
+            )
+
+    partial = embeddings.map_batches(
+        ProbedTopK, batch_format="pyarrow", concurrency=pool(concurrency)
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_factory(k, id_col), batch_format="pandas"
+    )

@@ -31,6 +31,7 @@ from ontocast_ray.stages.canonicalize_stage import canonicalize_doc_group
 from ontocast_ray.stages.chunking import ChunkDocuments
 from ontocast_ray.stages.extract import ExtractTriples
 from ontocast_ray.state.ontology_hub import get_or_create_hub, seed_from_records
+from ontocast_ray.util import pool
 
 DEFAULT_DOMAIN = "https://example.com"
 
@@ -118,25 +119,26 @@ def build_kg_pipeline(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=chunk_concurrency,
+        concurrency=pool(chunk_concurrency),
     )
     ds = ds.map_batches(
         ExtractTriples,
         fn_constructor_kwargs=extract_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=extract_concurrency,
+        concurrency=pool(extract_concurrency),
     )
     ds = ds.groupby("doc_id").map_groups(canonicalize_doc_group, batch_format="pyarrow")
     return ds
 
 
 def spanify_flat_documents(
-    flat_docs: "ray.data.Dataset", seed: int = 42
+    flat_docs: "ray.data.Dataset", seed: int = 42, inject_entities: bool = False
 ) -> "ray.data.Dataset":
     """Driver's flat documents table → north-rule span-struct docs table."""
     return flat_docs.map_batches(
-        lambda b: spanify_batch(b, seed=seed), batch_format="pyarrow"
+        lambda b: spanify_batch(b, seed=seed, inject_entities=inject_entities),
+        batch_format="pyarrow",
     )
 
 

@@ -1,0 +1,102 @@
+"""Simulates the driver's correctness gate: each queries() entry runs at
+sf0.001 and (where an oracle exists) matches its DuckDB oracle on row count,
+column names, and order-insensitive values."""
+
+import os
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="testdata not present"
+)
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __ray_entry__ as mod
+
+    return mod
+
+
+def test_all_queries_run(ray_session, contract):
+    qs = contract.queries()
+    assert len(qs) >= 12
+    # keys with oracles are a subset of queries
+    assert set(contract.oracle_sql()) <= set(qs)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "exact_dedup",
+        "token_stats",
+        "quality_stats",
+        "lang_dist",
+        "events_by_type",
+        "knn_cosine_top10",
+    ],
+)
+def test_query_matches_oracle(ray_session, contract, name):
+    ray_df = _canon(_to_pandas(contract.queries()[name](SF_DIR)))
+    duck_df = _canon(_duck(contract.oracle_sql()[name]))
+    assert list(ray_df.columns) == list(duck_df.columns), (
+        ray_df.columns, duck_df.columns
+    )
+    assert len(ray_df) == len(duck_df)
+    for c in ray_df.columns:
+        a, b = ray_df[c], duck_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert (a.astype(float) - b.astype(float)).abs().max() < 1e-9, c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_rows_only_queries_produce_rows(ray_session, contract):
+    for name in ["kg_chunks", "simhash_signatures", "lang_id", "doc_fingerprint",
+                 "media_features"]:
+        result = _to_pandas(contract.queries()[name](SF_DIR))
+        assert len(result) > 0, name
+
+
+def test_entry_smoke(ray_session, contract):
+    result = contract.entry()
+    df = _to_pandas(result)
+    assert len(df) >= 0
+    assert "subject" in df.columns and "graph_scope" in df.columns
+    assert (df["graph_scope"] == "facts").any()

