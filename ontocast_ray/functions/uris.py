@@ -19,6 +19,7 @@ reproduce that observable behavior with the one effective entry.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urlparse
 
 ONTOLOGY_NULL_ID = "_void_ontology_name"  # ref onto.py:20
@@ -53,8 +54,13 @@ def clean_derived_id(value: str) -> str:
     return _NON_ID_RE.sub("", value).lower() or ONTOLOGY_NULL_ID
 
 
+@lru_cache(maxsize=65536)
 def derive_ontology_id(iri: str) -> str:
-    """Derive a short id from an IRI (last path segment / first netloc token)."""
+    """Derive a short id from an IRI (last path segment / first netloc token).
+
+    lru_cached: canonicalization calls this for every URI occurrence and the
+    same entity URIs repeat across triples/chunks (pure function of the IRI).
+    """
     if not isinstance(iri, str) or not iri.strip():
         return ONTOLOGY_NULL_ID
 

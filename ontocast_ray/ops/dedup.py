@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 from ontocast_ray.util import pool
 
 _WS = re.compile(r"\s+")
@@ -110,8 +110,8 @@ class MinHasher:
         )
 
 
-def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
-    doc_ids, keys = [], []
+def _band_rows(batch: pa.Table, bands: int, n_parts: int) -> pa.Table:
+    doc_ids, keys, parts = [], [], []
     for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist()):
         sig = np.asarray(sig, dtype=np.int64)
         rows_per_band = len(sig) // bands
@@ -120,24 +120,33 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
             key = f"{b}:{zlib.crc32(chunk.tobytes()):08x}"
             doc_ids.append(doc_id)
             keys.append(key)
+            parts.append(zlib.crc32(key.encode()) % n_parts)
     return pa.table(
         {
             "band_key": pa.array(keys, type=pa.string()),
             "doc_id": pa.array(doc_ids, type=pa.int64() if len(doc_ids) and isinstance(doc_ids[0], int) else pa.string()),
+            "bucket_part": pa.array(parts, type=pa.int32()),
         }
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"].tolist()))
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-    a, b = [], []
-    rep = ids[0]
-    for other in ids[1:]:
-        a.append(rep)
-        b.append(other)
-    return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+def _bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
+    """All LSH buckets of one coarse partition in a single kernel call.
+
+    groupby-per-bucket would invoke Python once per bucket (≈ one per doc per
+    band); here the shuffle key is crc32(band_key) % P and the real buckets
+    are looped inside one pandas groupby — the per-invocation overhead is
+    amortized P-ways instead of bucket-ways.
+    """
+    a_out, b_out = [], []
+    for _, rows in group.groupby("band_key", sort=False):
+        ids = sorted(set(rows["doc_id"].tolist()))
+        if len(ids) < 2:
+            continue
+        rep = ids[0]
+        a_out.extend([rep] * (len(ids) - 1))
+        b_out.extend(ids[1:])
+    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
 
 
 def minhash_lsh_candidates(
@@ -146,6 +155,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     concurrency: int = 4,
+    n_parts: int = 64,
 ) -> "ray.data.Dataset":
     """→ candidate near-dup pairs (doc_id_a, doc_id_b), deduped."""
     sigs = docs.map_batches(
@@ -155,9 +165,11 @@ def minhash_lsh_candidates(
         concurrency=pool(concurrency),
     )
     band_rows = sigs.map_batches(
-        lambda b: _band_rows(b, bands), batch_format="pyarrow"
+        lambda b: _band_rows(b, bands, n_parts), batch_format="pyarrow"
     )
-    pairs = band_rows.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = band_rows.groupby("bucket_part").map_groups(
+        _bucket_pairs_partition, batch_format="pandas"
+    )
     # same pair can surface from several bands → distinct
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
 
@@ -260,39 +272,47 @@ def simhash_signatures(docs: "ray.data.Dataset", concurrency: int = 4) -> "ray.d
 
 
 def simhash_candidates(
-    docs: "ray.data.Dataset", max_hamming: int = 3, concurrency: int = 4
+    docs: "ray.data.Dataset", max_hamming: int = 3, concurrency: int = 4,
+    n_parts: int = 64,
 ) -> "ray.data.Dataset":
-    """Banded simhash near-dup pairs: 4×16-bit keys → bucket groupby → Hamming check."""
+    """Banded simhash near-dup pairs: 4×16-bit keys → coarse-partitioned
+    bucket groupby (see _bucket_pairs_partition) → Hamming check."""
     sigs = simhash_signatures(docs, concurrency=concurrency)
 
     def bands(batch: pa.Table) -> pa.Table:
-        doc_ids, keys, full = [], [], []
+        doc_ids, keys, full, parts = [], [], [], []
         for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
             u = sig & 0xFFFFFFFFFFFFFFFF
             for b in range(4):
+                key = f"{b}:{(u >> (16 * b)) & 0xFFFF:04x}"
                 doc_ids.append(doc_id)
-                keys.append(f"{b}:{(u >> (16 * b)) & 0xFFFF:04x}")
+                keys.append(key)
                 full.append(sig)
-        return pa.table({"band_key": keys, "doc_id": doc_ids, "simhash": full})
+                parts.append(zlib.crc32(key.encode()) % n_parts)
+        return pa.table(
+            {"band_key": keys, "doc_id": doc_ids, "simhash": full,
+             "bucket_part": pa.array(parts, type=pa.int32())}
+        )
 
-    def bucket(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].tolist()
-        hs = [h & 0xFFFFFFFFFFFFFFFF for h in rows["simhash"].tolist()]
+    def bucket_partition(group: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
+        for _, rows in group.groupby("band_key", sort=False):
+            rows = rows.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].tolist()
+            hs = [h & 0xFFFFFFFFFFFFFFFF for h in rows["simhash"].tolist()]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(hs[i] ^ hs[j]).count("1")
+                    if d <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
         return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out, "hamming": d_out})
 
     pairs = (
         sigs.map_batches(bands, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket, batch_format="pandas")
+        .groupby("bucket_part")
+        .map_groups(bucket_partition, batch_format="pandas")
     )
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -308,6 +328,7 @@ def embedding_dedup_candidates(
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_parts: int = 64,
 ) -> "ray.data.Dataset":
     """Random-hyperplane LSH buckets → within-bucket cosine ≥ threshold pairs."""
     first = embeddings.take(1)[0]
@@ -326,39 +347,44 @@ def embedding_dedup_candidates(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
             signs = (vecs @ self.planes) > 0
-            keys = [
-                "".join("1" if b else "0" for b in row) for row in signs
-            ]
+            keys = ["".join("1" if b else "0" for b in row) for row in signs]
+            parts = [zlib.crc32(k.encode()) % n_parts for k in keys]
             return pa.table(
                 {
                     "bucket": pa.array(keys, type=pa.string()),
                     id_col: batch[id_col],
                     vec_col: batch[vec_col],
+                    "bucket_part": pa.array(parts, type=pa.int32()),
                 }
             )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        vecs = np.array(group[vec_col].tolist(), dtype=np.float32)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        nv = vecs / norms
-        sims = nv @ nv.T
+    def bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, s_out = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((ids[i], ids[j]))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    s_out.append(round(float(sims[i, j]), 6))
+        for _, rows in group.groupby("bucket", sort=False):
+            ids = rows[id_col].tolist()
+            if len(ids) < 2:
+                continue
+            vecs = np.array(rows[vec_col].tolist(), dtype=np.float32)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            nv = vecs / norms
+            sims = nv @ nv.T
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if sims[i, j] >= threshold:
+                        lo, hi = sorted((ids[i], ids[j]))
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        s_out.append(round(float(sims[i, j]), 6))
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": s_out})
 
     bucketed = embeddings.map_batches(
         Bucketer, fn_constructor_kwargs={"planes_ref": planes_ref},
         batch_format="pyarrow", concurrency=pool(2),
     )
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = bucketed.groupby("bucket_part").map_groups(
+        bucket_pairs_partition, batch_format="pandas"
+    )
+    # a pair can surface from more than one bucket → distinct
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

@@ -92,6 +92,7 @@ def build_kg_pipeline(
     min_chunk_size: int = 2000,
     max_chunk_size: int = 20000,
     max_chunks: Optional[int] = None,
+    canonicalize_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """docs (DOCS_SCHEMA) → canonicalized triple rows (TRIPLES_SCHEMA)."""
     if ontology_records is None:
@@ -128,7 +129,12 @@ def build_kg_pipeline(
         batch_size=batch_size,
         concurrency=pool(extract_concurrency),
     )
-    ds = ds.groupby("doc_id").map_groups(canonicalize_doc_group, batch_format="pyarrow")
+    from ontocast_ray.stages.canonicalize_stage import add_doc_part, canonicalize_partition
+
+    ds = ds.map_batches(
+        lambda b: add_doc_part(b, canonicalize_partitions), batch_format="pyarrow"
+    )
+    ds = ds.groupby("doc_part").map_groups(canonicalize_partition, batch_format="pyarrow")
     return ds
 
 
