@@ -79,6 +79,67 @@ def _rec(ttl: str) -> OntologyRecord:
     return ontology_from_graph(parse_turtle(ttl))
 
 
+class KGProcessDocs:
+    """Fused doc-atomic actor stage: chunk → extract → canonicalize per doc.
+
+    The reference's aggregation scope is strictly per-document
+    (aggregate_facts.py:23-25), and chunking emits all of a document's chunks
+    in one call — so the whole per-doc path can run inside ONE actor task
+    with ZERO shuffle. This is the default execution mode: at any scale, the
+    only all-to-all left in the pipeline is the (optional) cross-document
+    entity merge, which is salted by design.
+
+    The staged mode (mode="staged" in build_kg_pipeline) keeps extraction as
+    its own actor-pool stage + a doc_part-partitioned canonicalize shuffle —
+    preferable when extraction is expensive per chunk (live LLM) and chunk-
+    level pipelining across actors matters more than shuffle cost.
+    """
+
+    def __init__(
+        self,
+        ontology_seeds: Optional[list[dict]] = None,
+        hub_name: Optional[str] = None,
+        domain: str = DEFAULT_DOMAIN,
+        max_visits: int = 3,
+        min_chunk_size: int = 2000,
+        max_chunk_size: int = 20000,
+        max_chunks: Optional[int] = None,
+    ):
+        self.chunker = ChunkDocuments(
+            domain=domain,
+            min_chunk_size=min_chunk_size,
+            max_chunk_size=max_chunk_size,
+            max_chunks=max_chunks,
+        )
+        self.extractor = ExtractTriples(
+            ontology_seeds=ontology_seeds,
+            hub_name=hub_name,
+            domain=domain,
+            max_visits=max_visits,
+            merge_to_hub=hub_name is not None,
+        )
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from ontocast_ray.stages.canonicalize_stage import canonicalize_doc_group
+
+        chunks = self.chunker(batch)
+        triples = self.extractor(chunks)
+        doc_ids = triples["doc_id"].to_pylist()
+        by_doc: dict[str, list[int]] = {}
+        for i, d in enumerate(doc_ids):
+            by_doc.setdefault(d, []).append(i)
+        outs = []
+        for d in by_doc:  # insertion order = chunk emission order
+            outs.append(canonicalize_doc_group(triples.take(by_doc[d])))
+        if not outs:
+            from ontocast_ray.model import TRIPLES_SCHEMA
+
+            return TRIPLES_SCHEMA.empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+
 def build_kg_pipeline(
     docs: "ray.data.Dataset",
     ontology_dir: Optional[str] = None,
@@ -93,23 +154,48 @@ def build_kg_pipeline(
     max_chunk_size: int = 20000,
     max_chunks: Optional[int] = None,
     canonicalize_partitions: int = 64,
+    mode: str = "fused",
 ) -> "ray.data.Dataset":
-    """docs (DOCS_SCHEMA) → canonicalized triple rows (TRIPLES_SCHEMA)."""
+    """docs (DOCS_SCHEMA) → canonicalized triple rows (TRIPLES_SCHEMA).
+
+    mode="fused" (default): doc-atomic chunk+extract+canonicalize in one
+    actor pool, zero shuffle. mode="staged": separate chunk / extract actor
+    pools + doc_part-partitioned canonicalize shuffle (LLM-mode pipelining).
+    """
     if ontology_records is None:
         ontology_records = (
             fetch_ontologies(ontology_dir) if ontology_dir else default_ontology_records()
         )
     seeds = seed_from_records(ontology_records)
+    if hub_name is not None:
+        get_or_create_hub(seeds, name=hub_name)
+
+    ds = docs.map_batches(assemble_spans, batch_format="pyarrow", batch_size=batch_size)
+
+    if mode == "fused":
+        return ds.map_batches(
+            KGProcessDocs,
+            fn_constructor_kwargs={
+                "ontology_seeds": None if hub_name else seeds,
+                "hub_name": hub_name,
+                "domain": domain,
+                "max_visits": max_visits,
+                "min_chunk_size": min_chunk_size,
+                "max_chunk_size": max_chunk_size,
+                "max_chunks": max_chunks,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool(max(chunk_concurrency, extract_concurrency)),
+        )
 
     extract_kwargs: dict = {"domain": domain, "max_visits": max_visits}
     if hub_name is not None:
-        get_or_create_hub(seeds, name=hub_name)
         extract_kwargs["hub_name"] = hub_name
     else:
         extract_kwargs["ontology_seeds"] = seeds
         extract_kwargs["merge_to_hub"] = False
 
-    ds = docs.map_batches(assemble_spans, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(
         ChunkDocuments,
         fn_constructor_kwargs={

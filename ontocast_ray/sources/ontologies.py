@@ -92,3 +92,23 @@ def serialize_ontology(record: OntologyRecord, out_dir: str) -> str:
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(serialize_turtle(record.graph))
     return path
+
+
+def serialize_facts(graph: TripleGraph, out_dir: str, spec: str | None = None) -> str:
+    """Turtle facts export with the reference's naming rule
+    (ref filesystem_manager.py:109-146): spec=None → current.ttl, else
+    facts_{last-two-path-segments '_'-joined}.ttl. The engine's canonical
+    facts sink is partitioned Parquet (sources/io.py); this exporter exists
+    for parity diffs and interop."""
+    if spec is None:
+        fname = "current.ttl"
+    elif isinstance(spec, str):
+        s = spec.split("/")[-2:]
+        fname = f"facts_{'_'.join(x for x in s if x)}.ttl"
+    else:
+        raise TypeError(f"string expected for spec {spec}")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, fname)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(serialize_turtle(graph))
+    return path

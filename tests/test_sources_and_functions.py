@@ -1,0 +1,98 @@
+"""Tests for document sources, json→md, Turtle sinks, retry-loop semantics."""
+
+import json
+import os
+
+import pytest
+
+
+def test_json_to_md_structure():
+    from ontocast_ray.functions.json_md import json_to_md
+
+    md = json_to_md({"title": "Report", "sections": [{"name": "A"}, {"name": "B"}],
+                     "count": 3}, title="root")
+    assert "## Root" in md
+    assert "**Title**: Report" in md
+    assert "**Count**: 3" in md
+    assert "**Name**: A" in md
+
+
+def test_crawl_and_convert(tmp_path):
+    from ontocast_ray.sources.documents import convert_payload, crawl_directory
+
+    (tmp_path / "a.txt").write_text("plain text")
+    (tmp_path / "b.json").write_text(json.dumps({"text": "json text"}))
+    (tmp_path / "c.json").write_text(json.dumps({"k": "v"}))
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "d.md").write_text("# md")
+    (tmp_path / "skip.xyz").write_text("no")
+
+    files = crawl_directory(str(tmp_path))
+    assert [os.path.basename(f) for f in files] == ["a.txt", "b.json", "c.json", "d.md"]
+
+    assert convert_payload(b"plain", "x.txt") == ("plain", "success")
+    text, status = convert_payload(json.dumps({"text": "T"}).encode(), "x.json")
+    assert (text, status) == ("T", "success")
+    text, status = convert_payload(json.dumps({"k": 1}).encode(), "x.json")
+    assert status == "success" and "**K**: 1" in text
+    # pdf → converter stub path (docling absent)
+    text, status = convert_payload(b"%PDF", "x.pdf")
+    assert text == "" and status.startswith("failed:")
+    # unknown extension → failed (ref convert_document.py:57-60)
+    _, status = convert_payload(b"?", "x.xyz")
+    assert status.startswith("failed:unsupported")
+
+
+def test_read_documents_from_files(ray_session, tmp_path):
+    from ontocast_ray.sources.documents import read_documents_from_files
+
+    (tmp_path / "a.txt").write_text("alpha")
+    (tmp_path / "b.json").write_text(json.dumps({"text": "beta"}))
+    rows = read_documents_from_files(str(tmp_path)).take_all()
+    by_name = {os.path.basename(r["doc_id"]): r for r in rows}
+    assert by_name["a.txt"]["text"] == "alpha"
+    assert by_name["b.json"]["text"] == "beta"
+    assert all(r["convert_status"] == "success" for r in rows)
+
+
+def test_serialize_facts_naming(tmp_path):
+    from ontocast_ray.rdf import TripleGraph
+    from ontocast_ray.rdf.terms import URI, Literal
+    from ontocast_ray.sources.ontologies import serialize_facts
+
+    g = TripleGraph()
+    g.add((URI("http://x/s"), URI("http://x/p"), Literal("v")))
+    # trailing slash: last-2 split gives ["abc123", ""] → empty dropped
+    p1 = serialize_facts(g, str(tmp_path), spec="https://example.com/doc/abc123/")
+    assert os.path.basename(p1) == "facts_abc123.ttl"
+    p1b = serialize_facts(g, str(tmp_path), spec="domain/subdomain")
+    assert os.path.basename(p1b) == "facts_domain_subdomain.ttl"
+    p2 = serialize_facts(g, str(tmp_path))
+    assert os.path.basename(p2) == "current.ttl"
+    with pytest.raises(TypeError):
+        serialize_facts(g, str(tmp_path), spec=123)  # ref raises TypeError
+
+
+def test_retry_loop_forced_success():
+    """L7 semantics: critic that always fails → max_visits attempts, forced
+    SUCCESS with failure recorded, partial graph kept (ref stategraph/util.py:8-30)."""
+    from ontocast_ray.stages.extract import DeterministicExtractor
+
+    ex = DeterministicExtractor([], domain="https://example.com")
+    # text with no extractable facts → facts critique fails every attempt
+    result = ex.process_chunk(
+        "nothing but lowercase noise here", "https://example.com/doc/abcdefabcdef",
+        "123456789abc", max_visits=3,
+    )
+    assert result.attempts == 3
+    assert result.status == "success"  # forced success, partials kept
+    assert result.failure_stage == "FACTS_CRITIQUE"
+    assert result.success_score == 0.0
+
+
+def test_llm_protocol():
+    from ontocast_ray.llm import EchoLLM, OpenAIChatClient
+
+    assert EchoLLM("hi").complete("x") == "hi"
+    with pytest.raises(RuntimeError):
+        OpenAIChatClient(api_key="")  # no key → clean failure, no network
