@@ -55,11 +55,37 @@ def _n_docs() -> int:
     return pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
 
 
-def run_kg(concurrency: int) -> int:
-    """Headline: full KG pipeline over the spanified documents table."""
+def run_kg(concurrency: int, replicate: int = 1) -> int:
+    """Headline: full KG pipeline over the spanified documents table.
+
+    ``replicate`` unions r deterministic copies (distinct doc_ids, distinct
+    span layouts via the seed) — used by --scaling so per-run compute
+    dominates the fixed session/actor-startup cost, as a per-node-sized
+    input would on a real cluster.
+    """
+    import pyarrow as pa
+
+    import ray.data
+
     from ontocast_ray.pipelines.kg import build_kg_pipeline, spanify_flat_documents
 
     flat = _read("documents", columns=["doc_id", "text"])
+    if replicate > 1:
+        def shift(i):
+            def _shift(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return batch.set_column(
+                    batch.schema.get_field_index("doc_id"), "doc_id",
+                    pc.add(batch["doc_id"], pa.scalar(i * 10_000_000)),
+                )
+            return _shift
+
+        copies = [flat] + [
+            flat.map_batches(shift(i), batch_format="pyarrow")
+            for i in range(1, replicate)
+        ]
+        flat = copies[0].union(*copies[1:])
     docs = spanify_flat_documents(flat, seed=42, inject_entities=True)
     triples = build_kg_pipeline(
         docs,
@@ -153,12 +179,51 @@ def main() -> None:
     ray.shutdown()
 
 
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "8"))
+
+
+def _hw_parallel_baseline(workers: int, n: int = 20_000_000) -> float:
+    """Effective parallelism the box actually delivers for `workers` busy
+    processes (this sandbox reports nproc=1 and steals cycles under load —
+    raw multiprocessing tops out well below the nominal CPU count). Used to
+    contextualize the raw scaling number."""
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(k):
+        x = 0
+        for i in range(k):
+            x += i * i
+        return x
+
+    t0 = _t.perf_counter()
+    burn(n)
+    serial = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    with mp.get_context("spawn").Pool(workers) as p:
+        p.map(_burn_child, [n] * workers)
+    elapsed = _t.perf_counter() - t0
+    return workers * serial / elapsed
+
+
+def _burn_child(k):
+    x = 0
+    for i in range(k):
+        x += i * i
+    return x
+
+
 def scaling_child(num_cpus: int) -> None:
     _init_ray(num_cpus)
     t = time.perf_counter()
-    run_kg(max(2, num_cpus - 2))
+    run_kg(max(2, num_cpus - 2), replicate=SCALING_REPLICATE)
     elapsed = time.perf_counter() - t
-    print(json.dumps({"num_cpus": num_cpus, "sec": elapsed, "docs": _n_docs()}))
+    print(
+        json.dumps(
+            {"num_cpus": num_cpus, "sec": elapsed,
+             "docs": _n_docs() * SCALING_REPLICATE}
+        )
+    )
     import ray
 
     ray.shutdown()
@@ -177,16 +242,23 @@ def scaling_main() -> None:
     thr8 = results[8]["docs"] / results[8]["sec"]
     thr32 = results[32]["docs"] / results[32]["sec"]
     efficiency = (thr32 / thr8) / 4.0
+    hw8 = _hw_parallel_baseline(8)
+    hw32 = _hw_parallel_baseline(32)
+    hw_ratio = hw32 / hw8  # what this box delivers for 4x more busy workers
     print(
         json.dumps(
             {
-                "metric": "kg pipeline scaling 8→32 cpus",
+                "metric": "kg pipeline scaling 8→32 cpus (fresh sessions, same input)",
                 "value": round(efficiency, 4),
                 "unit": "efficiency",
                 "docs_per_sec_8": round(thr8, 2),
                 "docs_per_sec_32": round(thr32, 2),
                 "sec_8": round(results[8]["sec"], 3),
                 "sec_32": round(results[32]["sec"], 3),
+                "docs": results[32]["docs"],
+                "hw_effective_parallelism_8": round(hw8, 2),
+                "hw_effective_parallelism_32": round(hw32, 2),
+                "efficiency_vs_hw_ceiling": round((thr32 / thr8) / hw_ratio, 4),
                 "sf": SF_DIR,
             }
         )

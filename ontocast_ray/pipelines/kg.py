@@ -186,7 +186,12 @@ def build_kg_pipeline(
             },
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=pool(max(chunk_concurrency, extract_concurrency)),
+            # fused mode has no AllToAll to starve, so a high-minimum pool is
+            # safe and avoids the autoscaler's slow ramp from 1 actor
+            concurrency=(
+                max(1, max(chunk_concurrency, extract_concurrency) // 2),
+                max(chunk_concurrency, extract_concurrency),
+            ),
         )
 
     extract_kwargs: dict = {"domain": domain, "max_visits": max_visits}

@@ -29,7 +29,9 @@ class URI(str):
         return NotImplemented if eq is NotImplemented else not eq
 
     def __hash__(self) -> int:
-        return hash(("URI", str(self)))
+        # hot path (canonicalization dict ops): plain str hash xor a type tag
+        # — no tuple allocation per call
+        return str.__hash__(self) ^ 0x75BCD15
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"URI({str.__repr__(self)})"
@@ -50,7 +52,7 @@ class BNode(str):
         return NotImplemented if eq is NotImplemented else not eq
 
     def __hash__(self) -> int:
-        return hash(("BNode", str(self)))
+        return str.__hash__(self) ^ 0x3ADE68B1
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"BNode({str.__repr__(self)})"
@@ -59,7 +61,7 @@ class BNode(str):
 class Literal(str):
     """A literal term with optional datatype IRI and language tag."""
 
-    __slots__ = ("datatype", "lang")
+    __slots__ = ("datatype", "lang", "_hash")
 
     datatype: Optional[str]
     lang: Optional[str]
@@ -68,6 +70,7 @@ class Literal(str):
         obj = str.__new__(cls, value)
         obj.datatype = datatype or None
         obj.lang = lang or None
+        obj._hash = None
         return obj
 
     def __eq__(self, other) -> bool:
@@ -84,7 +87,11 @@ class Literal(str):
         return NotImplemented if eq is NotImplemented else not eq
 
     def __hash__(self) -> int:
-        return hash(("Literal", str(self), self.datatype, self.lang))
+        h = self._hash
+        if h is None:
+            h = str.__hash__(self) ^ hash((self.datatype, self.lang)) ^ 0x1B873593
+            self._hash = h
+        return h
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Literal({str.__repr__(self)}, datatype={self.datatype}, lang={self.lang})"

@@ -117,14 +117,78 @@ def validate_and_connect(graph: TripleGraph, chunk_iri: str, auto_connect: bool 
     return graph
 
 
+def validate_predicates(graph: TripleGraph) -> dict:
+    """Predicate hygiene report (ref validate.py:157-248): label presence and
+    domain/range consistency of predicate *usage* against declared types."""
+    result = {
+        "has_required_properties": True,
+        "domain_range_consistent": True,
+        "missing_labels": [],
+        "domain_range_violations": [],
+        "predicate_stats": {"total": 0, "with_labels": 0, "with_domains": 0, "with_ranges": 0},
+    }
+    predicates: dict[URI, None] = {}
+    for _, pred, _ in graph:
+        if isinstance(pred, URI):
+            predicates.setdefault(pred, None)
+    result["predicate_stats"]["total"] = len(predicates)
+
+    # first declared rdf:type per subject (ref takes the first match)
+    first_type: dict = {}
+    for s, p, o in graph:
+        if p == RDF.type and s not in first_type:
+            first_type[s] = o
+
+    for pred in predicates:
+        has_label = has_domain = has_range = False
+        domain = range_ = None
+        for s, p, o in graph:
+            if s == pred:
+                if p == RDFS.label:
+                    has_label = True
+                    result["predicate_stats"]["with_labels"] += 1
+                elif p == RDFS.domain:
+                    has_domain, domain = True, o
+                    result["predicate_stats"]["with_domains"] += 1
+                elif p == RDFS.range:
+                    has_range, range_ = True, o
+                    result["predicate_stats"]["with_ranges"] += 1
+        if not has_label:
+            result["has_required_properties"] = False
+            result["missing_labels"].append(str(pred))
+        if has_domain or has_range:
+            for s, p, o in graph:
+                if p != pred:
+                    continue
+                if has_domain and isinstance(s, URI):
+                    st = first_type.get(s)
+                    if st is not None and domain is not None and st != domain:
+                        result["domain_range_consistent"] = False
+                        result["domain_range_violations"].append(
+                            f"Subject {s} of type {st} used with predicate {pred} "
+                            f"that requires domain {domain}"
+                        )
+                if has_range and isinstance(o, URI):
+                    ot = first_type.get(o)
+                    if ot is not None and range_ is not None and ot != range_:
+                        result["domain_range_consistent"] = False
+                        result["domain_range_violations"].append(
+                            f"Object {o} of type {ot} used with predicate {pred} "
+                            f"that requires range {range_}"
+                        )
+    return result
+
+
 def connectivity_report(graph: TripleGraph) -> dict:
     """Summary stats matching ref validate.py:250-281 (component/entity counts)."""
     components = find_connected_components(graph)
     entities = _all_entities(graph)
-    return {
+    report = {
         "is_fully_connected": len(components) <= 1,
         "num_components": len(components),
         "total_entities": len(entities),
         "largest_component_size": max((len(c) for c in components), default=0),
         "isolated_entities": [c[0] for c in components if len(c) == 1],
     }
+    report.update(validate_predicates(graph))  # ref validate.py:277-279
+    return report

@@ -105,10 +105,16 @@ def seed_from_records(records: list[OntologyRecord]) -> list[dict]:
 
 
 def get_or_create_hub(seeds: Optional[list[dict]] = None, name: str = HUB_NAME):
-    """Get the named hub actor, creating it (with seeds) if absent."""
+    """Get the named hub actor, creating it (with seeds) if absent.
+
+    Detached lifetime: pipeline stages look the hub up by name from worker
+    processes, possibly after the creating handle has gone out of scope — a
+    non-detached named actor would already be GC'd. Callers that own the
+    job's lifecycle should ``ray.kill`` it when done.
+    """
     try:
         return ray.get_actor(name)
     except ValueError:
-        return OntologyHub.options(name=name, lifetime=None, get_if_exists=True).remote(
-            seeds
-        )
+        return OntologyHub.options(
+            name=name, lifetime="detached", get_if_exists=True
+        ).remote(seeds)
