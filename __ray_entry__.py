@@ -199,6 +199,22 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
 
 
+def _q_global_entities(sf_dir: str):
+    from ontocast_ray.pipelines.crossdoc import global_entity_table
+
+    return global_entity_table(_q_kg_triples(sf_dir)).select_columns(
+        ["entity_uri", "entity_key", "label", "n_docs", "n_mentions"]
+    )
+
+
+def _q_kg_rewritten_global(sf_dir: str):
+    from ontocast_ray.pipelines.crossdoc import rewrite_to_global
+
+    return _q_kg_triples(sf_dir).map_batches(
+        rewrite_to_global, batch_format="pyarrow"
+    ).select_columns(["subject", "predicate", "object", "graph_scope"])
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -238,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "knn_ivf_top10": _q_knn_ivf,
         "media_features": _q_media_features,
+        # cross-document entity merge (salted two-phase shuffle + pure-map rewrite)
+        "kg_global_entities": _q_global_entities,
+        "kg_rewritten_global": _q_kg_rewritten_global,
     }
 
 

@@ -1,0 +1,153 @@
+"""Command-line entry points — the reference's batch mode, Ray-Data-first.
+
+Mirrors ``ontocast serve run --input-path ...`` (ref /root/reference/
+ontocast/cli/serve.py:230-363): crawl a directory, convert each file to
+text, run the KG pipeline, serialize facts + evolved ontologies. Differences
+by design: files become a Dataset processed in parallel (the reference loops
+files sequentially), facts land in partitioned Parquet with lineage
+manifests (Turtle exports optional for parity), and the ontology store is
+the OntologyHub actor snapshot.
+
+Usage:
+    python -m ontocast_ray.cli run --input-path DIR --working-directory OUT
+        [--ontology-directory DIR] [--ttl-export] [--max-chunks N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_docs_dataset(input_path: str):
+    """Files → DOCS_SCHEMA rows (one text span per doc; doc_id = file path)."""
+    import pyarrow as pa
+
+    from ontocast_ray.model import DOCS_SCHEMA
+    from ontocast_ray.sources.documents import read_documents_from_files
+
+    flat = read_documents_from_files(input_path)
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        statuses = batch["convert_status"].to_pylist()
+        keep_ids, spans = [], []
+        for i, t, s in zip(ids, texts, statuses):
+            if s != "success":
+                print(f"skip {i}: {s}", file=sys.stderr)  # ref serve.py:352-356
+                continue
+            keep_ids.append(i)
+            spans.append([{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+        return pa.table(
+            {
+                "doc_id": pa.array(keep_ids, type=pa.string()),
+                "spans": pa.array(spans, type=DOCS_SCHEMA.field("spans").type),
+            }
+        )
+
+    return flat.map_batches(to_spans, batch_format="pyarrow")
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ontocast_ray.pipelines.kg import build_kg_pipeline
+    from ontocast_ray.state.ontology_hub import get_or_create_hub
+
+    docs = _build_docs_dataset(args.input_path)
+    hub_name = "ontocast_cli_hub"
+    triples = build_kg_pipeline(
+        docs,
+        ontology_dir=args.ontology_directory,
+        hub_name=hub_name,
+        max_chunks=args.max_chunks,
+        max_visits=args.max_visits,
+    )
+    out_dir = args.working_directory
+    os.makedirs(out_dir, exist_ok=True)
+    triples.write_parquet(os.path.join(out_dir, "triples"))
+
+    # evolved ontologies from the hub snapshot (ref aggregate_facts.py:31)
+    hub = get_or_create_hub(name=hub_name)
+    snapshot = ray.get(hub.get_snapshot.remote())
+    from ontocast_ray.model import rows_to_graph
+    from ontocast_ray.sources.ontologies import OntologyRecord, serialize_ontology
+
+    for oid, entry in snapshot["ontologies"].items():
+        rows = entry["triples"]
+        graph = rows_to_graph(
+            [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
+            [r[3] for r in rows], [r[4] for r in rows], [r[5] for r in rows],
+        )
+        meta = entry["meta"]
+        serialize_ontology(
+            OntologyRecord(
+                ontology_id=oid,
+                title=meta.get("title", oid),
+                description=meta.get("description", ""),
+                version=meta.get("version", "1.0"),
+                iri=meta.get("iri", ""),
+                graph=graph,
+            ),
+            out_dir,
+        )
+
+    if args.ttl_export:
+        _export_ttl(os.path.join(out_dir, "triples"), out_dir)
+    ray.kill(hub)
+    ray.shutdown()
+    print(json.dumps({"status": "success", "out": out_dir}))
+    return 0
+
+
+def _export_ttl(triples_dir: str, out_dir: str) -> None:
+    """Per-document Turtle exports for parity/interop (S5)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ontocast_ray.model import table_to_graph
+    from ontocast_ray.sources.ontologies import serialize_facts
+
+    import pyarrow as pa
+
+    tables = [pq.read_table(f) for f in glob.glob(triples_dir + "/*.parquet")]
+    if not tables:
+        return
+    table = pa.concat_tables(tables)
+    import pyarrow.compute as pc
+
+    facts = table.filter(pc.equal(table["graph_scope"], pa.scalar("facts")))
+    for doc_iri in pc.unique(facts["doc_iri"]).to_pylist():
+        sub = facts.filter(pc.equal(facts["doc_iri"], pa.scalar(doc_iri)))
+        graph = table_to_graph(sub)
+        serialize_facts(graph, out_dir, spec=doc_iri + "/")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ontocast_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    run_p = sub.add_parser("run", help="batch-process a directory of documents")
+    run_p.add_argument("--input-path", required=True)
+    run_p.add_argument("--working-directory", required=True)
+    run_p.add_argument("--ontology-directory", default=None)
+    run_p.add_argument("--max-chunks", type=int, default=None)
+    run_p.add_argument("--max-visits", type=int, default=3)
+    run_p.add_argument("--ttl-export", action="store_true")
+    run_p.set_defaults(fn=cmd_run)
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -42,3 +42,17 @@ def ratio(s1: str, s2: str) -> float:
     if total == 0:
         return 100.0
     return 200.0 * _lcs_length(s1, s2) / total
+
+
+def ratio_at_least(s1: str, s2: str, threshold: float) -> bool:
+    """Exact ``ratio(s1, s2) >= threshold`` with a length-bound fast path:
+    LCS ≤ min(len1, len2), so the maximum possible ratio is
+    200*min/(len1+len2) — if even that is below the threshold, skip the
+    O(n*m) LCS entirely. Same result as computing ratio(), just cheaper on
+    the (common) wildly-different-length pairs."""
+    total = len(s1) + len(s2)
+    if total == 0:
+        return 100.0 >= threshold
+    if 200.0 * min(len(s1), len(s2)) / total < threshold:
+        return False
+    return 200.0 * _lcs_length(s1, s2) / total >= threshold

@@ -140,6 +140,25 @@ class KGProcessDocs:
         return pa.concat_tables(outs, promote_options="default")
 
 
+_TASK_PROCESSOR_CACHE: dict = {}
+
+
+def _kg_process_docs_task_factory(cfg: dict):
+    """Task-based wrapper with a per-worker-process processor cache."""
+    import hashlib as _hl
+
+    key = _hl.sha256(repr(sorted((k, repr(v)) for k, v in cfg.items())).encode()).hexdigest()
+
+    def _process(batch):
+        proc = _TASK_PROCESSOR_CACHE.get(key)
+        if proc is None:
+            proc = KGProcessDocs(**cfg)
+            _TASK_PROCESSOR_CACHE[key] = proc
+        return proc(batch)
+
+    return _process
+
+
 def build_kg_pipeline(
     docs: "ray.data.Dataset",
     ontology_dir: Optional[str] = None,
@@ -173,25 +192,39 @@ def build_kg_pipeline(
     ds = docs.map_batches(assemble_spans, batch_format="pyarrow", batch_size=batch_size)
 
     if mode == "fused":
+        cfg = {
+            "ontology_seeds": None if hub_name else seeds,
+            "hub_name": hub_name,
+            "domain": domain,
+            "max_visits": max_visits,
+            "min_chunk_size": min_chunk_size,
+            "max_chunk_size": max_chunk_size,
+            "max_chunks": max_chunks,
+        }
+        # Actor pool vs tasks: actors exist to amortize EXPENSIVE per-worker
+        # state (models, hub connections). The deterministic processor's
+        # state is compiled regexes + tiny ontology views (~ms to build), so
+        # plain tasks — which reuse Ray's prestarted worker processes instead
+        # of spawning dedicated actor processes — start faster and schedule
+        # freely. A per-worker processor cache keeps the build-once property.
+        # With a hub (mutable shared state) or a real model, use the pool.
+        if hub_name is not None:
+            return ds.map_batches(
+                KGProcessDocs,
+                fn_constructor_kwargs=cfg,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                # no AllToAll downstream to starve → high-minimum pool is safe
+                # and avoids the autoscaler's slow ramp from 1 actor
+                concurrency=(
+                    max(1, max(chunk_concurrency, extract_concurrency) // 2),
+                    max(chunk_concurrency, extract_concurrency),
+                ),
+            )
         return ds.map_batches(
-            KGProcessDocs,
-            fn_constructor_kwargs={
-                "ontology_seeds": None if hub_name else seeds,
-                "hub_name": hub_name,
-                "domain": domain,
-                "max_visits": max_visits,
-                "min_chunk_size": min_chunk_size,
-                "max_chunk_size": max_chunk_size,
-                "max_chunks": max_chunks,
-            },
+            _kg_process_docs_task_factory(cfg),
             batch_format="pyarrow",
             batch_size=batch_size,
-            # fused mode has no AllToAll to starve, so a high-minimum pool is
-            # safe and avoids the autoscaler's slow ramp from 1 actor
-            concurrency=(
-                max(1, max(chunk_concurrency, extract_concurrency) // 2),
-                max(chunk_concurrency, extract_concurrency),
-            ),
         )
 
     extract_kwargs: dict = {"domain": domain, "max_visits": max_visits}

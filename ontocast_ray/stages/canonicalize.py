@@ -35,7 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
-from ontocast_ray.functions.fuzz import ratio
+from ontocast_ray.functions.fuzz import ratio_at_least
 from ontocast_ray.functions.uris import clean_local_name, derive_ontology_id, iri2namespace
 from ontocast_ray.rdf.graph import TripleGraph
 from ontocast_ray.rdf.namespaces import PROV, RDF, RDFS
@@ -198,13 +198,12 @@ class EntityDisambiguator:
                 label1 = info1.label.lower() if info1.label is not None else ""
                 label2 = info2.label.lower() if info2.label is not None else ""
                 if label1 and label2:
-                    similarity = ratio(label1, label2)
                     threshold = (
                         self.semantic_threshold
                         if types1.intersection(types2)
                         else self.similarity_threshold
                     )
-                    if similarity >= threshold:
+                    if ratio_at_least(label1, label2, threshold):
                         similar_group.append(entity2)
                         processed.add(entity2)
 
@@ -239,10 +238,9 @@ class EntityDisambiguator:
                     continue
 
                 if info1.label is not None and info2.label is not None:
-                    label_similarity = ratio(info1.label.lower(), info2.label.lower())
-                    if label_similarity >= self.similarity_threshold and (
-                        self._check_domain_range_compatibility(info1, info2)
-                    ):
+                    if ratio_at_least(
+                        info1.label.lower(), info2.label.lower(), self.similarity_threshold
+                    ) and self._check_domain_range_compatibility(info1, info2):
                         similar_group.append(pred_b)
                         processed.add(pred_b)
 

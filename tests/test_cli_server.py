@@ -1,0 +1,84 @@
+"""CLI batch mode + HTTP serve mode (reference entry-point parity)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+
+def test_server_process_roundtrip():
+    from ontocast_ray.server import serve
+
+    srv = serve(port=0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "healthy"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
+            info = json.loads(r.read())
+            assert "/process" in info["endpoints"]
+
+        body = json.dumps(
+            {"text": "Alice Johnson is a person. Alice Johnson works at ACME Corporation. "
+                     "ACME Corporation is a company. ACME Corporation employs 120 people."}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/process", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        # golden response shape (ref demo/ttl/response.json)
+        assert resp["status"] == "success"
+        assert set(resp["data"]) == {"facts", "ontology"}
+        assert resp["metadata"]["chunks_processed"] >= 1
+        assert resp["metadata"]["chunks_remaining"] == 0
+        # the facts Turtle parses and contains the extracted entity
+        from ontocast_ray.rdf import parse_turtle
+
+        facts = parse_turtle(resp["data"]["facts"])
+        assert len(facts) > 0
+        labels = {str(o) for _, p, o in facts if str(p).endswith("label")}
+        assert "ACME Corporation" in labels
+    finally:
+        srv.shutdown()
+
+
+def test_cli_run_end_to_end(ray_session, tmp_path):
+    import glob
+    import os
+
+    from ontocast_ray.cli import main
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "a.txt").write_text(
+        "Bob Wilson is a person. Bob Wilson works at Initech Labs. "
+        "Initech Labs is a company. Initech Labs is located in Springfield."
+    )
+    (docs_dir / "b.json").write_text(json.dumps({
+        "text": "Jane Smith is a person. Jane Smith knows Bob Wilson."
+    }))
+    out_dir = tmp_path / "out"
+    rc = main([
+        "run", "--input-path", str(docs_dir),
+        "--working-directory", str(out_dir), "--ttl-export",
+    ])
+    assert rc == 0
+    parquet = glob.glob(str(out_dir / "triples" / "*.parquet"))
+    assert parquet
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_metadata(f).num_rows for f in parquet)
+    assert total > 0
+    # evolved ontology ttl written
+    assert glob.glob(str(out_dir / "ontology_*.ttl"))
+    # per-doc Turtle exports written and parseable
+    ttl = glob.glob(str(out_dir / "facts_*.ttl"))
+    assert ttl
+    from ontocast_ray.rdf import parse_turtle
+
+    assert len(parse_turtle(open(ttl[0]).read())) > 0
