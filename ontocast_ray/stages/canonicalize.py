@@ -89,19 +89,30 @@ class EntityDisambiguator:
         self.similarity_threshold = similarity_threshold
         self.semantic_threshold = semantic_threshold
 
-    def normalize_uri(self, uri, namespaces: Dict[str, str]) -> Tuple[str, str]:
+    def normalize_uri(self, uri, namespaces: Dict[str, str], _memo: Optional[dict] = None) -> Tuple[str, str]:
         """Expand prefixed form; local name via derive_ontology_id (ref :427-442)."""
         uri_str = str(uri)
+        if _memo is not None:
+            hit = _memo.get(uri_str)
+            if hit is not None:
+                return hit
         for prefix, namespace in namespaces.items():
             if uri_str.startswith(f"{prefix}:"):
                 full_uri = uri_str.replace(f"{prefix}:", str(namespace))
-                return full_uri, derive_ontology_id(full_uri)
-        return uri_str, derive_ontology_id(uri_str)
+                out = (full_uri, derive_ontology_id(full_uri))
+                if _memo is not None:
+                    _memo[uri_str] = out
+                return out
+        out = (uri_str, derive_ontology_id(uri_str))
+        if _memo is not None:
+            _memo[uri_str] = out
+        return out
 
     def extract_entity_labels(self, graph: TripleGraph) -> Dict[URI, EntityMetadata]:
         """ref :444-482 — two passes: labeled entities first, then all URIs."""
         labels: Dict[URI, EntityMetadata] = {}
         namespaces = dict(graph.namespaces())
+        memo: dict = {}
 
         for subj, pred, obj in graph:
             if (
@@ -109,7 +120,7 @@ class EntityDisambiguator:
                 and isinstance(obj, Literal)
                 and isinstance(subj, URI)
             ):
-                full_uri, local_name = self.normalize_uri(subj, namespaces)
+                full_uri, local_name = self.normalize_uri(subj, namespaces, memo)
                 uri_ref = URI(full_uri)
                 if uri_ref not in labels:
                     labels[uri_ref] = EntityMetadata(local_name=local_name)
@@ -121,7 +132,7 @@ class EntityDisambiguator:
         for subj, pred, obj in graph:
             for entity in (subj, obj):
                 if isinstance(entity, URI):
-                    full_uri, local_name = self.normalize_uri(entity, namespaces)
+                    full_uri, local_name = self.normalize_uri(entity, namespaces, memo)
                     uri_ref = URI(full_uri)
                     if uri_ref not in labels:
                         labels[uri_ref] = EntityMetadata(local_name=local_name)
@@ -131,17 +142,18 @@ class EntityDisambiguator:
         """ref :648-690."""
         predicate_info: Dict[URI, PredicateMetadata] = {}
         namespaces = dict(graph.namespaces())
+        memo: dict = {}
 
         for _, pred, _ in graph:
             if isinstance(pred, URI):
-                full_uri, local_name = self.normalize_uri(pred, namespaces)
+                full_uri, local_name = self.normalize_uri(pred, namespaces, memo)
                 uri_ref = URI(full_uri)
                 if uri_ref not in predicate_info:
                     predicate_info[uri_ref] = PredicateMetadata(local_name=local_name)
 
         for subj, pred, obj in graph:
             if isinstance(subj, URI):
-                full_subj_uri, _ = self.normalize_uri(subj, namespaces)
+                full_subj_uri, _ = self.normalize_uri(subj, namespaces, memo)
                 norm_subj = URI(full_subj_uri)
                 if pred == RDF.type and obj == RDF.Property:
                     if norm_subj in predicate_info:

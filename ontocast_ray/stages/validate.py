@@ -75,20 +75,33 @@ def find_connected_components(graph: TripleGraph) -> list[list[URI]]:
     return components
 
 
-def _choose_representative(component: list[URI], graph: TripleGraph) -> Optional[URI]:
-    """Labeled entity with max degree, else max degree (ref validate.py:346-379)."""
+def _degree_and_labeled(graph: TripleGraph) -> tuple[dict, set]:
+    """One pass: per-term degree (count of triples where the term is s or o)
+    and the set of subjects carrying rdfs:label/rdfs:comment."""
+    degrees: dict = {}
+    labeled: set = set()
+    for s, p, o in graph:
+        degrees[s] = degrees.get(s, 0) + 1
+        degrees[o] = degrees.get(o, 0) + 1
+        if p == RDFS.label or p == RDFS.comment:
+            labeled.add(s)
+    return degrees, labeled
+
+
+def _choose_representative(
+    component: list[URI], degrees: dict, labeled: set
+) -> Optional[URI]:
+    """Labeled entity with max degree, else max degree (ref validate.py:346-379).
+
+    The reference recomputes degrees against the evolving graph per component;
+    a single precomputed map gives identical choices because the triples
+    added while connecting only touch the hub and earlier components'
+    representatives — never members of a *later* component (components are
+    disjoint and the hub is a fresh node; the hub-in-component edge case is
+    handled by the caller updating the map incrementally)."""
     if not component:
         return None
-    degrees: dict[URI, int] = {}
-    labeled: list[URI] = []
-    for entity in component:
-        degree = sum(1 for s, _, o in graph if s == entity or o == entity)
-        degrees[entity] = degree
-        for s, p, _ in graph:
-            if s == entity and (p == RDFS.label or p == RDFS.comment):
-                labeled.append(entity)
-                break
-    pool = labeled if labeled else component
+    pool = [e for e in component if e in labeled] or component
     # max() keeps the first maximum → insertion order is the deterministic tiebreak
     return max(pool, key=lambda e: degrees.get(e, 0))
 
@@ -103,10 +116,15 @@ def make_graph_connected(graph: TripleGraph, chunk_iri: str) -> TripleGraph:
     hub_id = str(hub_uri).split("/")[-1]
     connected.add((hub_uri, RDF.type, SCHEMA.TextDigitalDocument))
     connected.add((hub_uri, RDFS.label, Literal(f"Chunk {hub_id}")))
+    degrees, labeled = _degree_and_labeled(connected)
     for component in components:
-        representative = _choose_representative(component, connected)
+        representative = _choose_representative(component, degrees, labeled)
         connected.add((hub_uri, SCHEMA.hasPart, representative))
         connected.add((representative, PROV.wasQuotedFrom, hub_uri))
+        # keep the map faithful to the evolving graph (matters only if the
+        # hub or an earlier representative appears in a later component)
+        degrees[hub_uri] = degrees.get(hub_uri, 0) + 2
+        degrees[representative] = degrees.get(representative, 0) + 2
     return connected
 
 
