@@ -290,7 +290,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_dist": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars  -- duckdb sum(BIGINT)=HUGEINT
             FROM documents GROUP BY lang
         """,
         "events_by_type": """

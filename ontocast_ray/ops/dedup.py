@@ -191,13 +191,21 @@ def ngram_jaccard_verify(
 
     pair_rows = pairs.select_columns(["doc_id_a", "doc_id_b"]).take_all()
     needed = {r["doc_id_a"] for r in pair_rows} | {r["doc_id_b"] for r in pair_rows}
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], type=pa.int64()),
+            "doc_id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if not pair_rows:
+        return ray.data.from_arrow(empty)
 
     def collect(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in needed_b]
-        return batch.take(keep)
+        keep = [i for i, d in enumerate(ids) if d in needed]
+        return batch.take(pa.array(keep, type=pa.int64()))
 
-    needed_b = needed  # closure capture
     subset = docs.map_batches(collect, batch_format="pyarrow").take_all()
     shingle_map = {
         r["doc_id"]: set(_shingle_hashes(r["text"], shingle_k).tolist()) for r in subset
@@ -213,6 +221,8 @@ def ngram_jaccard_verify(
             out_a.append(r["doc_id_a"])
             out_b.append(r["doc_id_b"])
             sims.append(round(j, 6))
+    if not out_a:
+        return ray.data.from_arrow(empty)
     return ray.data.from_arrow(
         pa.table(
             {
