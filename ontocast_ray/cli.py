@@ -75,7 +75,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     )
     out_dir = args.working_directory
     os.makedirs(out_dir, exist_ok=True)
-    triples.write_parquet(os.path.join(out_dir, "triples"))
+    triples.write_parquet(os.path.join(out_dir, "triples"), min_rows_per_file=200_000)
 
     # evolved ontologies from the hub snapshot (ref aggregate_facts.py:31)
     hub = get_or_create_hub(name=hub_name)

@@ -295,7 +295,8 @@ def run_resumable(
         )
         triples = build_kg_pipeline(shard_docs, **pipeline_kwargs)
         path = shard_out_path(out_dir, shard)
-        triples.write_parquet(path)
+        # consolidate small blocks: one file per ~200k rows, not one per block
+        triples.write_parquet(path, min_rows_per_file=200_000)
         import pyarrow.parquet as pq
         import glob as _glob
 
