@@ -144,6 +144,33 @@ def _q_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_docs_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+
+
+def _q_top_docs_by_len(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def _q_events_by_user(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return events.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only ops queries
 
@@ -245,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality_stats,
         "lang_dist": _q_lang_dist,
         "events_by_type": _q_events_by_type,
+        "docs_by_source": _q_docs_by_source,
+        "top_docs_by_len": _q_top_docs_by_len,
+        "events_by_user": _q_events_by_user,
         "knn_cosine_top10": _q_knn,
         # training-data ops, rows-only (hash/model-based, not SQL-expressible)
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -298,6 +328,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "docs_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY source
+        """,
+        "top_docs_by_len": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "events_by_user": """
+            SELECT user_id, count(*) AS n_events,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "knn_cosine_top10": """
             WITH q AS (

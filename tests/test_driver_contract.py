@@ -69,6 +69,9 @@ def test_all_queries_run(ray_session, contract):
         "quality_stats",
         "lang_dist",
         "events_by_type",
+        "docs_by_source",
+        "top_docs_by_len",
+        "events_by_user",
         "knn_cosine_top10",
     ],
 )
