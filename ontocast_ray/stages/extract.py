@@ -306,7 +306,11 @@ class ExtractTriples:
         domain: str = "https://example.com",
         max_visits: int = 3,
         merge_to_hub: bool = True,
+        extractor_factory=None,
     ):
+        """``extractor_factory``: optional callable ``(views, domain) ->
+        ExtractorModel`` — e.g. an LLMExtractor builder (stages/llm_extract.py).
+        Default: the deterministic rule-based model."""
         self.domain = domain
         self.max_visits = max_visits
         self.hub_name = hub_name
@@ -325,7 +329,10 @@ class ExtractTriples:
             views = views_from_hub_snapshot(
                 {"ontologies": {s["ontology_id"]: {"meta": s, "triples": s.get("triples", [])} for s in ontology_seeds}, "version": 0}
             )
-        self.extractor = DeterministicExtractor(views, domain=domain)
+        if extractor_factory is not None:
+            self.extractor = extractor_factory(views, domain)
+        else:
+            self.extractor = DeterministicExtractor(views, domain=domain)
 
     def __call__(self, batch):
         import pyarrow as pa
