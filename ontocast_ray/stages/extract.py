@@ -217,8 +217,17 @@ class DeterministicExtractor:
 
     # -- the full per-chunk loop (L1→L7) ------------------------------------
     def process_chunk(
-        self, text: str, doc_iri: str, chunk_hid: str, max_visits: int = 3
+        self,
+        text: str,
+        doc_iri: str,
+        chunk_hid: str,
+        max_visits: int = 3,
+        extra_known: Optional[set] = None,
     ) -> ChunkResult:
+        """``extra_known``: term labels added by EARLIER chunks of the same
+        document — the reference mutates the shared ontology manager
+        mid-document so chunk i+1 sees chunk i's addendum (ref
+        criticise_ontology.py:82-92); the caller threads this per-doc set."""
         chunk_iri = f"{doc_iri}/chunk/{chunk_hid}"
         chunk_ns = iri2namespace(chunk_iri)
 
@@ -231,6 +240,8 @@ class DeterministicExtractor:
             onto_iri = f"{self.domain}/ontology/{doc_hid}"
             onto_id = f"onto_{doc_hid}"
             known = set()
+        if extra_known:
+            known = known | extra_known
         onto_ns = iri2namespace(onto_iri, ontology=True)
 
         status, failure_stage, score = "success", None, 0.0
@@ -346,13 +357,34 @@ class ExtractTriples:
         parts = []
         deltas: dict[str, list] = {}
         from ontocast_ray.model import node_to_cell, term_to_cell
+        from ontocast_ray.rdf.namespaces import RDFS as _RDFS
+        from ontocast_ray.rdf.terms import Literal as _Literal
+
+        # per-document evolving term set: chunk i+1 sees chunk i's addendum
+        # (chunk rows of one doc arrive contiguously, in chunk_idx order)
+        doc_known: dict[str, set] = {}
+        import inspect as _inspect
+
+        supports_extra = "extra_known" in _inspect.signature(
+            self.extractor.process_chunk
+        ).parameters
 
         for doc_id, doc_iri, chunk_idx, chunk_hid, text in zip(
             doc_ids, doc_iris, chunk_idxs, chunk_hids, texts
         ):
-            result = self.extractor.process_chunk(
-                text, doc_iri, chunk_hid, max_visits=self.max_visits
-            )
+            extra = doc_known.setdefault(doc_id, set())
+            if supports_extra:
+                result = self.extractor.process_chunk(
+                    text, doc_iri, chunk_hid, max_visits=self.max_visits,
+                    extra_known=extra,
+                )
+            else:
+                result = self.extractor.process_chunk(
+                    text, doc_iri, chunk_hid, max_visits=self.max_visits
+                )
+            for s, p, o in result.ontology_addendum:
+                if p == _RDFS.label and isinstance(o, _Literal):
+                    extra.add(str(o).lower())
             parts.append(
                 graph_to_rows(
                     result.facts,
