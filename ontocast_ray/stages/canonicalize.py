@@ -108,6 +108,19 @@ class EntityDisambiguator:
             _memo[uri_str] = out
         return out
 
+    def _norm_term(self, term: URI, namespaces: Dict[str, str], memo: dict):
+        """Memoized (normalized URI object, local name). When no prefix form
+        matches (the common case — our pipeline stores expanded URIs), the
+        original term object is reused instead of allocating an equal one."""
+        hit = memo.get(term)
+        if hit is not None:
+            return hit
+        full_uri, local_name = self.normalize_uri(term, namespaces)
+        uri_ref = term if full_uri == str(term) else URI(full_uri)
+        out = (uri_ref, local_name)
+        memo[term] = out
+        return out
+
     def extract_entity_labels(self, graph: TripleGraph) -> Dict[URI, EntityMetadata]:
         """ref :444-482 — two passes: labeled entities first, then all URIs."""
         labels: Dict[URI, EntityMetadata] = {}
@@ -120,8 +133,7 @@ class EntityDisambiguator:
                 and isinstance(obj, Literal)
                 and isinstance(subj, URI)
             ):
-                full_uri, local_name = self.normalize_uri(subj, namespaces, memo)
-                uri_ref = URI(full_uri)
+                uri_ref, local_name = self._norm_term(subj, namespaces, memo)
                 if uri_ref not in labels:
                     labels[uri_ref] = EntityMetadata(local_name=local_name)
                 if pred == RDFS.label:
@@ -132,8 +144,7 @@ class EntityDisambiguator:
         for subj, pred, obj in graph:
             for entity in (subj, obj):
                 if isinstance(entity, URI):
-                    full_uri, local_name = self.normalize_uri(entity, namespaces, memo)
-                    uri_ref = URI(full_uri)
+                    uri_ref, local_name = self._norm_term(entity, namespaces, memo)
                     if uri_ref not in labels:
                         labels[uri_ref] = EntityMetadata(local_name=local_name)
         return labels
@@ -146,15 +157,13 @@ class EntityDisambiguator:
 
         for _, pred, _ in graph:
             if isinstance(pred, URI):
-                full_uri, local_name = self.normalize_uri(pred, namespaces, memo)
-                uri_ref = URI(full_uri)
+                uri_ref, local_name = self._norm_term(pred, namespaces, memo)
                 if uri_ref not in predicate_info:
                     predicate_info[uri_ref] = PredicateMetadata(local_name=local_name)
 
         for subj, pred, obj in graph:
             if isinstance(subj, URI):
-                full_subj_uri, _ = self.normalize_uri(subj, namespaces, memo)
-                norm_subj = URI(full_subj_uri)
+                norm_subj, _ = self._norm_term(subj, namespaces, memo)
                 if pred == RDF.type and obj == RDF.Property:
                     if norm_subj in predicate_info:
                         predicate_info[norm_subj].is_explicit_property = True
