@@ -253,7 +253,13 @@ def prepare_scaling_corpus() -> str:
             for i in range(1, SCALING_REPLICATE)
         ]
         flat = copies[0].union(*copies[1:])
-    spanify_flat_documents(flat, seed=42, inject_entities=True).write_parquet(path)
+    # ~64 files: read_parquet metadata fetching over hundreds of tiny files
+    # costs ~10 s at session start (inside the timed leg), while too few
+    # files caps downstream block parallelism
+    n_docs = _n_docs() * SCALING_REPLICATE
+    spanify_flat_documents(flat, seed=42, inject_entities=True).write_parquet(
+        path, min_rows_per_file=max(1, n_docs // 64)
+    )
     ray.shutdown()
     return path
 
