@@ -1,0 +1,58 @@
+"""Job entry point for ``ray job submit`` (north rule: the full job launched
+via ray job submit on a fixed-size cluster).
+
+    ray job submit --working-dir . -- python jobs/kg_job.py \
+        --docs /path/to/interleaved_docs_parquet \
+        --out /tmp/kg_out --shards 64
+
+Reads the stored interleaved-docs table (doc_id, spans), runs the flagship
+pipeline shard-by-shard with committed lineage manifests (idempotent resume),
+and prints a JSON summary. In this sandbox it runs against a local session;
+on a cluster the same script is submitted unchanged — `ray.init()` with no
+address connects to the running cluster from inside a job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", required=True, help="parquet dir/file of (doc_id, spans)")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--min-chunk-size", type=int, default=2000)
+    parser.add_argument("--max-chunk-size", type=int, default=20000)
+    parser.add_argument("--ontology-dir", default=None)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    from ontocast_ray.pipelines.kg import run_resumable
+
+    docs = ray.data.read_parquet(args.docs)
+    t0 = time.time()
+    stats = run_resumable(
+        docs,
+        args.out,
+        n_shards=args.shards,
+        ontology_dir=args.ontology_dir,
+        min_chunk_size=args.min_chunk_size,
+        max_chunk_size=args.max_chunk_size,
+    )
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,24 +120,102 @@ class KGProcessDocs:
         )
 
     def __call__(self, batch):
+        """Direct graph path: the per-doc fold runs on graphs in memory — no
+        rows→graph round-trip between extract and canonicalize."""
+        import inspect
         import pyarrow as pa
 
-        from ontocast_ray.stages.canonicalize_stage import canonicalize_doc_group
+        from ontocast_ray.functions.uris import iri2namespace
+        from ontocast_ray.model import TRIPLES_SCHEMA, concat_triple_columns, graph_to_rows
+        from ontocast_ray.rdf.namespaces import RDFS
+        from ontocast_ray.rdf.terms import Literal
+        from ontocast_ray.stages.canonicalize import ChunkGraph, ChunkGraphAggregator
+        from ontocast_ray.stages.extract import addendum_delta_rows, status_graph
 
         chunks = self.chunker(batch)
-        triples = self.extractor(chunks)
-        doc_ids = triples["doc_id"].to_pylist()
+        model = self.extractor.extractor
+        supports_extra = "extra_known" in inspect.signature(model.process_chunk).parameters
+        max_visits = self.extractor.max_visits
+        hub_version = self.extractor._snapshot_version
+
+        doc_ids = chunks["doc_id"].to_pylist()
+        doc_iris = chunks["doc_iri"].to_pylist()
+        chunk_idxs = chunks["chunk_idx"].to_pylist()
+        chunk_hids = chunks["chunk_hid"].to_pylist()
+        texts = chunks["text"].to_pylist()
+
+        # group chunk row indices per doc (contiguous, chunk order preserved)
         by_doc: dict[str, list[int]] = {}
         for i, d in enumerate(doc_ids):
             by_doc.setdefault(d, []).append(i)
-        outs = []
-        for d in by_doc:  # insertion order = chunk emission order
-            outs.append(canonicalize_doc_group(triples.take(by_doc[d])))
-        if not outs:
-            from ontocast_ray.model import TRIPLES_SCHEMA
 
-            return TRIPLES_SCHEMA.empty_table()
-        return pa.concat_tables(outs, promote_options="default")
+        aggregator = ChunkGraphAggregator()
+        parts = []
+        deltas: dict[str, list] = {}
+        for doc_id, idxs in by_doc.items():
+            doc_iri = doc_iris[idxs[0]]
+            doc_known: set = set()
+            chunk_graphs: list[ChunkGraph] = []
+            for i in idxs:
+                if supports_extra:
+                    result = model.process_chunk(
+                        texts[i], doc_iri, chunk_hids[i], max_visits=max_visits,
+                        extra_known=doc_known,
+                    )
+                else:
+                    result = model.process_chunk(
+                        texts[i], doc_iri, chunk_hids[i], max_visits=max_visits
+                    )
+                for s, p, o in result.ontology_addendum:
+                    if p == RDFS.label and isinstance(o, Literal):
+                        doc_known.add(str(o).lower())
+                parts.append(
+                    graph_to_rows(
+                        result.ontology_addendum, doc_id=doc_id, doc_iri=doc_iri,
+                        chunk_hid=chunk_hids[i], chunk_idx=chunk_idxs[i],
+                        graph_scope="ontology",
+                    )
+                )
+                parts.append(
+                    graph_to_rows(
+                        status_graph(result, f"{doc_iri}/chunk/{chunk_hids[i]}", hub_version),
+                        doc_id=doc_id, doc_iri=doc_iri,
+                        chunk_hid=chunk_hids[i], chunk_idx=chunk_idxs[i],
+                        graph_scope="status",
+                    )
+                )
+                if len(result.ontology_addendum):
+                    deltas.setdefault(result.ontology_id, []).extend(
+                        addendum_delta_rows(result.ontology_addendum)
+                    )
+                chunk = ChunkGraph(hid=chunk_hids[i], doc_iri=doc_iri, graph=result.facts)
+                chunk.sanitize()  # ref aggregate_facts.py:20-21
+                chunk_graphs.append(chunk)
+
+            aggregated = aggregator.aggregate_graphs(chunk_graphs, iri2namespace(doc_iri))
+            parts.append(
+                graph_to_rows(
+                    aggregated, doc_id=doc_id, doc_iri=doc_iri,
+                    chunk_hid="", chunk_idx=-1, graph_scope="facts",
+                )
+            )
+
+        if self.extractor.merge_to_hub and self.extractor._hub is not None and deltas:
+            import ray
+
+            refs = [
+                self.extractor._hub.merge_delta.remote(oid, None, rows)
+                for oid, rows in deltas.items()
+            ]
+            ray.wait(refs, num_returns=len(refs))
+
+        cols = concat_triple_columns(parts)
+        return pa.table(
+            {
+                name: pa.array(cols[name], type=TRIPLES_SCHEMA.field(name).type)
+                for name in TRIPLES_SCHEMA.names
+            }
+        )
 
 
 _TASK_PROCESSOR_CACHE: dict = {}

@@ -302,6 +302,39 @@ def views_from_hub_snapshot(snapshot: dict) -> list[OntologyView]:
     return views
 
 
+def status_graph(result: ChunkResult, chunk_iri: str, hub_version: int) -> TripleGraph:
+    """Chunk-level metrics as queryable triples (scope 'status')."""
+    g = TripleGraph()
+    iri = URI(chunk_iri)
+    g.add((iri, URI(ENGINE_NS + "status"), Literal(result.status)))
+    g.add(
+        (iri, URI(ENGINE_NS + "successScore"),
+         Literal(repr(result.success_score), datatype=str(XSD) + "double"))
+    )
+    g.add(
+        (iri, URI(ENGINE_NS + "attempts"),
+         Literal(str(result.attempts), datatype=str(XSD) + "integer"))
+    )
+    g.add((iri, URI(ENGINE_NS + "ontologyUsed"), Literal(result.ontology_id)))
+    g.add(
+        (iri, URI(ENGINE_NS + "hubVersion"),
+         Literal(str(hub_version), datatype=str(XSD) + "integer"))
+    )
+    if result.failure_stage:
+        g.add((iri, URI(ENGINE_NS + "failureStage"), Literal(result.failure_stage)))
+    return g
+
+
+def addendum_delta_rows(addendum: TripleGraph) -> list:
+    from ontocast_ray.model import node_to_cell, term_to_cell
+
+    rows = []
+    for s, p, o in addendum:
+        ov, is_lit, dt, lang = term_to_cell(o)
+        rows.append((node_to_cell(s), node_to_cell(p), ov, is_lit, dt, lang))
+    return rows
+
+
 class ExtractTriples:
     """Actor-pool map_batches stage: chunk rows → triple rows.
 
@@ -406,28 +439,9 @@ class ExtractTriples:
                 )
             )
             # status rows: chunk-level metrics as queryable triples
-            status_g = TripleGraph()
-            chunk_iri = URI(f"{doc_iri}/chunk/{chunk_hid}")
-            status_g.add((chunk_iri, URI(ENGINE_NS + "status"), Literal(result.status)))
-            status_g.add(
-                (chunk_iri, URI(ENGINE_NS + "successScore"),
-                 Literal(repr(result.success_score), datatype=str(XSD) + "double"))
+            status_g = status_graph(
+                result, f"{doc_iri}/chunk/{chunk_hid}", self._snapshot_version
             )
-            status_g.add(
-                (chunk_iri, URI(ENGINE_NS + "attempts"),
-                 Literal(str(result.attempts), datatype=str(XSD) + "integer"))
-            )
-            status_g.add(
-                (chunk_iri, URI(ENGINE_NS + "ontologyUsed"), Literal(result.ontology_id))
-            )
-            status_g.add(
-                (chunk_iri, URI(ENGINE_NS + "hubVersion"),
-                 Literal(str(self._snapshot_version), datatype=str(XSD) + "integer"))
-            )
-            if result.failure_stage:
-                status_g.add(
-                    (chunk_iri, URI(ENGINE_NS + "failureStage"), Literal(result.failure_stage))
-                )
             parts.append(
                 graph_to_rows(
                     status_g,
@@ -439,10 +453,9 @@ class ExtractTriples:
                 )
             )
             if result.ontology_addendum is not None and len(result.ontology_addendum):
-                rows = deltas.setdefault(result.ontology_id, [])
-                for s, p, o in result.ontology_addendum:
-                    ov, is_lit, dt, lang = term_to_cell(o)
-                    rows.append((node_to_cell(s), node_to_cell(p), ov, is_lit, dt, lang))
+                deltas.setdefault(result.ontology_id, []).extend(
+                    addendum_delta_rows(result.ontology_addendum)
+                )
 
         if self.merge_to_hub and self._hub is not None and deltas:
             import ray
