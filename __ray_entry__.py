@@ -18,7 +18,7 @@ from collections.abc import Callable
 from typing import Any
 
 SF_DEFAULT = "/root/testdata/sf0.001"
-KG_DOC_LIMIT = 200  # KG correctness queries run on a bounded, sorted doc subset
+KG_DOC_LIMIT = 500  # covers the whole documents table at sf0.001/sf0.01
 
 
 def _read(sf_dir: str, table: str, columns=None):
