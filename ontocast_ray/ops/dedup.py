@@ -41,8 +41,10 @@ _WS = re.compile(r"\s+")
 
 
 def _sha_batch(batch: pa.Table) -> pa.Table:
+    # 128-bit prefix: a 64-bit key has a real birthday-collision count at
+    # 10^12 docs (~1e24/2^65); 128 bits keeps it negligible at any scale
     texts = batch["text"].to_pylist()
-    hashes = [hashlib.sha256((t or "").encode()).hexdigest()[:16] for t in texts]
+    hashes = [hashlib.sha256((t or "").encode()).hexdigest()[:32] for t in texts]
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -117,7 +119,10 @@ def _band_rows(batch: pa.Table, bands: int, n_parts: int) -> pa.Table:
         rows_per_band = len(sig) // bands
         for b in range(bands):
             chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            key = f"{b}:{zlib.crc32(chunk.tobytes()):08x}"
+            # 64-bit band key: a 32-bit key collides pervasively at 10^12
+            # docs, turning LSH buckets into giant false-candidate pools
+            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            key = f"{b}:{h}"
             doc_ids.append(doc_id)
             keys.append(key)
             parts.append(zlib.crc32(key.encode()) % n_parts)
