@@ -130,6 +130,23 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_events_windowed(sf_dir: str):
+    from ontocast_ray.ops.windows import tumbling_window
+
+    return tumbling_window(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]), every="1h"
+    )
+
+
+def _q_events_sessions(sf_dir: str):
+    from ontocast_ray.ops.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]),
+        gap_minutes=30.0,
+    )
+
+
 def _q_knn(sf_dir: str):
     import numpy as np
 
@@ -275,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": _q_docs_by_source,
         "top_docs_by_len": _q_top_docs_by_len,
         "events_by_user": _q_events_by_user,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "knn_cosine_top10": _q_knn,
         # training-data ops, rows-only (hash/model-based, not SQL-expressible)
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -342,6 +361,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_windowed": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, event_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM numbered GROUP BY user_id, session_id
         """,
         "knn_cosine_top10": """
             WITH q AS (

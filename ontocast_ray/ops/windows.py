@@ -1,0 +1,104 @@
+"""Windowed aggregates and gap-based sessionization over event streams.
+
+The reference has no streaming/window features (SURVEY §2.8); these are
+engine-side operators a large-scale pipeline needs, built from Ray Data
+primitives:
+
+- ``tumbling_window``: window key = vectorized timestamp floor inside
+  ``map_batches`` (pure map), ONE groupby((user, window)) with vectorized
+  aggregates — the pre-aggregate-then-shuffle shape;
+- ``sessionize``: per-user gap-based sessions. Needs per-user time order, so
+  it shuffles on a coarse hash of user_id (crc32 % P — same pattern as every
+  other fine-key grouping here) and runs a vectorized pandas
+  sort+diff+cumsum kernel per partition. Ties broken by event_id so the
+  result is deterministic and matches the SQL-window-function oracle.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str = "ts", every: str = "1h") -> pa.Table:
+    ts = batch[ts_col].to_pandas()
+    window = ts.dt.floor(every)
+    return batch.append_column(
+        "window_start", pa.Array.from_pandas(window, type=batch[ts_col].type)
+    )
+
+
+def tumbling_window(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: str = "1h",
+) -> "ray.data.Dataset":
+    """→ (key, window_start, n_events, min_value, max_value)."""
+    windowed = events.map_batches(
+        lambda b: add_tumbling_window(b, ts_col, every), batch_format="pyarrow"
+    )
+    return windowed.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Min(value_col, alias_name="min_value"),
+        Max(value_col, alias_name="max_value"),
+    )
+
+
+def _sessionize_partition_factory(gap_minutes: float, key_col: str, ts_col: str, id_col: str):
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def _kernel(group: pd.DataFrame) -> pd.DataFrame:
+        out_frames = []
+        for _, rows in group.groupby(key_col, sort=False):
+            rows = rows.sort_values([ts_col, id_col])
+            new_session = (rows[ts_col].diff() > gap) | rows[ts_col].diff().isna()
+            rows = rows.assign(session_id=new_session.cumsum().astype("int64"))
+            agg = rows.groupby("session_id", sort=True).agg(
+                n_events=(id_col, "count"),
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+            ).reset_index()
+            agg.insert(0, key_col, rows[key_col].iloc[0])
+            out_frames.append(agg)
+        if not out_frames:
+            return pd.DataFrame(
+                {key_col: [], "session_id": [], "n_events": [],
+                 "session_start": [], "session_end": []}
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    return _kernel
+
+
+def sessionize(
+    events: "ray.data.Dataset",
+    gap_minutes: float = 30.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (user_id, session_id, n_events, session_start, session_end).
+
+    session_id restarts at 1 per user (matches the SQL cumulative-sum-over-
+    lag oracle)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(str(u).encode()) % n_parts for u in batch[key_col].to_pylist()]
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _sessionize_partition_factory(gap_minutes, key_col, ts_col, id_col),
+            batch_format="pandas",
+        )
+    )

@@ -72,6 +72,8 @@ def test_all_queries_run(ray_session, contract):
         "docs_by_source",
         "top_docs_by_len",
         "events_by_user",
+        "events_windowed",
+        "events_sessions",
         "knn_cosine_top10",
     ],
 )
