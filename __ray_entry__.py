@@ -130,6 +130,38 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _q_customers_by_region(sf_dir: str):
+    """Star-schema broadcast join: customer ⋈ nation ⋈ region, dims broadcast."""
+    import ray
+
+    from ontocast_ray.ops.joins import BroadcastLookup
+    from ray.data.aggregate import Count, Max, Min
+
+    nation = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+    }
+    # compose the two tiny dims driver-side: nationkey → region name
+    lookup_ref = ray.put({nk: region[rk] for nk, rk in nation.items()})
+    customers = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = customers.map_batches(
+        BroadcastLookup,
+        fn_constructor_kwargs={
+            "lookup_ref": lookup_ref, "key_col": "c_nationkey", "out_col": "r_name",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Min("c_acctbal", alias_name="min_acctbal"),
+        Max("c_acctbal", alias_name="max_acctbal"),
+    )
+
+
 def _q_events_windowed(sf_dir: str):
     from ontocast_ray.ops.windows import tumbling_window
 
@@ -294,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_user": _q_events_by_user,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "customers_by_region": _q_customers_by_region,
         "knn_cosine_top10": _q_knn,
         # training-data ops, rows-only (hash/model-based, not SQL-expressible)
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -361,6 +394,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "customers_by_region": """
+            SELECT r_name, count(*) AS n_customers,
+                   min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "events_windowed": """
             SELECT user_id, date_trunc('hour', ts) AS window_start,

@@ -74,6 +74,7 @@ def test_all_queries_run(ray_session, contract):
         "events_by_user",
         "events_windowed",
         "events_sessions",
+        "customers_by_region",
         "knn_cosine_top10",
     ],
 )
