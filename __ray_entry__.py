@@ -179,6 +179,14 @@ def _q_events_sessions(sf_dir: str):
     )
 
 
+def _q_events_with_lag(sf_dir: str):
+    from ontocast_ray.ops.windows import with_previous_event
+
+    return with_previous_event(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    )
+
+
 def _q_knn(sf_dir: str):
     import numpy as np
 
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "customers_by_region": _q_customers_by_region,
+        "events_with_lag": _q_events_with_lag,
         "knn_cosine_top10": _q_knn,
         # training-data ops, rows-only (hash/model-based, not SQL-expressible)
         "minhash_dedup_pairs": _q_minhash_pairs,
@@ -394,6 +403,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    min(ts) AS first_ts, max(ts) AS last_ts
             FROM events GROUP BY user_id
+        """,
+        "events_with_lag": """
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER w AS prev_ts,
+                   lag(value) OVER w AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "customers_by_region": """
             SELECT r_name, count(*) AS n_customers,

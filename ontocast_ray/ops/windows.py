@@ -77,6 +77,54 @@ def _sessionize_partition_factory(gap_minutes: float, key_col: str, ts_col: str,
     return _kernel
 
 
+def _lag_partition_factory(key_col: str, ts_col: str, id_col: str, value_col: str):
+    def _kernel(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, rows in group.groupby(key_col, sort=False):
+            rows = rows.sort_values([ts_col, id_col])
+            frames.append(
+                rows.assign(
+                    prev_ts=rows[ts_col].shift(1),
+                    prev_value=rows[value_col].shift(1),
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {key_col: [], id_col: [], ts_col: [], value_col: [],
+                 "prev_ts": [], "prev_value": []}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out[[key_col, id_col, ts_col, value_col, "prev_ts", "prev_value"]]
+
+    return _kernel
+
+
+def with_previous_event(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key lag (the as-of-previous-row family): each event annotated with
+    the previous event's ts/value for the same key. Same coarse-partitioned
+    sort kernel as sessionize; event_id tiebreak keeps it deterministic."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(str(u).encode()) % n_parts for u in batch[key_col].to_pylist()]
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _lag_partition_factory(key_col, ts_col, id_col, value_col),
+            batch_format="pandas",
+        )
+    )
+
+
 def sessionize(
     events: "ray.data.Dataset",
     gap_minutes: float = 30.0,

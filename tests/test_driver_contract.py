@@ -75,6 +75,7 @@ def test_all_queries_run(ray_session, contract):
         "events_windowed",
         "events_sessions",
         "customers_by_region",
+        "events_with_lag",
         "knn_cosine_top10",
     ],
 )
@@ -88,7 +89,10 @@ def test_query_matches_oracle(ray_session, contract, name):
     for c in ray_df.columns:
         a, b = ray_df[c], duck_df[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            assert (a.astype(float) - b.astype(float)).abs().max() < 1e-9, c
+            # NaN-aware: nulls must align, values must match
+            assert (a.isna() == b.isna()).all(), c
+            diff = (a.astype(float) - b.astype(float)).abs()
+            assert diff.dropna().max() < 1e-9 or diff.dropna().empty, c
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
 
