@@ -53,6 +53,31 @@ def test_cross_doc_merge_end_to_end(ray_session):
         assert global_uri_of(r["subject"]) == r["object"]
 
 
+def test_salting_is_result_invariant(ray_session):
+    """The salted two-phase merge must produce the same entity table as an
+    unsalted single-phase one (n_salt=1) — salting redistributes work, never
+    changes results. Run on an extreme-skew corpus (head entity in ~all docs)."""
+    import ray.data
+
+    from ontocast_ray.pipelines.crossdoc import global_entity_table
+
+    corpus = generate_corpus(n_docs=16, seed=3, head_entity_fraction=1.0)
+    docs = ray.data.from_arrow(corpus)
+    triples = build_kg_pipeline(
+        docs, chunk_concurrency=2, extract_concurrency=2,
+        min_chunk_size=200, max_chunk_size=2000,
+    ).materialize()
+
+    def table_of(n_salt):
+        rows = global_entity_table(triples, n_salt=n_salt).take_all()
+        return {
+            r["entity_key"]: (r["label"], tuple(r["types"]), r["n_docs"], r["n_mentions"])
+            for r in rows
+        }
+
+    assert table_of(1) == table_of(8)
+
+
 def test_rewrite_is_pure_map():
     """The rewrite needs no shuffle: global URI is a function of the row."""
     batch = pa.table(
