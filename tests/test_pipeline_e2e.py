@@ -126,3 +126,19 @@ def test_resumable_writes(ray_session, corpus, tmp_path):
         chunk_concurrency=2, extract_concurrency=2,
     )
     assert stats2["shards_run"] == 0 and stats2["shards_skipped"] == 4
+
+    # the written store round-trips: schema intact, rows readable
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ontocast_ray.model import TRIPLES_SCHEMA
+
+    files = glob.glob(out + "/part=*/*.parquet")
+    assert files
+    table = pq.read_table(files[0])
+    for name in TRIPLES_SCHEMA.names:
+        assert table.schema.field(name).type == TRIPLES_SCHEMA.field(name).type, name
+    # readable back as a Dataset keyed by the same doc_id partitioning
+    ds = ray.data.read_parquet(out + "/part=0")
+    assert ds.count() >= 0
