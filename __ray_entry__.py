@@ -163,11 +163,21 @@ def _q_customers_by_region(sf_dir: str):
 
 
 def _q_events_windowed(sf_dir: str):
+    import pyarrow as pa
+
     from ontocast_ray.ops.windows import tumbling_window
 
-    return tumbling_window(
+    out = tumbling_window(
         _read(sf_dir, "events", columns=["user_id", "ts", "value"]), every="1h"
     )
+
+    def cast_us(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch["window_start"].cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
 
 
 def _q_events_sessions(sf_dir: str):
@@ -439,7 +449,8 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY ts, event_id) AS session_id
                 FROM flagged
             )
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM numbered GROUP BY user_id, session_id
         """,
