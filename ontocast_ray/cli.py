@@ -134,6 +134,52 @@ def _export_ttl(triples_dir: str, out_dir: str) -> None:
         serialize_facts(graph, out_dir, spec=doc_iri + "/")
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    """Offline pre-chunking — the reference's split_chunks CLI
+    (ref /root/reference/ontocast/cli/split_chunks.py:111-161): each input
+    file becomes a JSON ``{"chunks": [str, ...]}`` next to the output dir."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import pyarrow as pa
+
+    from ontocast_ray.stages.chunking import ChunkDocuments
+
+    docs = _build_docs_dataset(args.input_path)
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        texts = ["".join(s["text"] for s in spans) for spans in batch["spans"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "text": texts,
+                         "spans": batch["spans"]})
+
+    chunks = docs.map_batches(to_text, batch_format="pyarrow").map_batches(
+        ChunkDocuments,
+        fn_constructor_kwargs={
+            "min_chunk_size": args.min_chunk_size,
+            "max_chunk_size": args.max_chunk_size,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    by_doc: dict[str, list] = {}
+    for row in chunks.sort(["doc_id", "chunk_idx"]).iter_rows():
+        by_doc.setdefault(row["doc_id"], []).append(row["text"])
+    os.makedirs(args.working_directory, exist_ok=True)
+    for doc_id, texts in by_doc.items():
+        name = os.path.splitext(os.path.basename(doc_id))[0] + ".chunks.json"
+        with open(os.path.join(args.working_directory, name), "w") as fh:
+            json.dump({"chunks": texts}, fh)
+    ray.shutdown()
+    print(json.dumps({"status": "success", "docs": len(by_doc)}))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ontocast_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -145,6 +191,12 @@ def main(argv=None) -> int:
     run_p.add_argument("--max-visits", type=int, default=3)
     run_p.add_argument("--ttl-export", action="store_true")
     run_p.set_defaults(fn=cmd_run)
+    chunk_p = sub.add_parser("chunk", help="offline pre-chunking (split_chunks parity)")
+    chunk_p.add_argument("--input-path", required=True)
+    chunk_p.add_argument("--working-directory", required=True)
+    chunk_p.add_argument("--min-chunk-size", type=int, default=2000)
+    chunk_p.add_argument("--max-chunk-size", type=int, default=20000)
+    chunk_p.set_defaults(fn=cmd_chunk)
     args = parser.parse_args(argv)
     return args.fn(args)
 

@@ -47,6 +47,33 @@ def test_server_process_roundtrip():
         srv.shutdown()
 
 
+def test_cli_chunk_offline(ray_session, tmp_path):
+    import glob
+
+    from ontocast_ray.cli import main
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    # the reference's sentence splitter only breaks before a capitalized
+    # word of 9+ chars (chunker.py:46-48) — give it some
+    (docs_dir / "long.txt").write_text(
+        " ".join(f"Discussion of {w} item {i} covers {w} matters."
+                 for i, w in enumerate(["alpha", "bravo", "charlie"] * 40))
+    )
+    out_dir = tmp_path / "chunks"
+    rc = main([
+        "chunk", "--input-path", str(docs_dir),
+        "--working-directory", str(out_dir),
+        "--min-chunk-size", "100", "--max-chunk-size", "600",
+    ])
+    assert rc == 0
+    files = glob.glob(str(out_dir / "*.chunks.json"))
+    assert len(files) == 1
+    data = json.load(open(files[0]))
+    assert len(data["chunks"]) >= 2  # reference output shape {"chunks": [str,...]}
+    assert all(isinstance(c, str) for c in data["chunks"])
+
+
 def test_cli_run_end_to_end(ray_session, tmp_path):
     import glob
     import os
