@@ -22,6 +22,8 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# bump when spanify/corpus semantics change — keys the /tmp corpus cache
+CORPUS_FORMAT_VERSION = 1
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
@@ -142,7 +144,9 @@ def main() -> None:
     # reading the stored interleaved-docs table (the engine's actual contract)
     import hashlib
 
-    corpus_key = hashlib.sha256(f"{SF_DIR}:1".encode()).hexdigest()[:12]
+    corpus_key = hashlib.sha256(
+        f"{SF_DIR}:1:{CORPUS_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     corpus_path = f"/tmp/ontocast_bench/docs_{corpus_key}"
     import glob as _glob
 
@@ -244,7 +248,9 @@ def _burn_child(k):
 def _scaling_corpus_path() -> str:
     import hashlib
 
-    key = hashlib.sha256(f"{SF_DIR}:{SCALING_REPLICATE}".encode()).hexdigest()[:12]
+    key = hashlib.sha256(
+        f"{SF_DIR}:{SCALING_REPLICATE}:{CORPUS_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return f"/tmp/ontocast_bench/docs_{key}"
 
 
