@@ -197,17 +197,28 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
-def _q_knn(sf_dir: str):
+def _query_vectors(emb, n: int = 2):
+    """First n vec_ids as a query matrix — vectorized pc filter, not a
+    per-row Python predicate (the filter prunes inside each batch)."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], pa.scalar(n))),
+            batch_format="pyarrow",
+        ).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    return np.array([r["embedding"] for r in qrows], dtype=np.float64)
+
+
+def _q_knn(sf_dir: str):
     from ontocast_ray.ops.similarity import knn_bruteforce
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qrows = sorted(
-        emb.filter(lambda r: r["vec_id"] < 2).take_all(), key=lambda r: r["vec_id"]
-    )
-    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    out = knn_bruteforce(emb, queries, k=10)
+    out = knn_bruteforce(emb, _query_vectors(emb), k=10)
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -281,16 +292,10 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    import numpy as np
-
     from ontocast_ray.ops.similarity import knn_ivf
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qrows = sorted(
-        emb.filter(lambda r: r["vec_id"] < 2).take_all(), key=lambda r: r["vec_id"]
-    )
-    queries = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    return knn_ivf(emb, queries, k=10, n_clusters=16, n_probe=4)
+    return knn_ivf(emb, _query_vectors(emb), k=10, n_clusters=16, n_probe=4)
 
 
 def _q_global_entities(sf_dir: str):

@@ -112,25 +112,44 @@ class MinHasher:
         )
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _band_rows(batch: pa.Table, bands: int, n_parts: int) -> pa.Table:
-    doc_ids, keys, parts = [], [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist()):
-        sig = np.asarray(sig, dtype=np.int64)
-        rows_per_band = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-            # 64-bit band key: a 32-bit key collides pervasively at 10^12
-            # docs, turning LSH buckets into giant false-candidate pools
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            key = f"{b}:{h}"
-            doc_ids.append(doc_id)
-            keys.append(key)
-            parts.append(zlib.crc32(key.encode()) % n_parts)
+    """(doc, band) → 64-bit band key, fully vectorized.
+
+    The signature column is flattened zero-copy to an (n_docs, num_perm)
+    matrix; band keys are an FNV-1a fold over each band's chunk with the
+    band index mixed in (equal chunks in the same band → equal key; a
+    64-bit key keeps cross-band collisions negligible at 10^12 docs,
+    where 32-bit keys collide pervasively and poison LSH buckets).
+    """
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {"band_key": pa.array([], type=pa.int64()),
+             "doc_id": pa.array([], type=batch["doc_id"].type),
+             "bucket_part": pa.array([], type=pa.int32())}
+        )
+    col = batch["minhash"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    num_perm = len(flat) // n
+    rpb = num_perm // bands
+    chunks = flat.reshape(n, num_perm)[:, : bands * rpb].reshape(n, bands, rpb)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        for r in range(rpb):  # rpb is small (num_perm/bands); rows are vectorized
+            h = (h ^ chunks[:, :, r]) * _FNV_PRIME
+        h = (h ^ (np.arange(bands, dtype=np.uint64)[None, :] + _GOLDEN64)) * _FNV_PRIME
+    keys = h.reshape(-1)
+    idx = np.repeat(np.arange(n, dtype=np.int64), bands)
     return pa.table(
         {
-            "band_key": pa.array(keys, type=pa.string()),
-            "doc_id": pa.array(doc_ids, type=pa.int64() if len(doc_ids) and isinstance(doc_ids[0], int) else pa.string()),
-            "bucket_part": pa.array(parts, type=pa.int32()),
+            "band_key": pa.array(keys.view(np.int64)),
+            "doc_id": batch["doc_id"].take(pa.array(idx)),
+            "bucket_part": pa.array((keys % np.uint64(n_parts)).astype(np.int32)),
         }
     )
 
@@ -179,23 +198,96 @@ def minhash_lsh_candidates(
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+# --- distributed exact-Jaccard verification -------------------------------
+#
+# Shape (nothing corpus-sized ever reaches the driver):
+#   1. candidate pairs → fixed-size Bloom filter of needed doc_ids
+#      (per-block partial bitmaps OR-ed on the driver: driver memory is
+#      n_blocks × m_bits/8 bytes — BOUNDED, independent of pair count);
+#   2. docs → map-side Bloom prune → shingle rows (computed only for the
+#      ~needed docs), keyed by hash(doc_id) % P;
+#   3. pairs → two request rows each (one per member doc), keyed the same;
+#   4. union + groupby(part): shuffle join attaches each doc's shingle set
+#      to its pair requests;
+#   5. groupby(pair bucket): exact Jaccard per pair inside a coarse-
+#      partitioned kernel.
+# A doc in k pairs ships its shingle set k times (a few KB each); candidate
+# pairs are rare relative to the corpus, so the shuffle moves shingles of
+# candidates only — never documents, never the corpus.
+
+_BLOOM_BITS = 1 << 23  # 1 MiB bitmap → <1% FP at ~1M needed ids
+_BLOOM_K = 4
+
+
+def _bloom_positions(ids, m_bits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i*h2."""
+    from ontocast_ray.util import hash_u64
+
+    h1 = hash_u64(ids)
+    with np.errstate(over="ignore"):
+        h2 = (h1 ^ _GOLDEN64) * _FNV_PRIME | np.uint64(1)
+        pos = np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(_BLOOM_K)]
+        )
+    return pos
+
+
+def _bloom_build(pairs: "ray.data.Dataset", m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """OR of per-block partial bitmaps; each block returns ONE fixed-size row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+        ids = np.concatenate(
+            [
+                batch["doc_id_a"].to_numpy(zero_copy_only=False),
+                batch["doc_id_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        if len(ids):
+            pos = _bloom_positions(ids, m_bits).reshape(-1)
+            np.bitwise_or.at(bloom, (pos >> 3).astype(np.int64), np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bloom.tobytes()], type=pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in pairs.map_batches(partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return out
+
+
+def _bloom_contains(bloom: np.ndarray, ids, m_bits: int) -> np.ndarray:
+    pos = _bloom_positions(ids, m_bits)
+    hits = (bloom[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
+    return hits.all(axis=0)
+
+
+def _join_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("part", pa.int32()),
+            ("kind", pa.int8()),  # 0 = pair request, 1 = doc shingles
+            ("doc_id", id_type),
+            ("doc_id_a", id_type),
+            ("doc_id_b", id_type),
+            ("bucket", pa.int32()),
+            ("shingles", pa.binary()),
+        ]
+    )
+
+
 def ngram_jaccard_verify(
     docs: "ray.data.Dataset",
     pairs: "ray.data.Dataset",
     threshold: float = 0.7,
     shingle_k: int = 5,
+    n_parts: int = 64,
 ) -> "ray.data.Dataset":
-    """Exact Jaccard check of candidate pairs (broadcast small-side shingle map).
-
-    The candidate set is small relative to the corpus; the docs needed for
-    verification are collected once and broadcast via ray.put — a map-side
-    join, not a shuffle. (At extreme scale this becomes a semi-join on
-    doc_id; the verify kernel is unchanged.)
+    """Exact Jaccard check of candidate pairs, fully distributed (see module
+    comment above): Bloom-pruned shingle computation + doc_id shuffle join +
+    per-bucket verification. No corpus- or pair-sized driver materialization.
     """
     import ray
+    from ontocast_ray.util import hash_u64
 
-    pair_rows = pairs.select_columns(["doc_id_a", "doc_id_b"]).take_all()
-    needed = {r["doc_id_a"] for r in pair_rows} | {r["doc_id_b"] for r in pair_rows}
     empty = pa.table(
         {
             "doc_id_a": pa.array([], type=pa.int64()),
@@ -203,40 +295,118 @@ def ngram_jaccard_verify(
             "jaccard": pa.array([], type=pa.float64()),
         }
     )
-    if not pair_rows:
+    # candidates are consumed three times (bloom, requests, join); a
+    # materialized pair set lives in the object store — small next to docs
+    pairs = pairs.select_columns(["doc_id_a", "doc_id_b"]).materialize()
+    if pairs.count() == 0:
         return ray.data.from_arrow(empty)
+    _sch = pairs.schema()
+    id_type = dict(zip(_sch.names, _sch.types))["doc_id_a"]
+    schema = _join_schema(id_type)
 
-    def collect(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in needed]
-        return batch.take(pa.array(keep, type=pa.int64()))
+    bloom = _bloom_build(pairs)
+    bloom_ref = ray.put(bloom)
 
-    subset = docs.map_batches(collect, batch_format="pyarrow").take_all()
-    shingle_map = {
-        r["doc_id"]: set(_shingle_hashes(r["text"], shingle_k).tolist()) for r in subset
-    }
-    out_a, out_b, sims = [], [], []
-    for r in pair_rows:
-        sa = shingle_map.get(r["doc_id_a"], set())
-        sb = shingle_map.get(r["doc_id_b"], set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            out_a.append(r["doc_id_a"])
-            out_b.append(r["doc_id_b"])
-            sims.append(round(j, 6))
-    if not out_a:
-        return ray.data.from_arrow(empty)
-    return ray.data.from_arrow(
-        pa.table(
+    def request_rows(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = hash_u64(a) ^ (hash_u64(b) * _GOLDEN64 + _FNV_OFFSET)
+        bucket = (hp % np.uint64(n_parts)).astype(np.int32)
+        part_a = (hash_u64(a) % np.uint64(n_parts)).astype(np.int32)
+        part_b = (hash_u64(b) % np.uint64(n_parts)).astype(np.int32)
+        n = len(a)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([part_a, part_b])),
+                pa.array(np.zeros(2 * n, dtype=np.int8)),
+                pa.concat_arrays([batch["doc_id_a"].combine_chunks(), batch["doc_id_b"].combine_chunks()]),
+                pa.concat_arrays([batch["doc_id_a"].combine_chunks()] * 2),
+                pa.concat_arrays([batch["doc_id_b"].combine_chunks()] * 2),
+                pa.array(np.concatenate([bucket, bucket])),
+                pa.array([b""] * (2 * n), type=pa.binary()),
+            ],
+            schema=schema,
+        )
+
+    class ShingleRows:
+        """Bloom-pruned shingle extraction (bitmap fetched once per worker)."""
+
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return schema.empty_table()
+            mask = _bloom_contains(self.bloom, ids, _BLOOM_BITS)
+            sub = batch.filter(pa.array(mask))
+            texts = sub["text"].to_pylist()
+            blobs = [
+                _shingle_hashes(t, shingle_k).astype(np.uint64).tobytes() for t in texts
+            ]
+            sub_ids = sub["doc_id"]
+            n = len(texts)
+            return pa.Table.from_arrays(
+                [
+                    pa.array((hash_u64(sub_ids) % np.uint64(n_parts)).astype(np.int32)),
+                    pa.array(np.ones(n, dtype=np.int8)),
+                    sub_ids.combine_chunks(),
+                    sub_ids.combine_chunks(),  # unused for kind=1
+                    sub_ids.combine_chunks(),
+                    pa.array(np.full(n, -1, dtype=np.int32)),
+                    pa.array(blobs, type=pa.binary()),
+                ],
+                schema=schema,
+            )
+
+    requests = pairs.map_batches(request_rows, batch_format="pyarrow")
+    shingle_rows = docs.map_batches(ShingleRows, batch_format="pyarrow", concurrency=pool(4))
+
+    def join_kernel(group: pd.DataFrame) -> pa.Table:
+        have = group[group["kind"] == 1]
+        sh = dict(zip(have["doc_id"], have["shingles"]))
+        reqs = group[group["kind"] == 0]
+        reqs = reqs[reqs["doc_id"].isin(sh)]
+        out_sh = [sh[d] for d in reqs["doc_id"]]
+        return pa.table(
             {
-                "doc_id_a": pa.array(out_a),
-                "doc_id_b": pa.array(out_b),
+                "bucket": pa.array(reqs["bucket"].to_numpy(), type=pa.int32()),
+                "doc_id": pa.array(reqs["doc_id"].tolist(), type=id_type),
+                "doc_id_a": pa.array(reqs["doc_id_a"].tolist(), type=id_type),
+                "doc_id_b": pa.array(reqs["doc_id_b"].tolist(), type=id_type),
+                "shingles": pa.array(out_sh, type=pa.binary()),
+            }
+        )
+
+    joined = requests.union(shingle_rows).groupby("part").map_groups(
+        join_kernel, batch_format="pandas"
+    )
+
+    def verify_kernel(group: pd.DataFrame) -> pa.Table:
+        out_a, out_b, sims = [], [], []
+        for (a, b), rows in group.groupby(["doc_id_a", "doc_id_b"], sort=False):
+            by_doc = dict(zip(rows["doc_id"], rows["shingles"]))
+            if a not in by_doc or b not in by_doc:
+                continue  # a member doc was missing from the corpus
+            sa = set(np.frombuffer(by_doc[a], dtype=np.uint64).tolist())
+            sb = set(np.frombuffer(by_doc[b], dtype=np.uint64).tolist())
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                sims.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_id_a": pa.array(out_a, type=id_type),
+                "doc_id_b": pa.array(out_b, type=id_type),
                 "jaccard": pa.array(sims, type=pa.float64()),
             }
         )
-    )
+
+    return joined.groupby("bucket").map_groups(verify_kernel, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -244,40 +414,60 @@ def ngram_jaccard_verify(
 
 
 class SimHasher:
-    """64-bit simhash over word unigram+bigram features (built once per actor)."""
+    """64-bit simhash over word unigram+bigram features.
+
+    Vectorized: ALL features of a batch are hashed in ONE
+    ``pd.util.hash_array`` call (siphash, fixed key — cross-process
+    deterministic), the per-feature ±1 bit votes become an (n_feats, 64)
+    unpacked-bit matrix, and per-document signatures fall out of a single
+    ``np.add.reduceat`` over the document segments — no per-feature Python.
+    """
 
     def __init__(self, seed: int = 11):
         self.seed = seed
 
     @staticmethod
-    def simhash64(text: str) -> int:
+    def _features(text: str) -> list[str]:
         words = _WS.split((text or "").strip().lower())
-        feats = words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
-        if not feats or feats == [""]:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for f in feats:
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(f.encode(), digest_size=8).digest(), "big")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        return words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
+
+    @classmethod
+    def simhash_batch(cls, texts: list[str]) -> np.ndarray:
+        """→ uint64 signatures, one per text (0 for empty texts)."""
+        feats: list[str] = []
+        offsets = [0]
+        empty = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            fs = cls._features(t)
+            if not fs or fs == [""]:
+                empty[i] = True
+                fs = [""]  # keep reduceat segments non-empty; zeroed below
+            feats.extend(fs)
+            offsets.append(len(feats))
+        if not feats:
+            return np.zeros(len(texts), dtype=np.uint64)
+        hashes = pd.util.hash_array(np.asarray(feats, dtype=object), categorize=False)
+        bits = np.unpackbits(
+            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )  # (n_feats, 64); column i == bit i of the hash
+        seg_ones = np.add.reduceat(bits.astype(np.int64), offsets[:-1], axis=0)
+        counts = np.diff(offsets)
+        acc = 2 * seg_ones - counts[:, None]  # sum of ±1 votes per bit
+        sig = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
+        sig = sig.copy().view(np.uint64).reshape(-1)
+        sig[empty] = 0
+        return sig
+
+    @classmethod
+    def simhash64(cls, text: str) -> int:
+        return int(cls.simhash_batch([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = []
-        for t in texts:
-            s = self.simhash64(t)
-            sigs.append(s - (1 << 64) if s >= (1 << 63) else s)  # two's-complement int64
+        sigs = self.simhash_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(sigs, type=pa.int64()),
+                "simhash": pa.array(sigs.view(np.int64)),  # two's-complement int64
             }
         )
 
@@ -295,18 +485,32 @@ def simhash_candidates(
     sigs = simhash_signatures(docs, concurrency=concurrency)
 
     def bands(batch: pa.Table) -> pa.Table:
-        doc_ids, keys, full, parts = [], [], [], []
-        for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            u = sig & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                key = f"{b}:{(u >> (16 * b)) & 0xFFFF:04x}"
-                doc_ids.append(doc_id)
-                keys.append(key)
-                full.append(sig)
-                parts.append(zlib.crc32(key.encode()) % n_parts)
+        """(doc, 16-bit band) rows, vectorized: key = band<<16 | band bits."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"band_key": pa.array([], type=pa.int64()),
+                 "doc_id": pa.array([], type=batch["doc_id"].type),
+                 "simhash": pa.array([], type=pa.int64()),
+                 "bucket_part": pa.array([], type=pa.int32())}
+            )
+        u = batch["simhash"].combine_chunks().to_numpy(zero_copy_only=False).view(np.uint64)
+        keys = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            keys[:, b] = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)) | (
+                np.uint64(b) << np.uint64(16)
+            )
+        flat = keys.reshape(-1)
+        with np.errstate(over="ignore"):
+            parts = ((flat * _GOLDEN64) >> np.uint64(33)) % np.uint64(n_parts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 4)
         return pa.table(
-            {"band_key": keys, "doc_id": doc_ids, "simhash": full,
-             "bucket_part": pa.array(parts, type=pa.int32())}
+            {
+                "band_key": pa.array(flat.view(np.int64)),
+                "doc_id": batch["doc_id"].take(pa.array(idx)),
+                "simhash": pa.array(np.repeat(u.view(np.int64), 4)),
+                "bucket_part": pa.array(parts.astype(np.int32)),
+            }
         )
 
     def bucket_partition(group: pd.DataFrame) -> pd.DataFrame:

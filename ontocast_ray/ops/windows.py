@@ -16,13 +16,45 @@ primitives:
 
 from __future__ import annotations
 
-import zlib
+import math
 
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min
+
+from ontocast_ray.util import hash_partition
+
+
+def resolve_n_parts(
+    ds: "ray.data.Dataset | None",
+    n_parts: int | None,
+    target_rows_per_part: int = 250_000,
+    lo: int = 8,
+    hi: int = 65_536,
+) -> int:
+    """Partition count sized to the input, not a constant.
+
+    A fixed P means each reducer holds rows/P events in one pandas frame —
+    fine at sf0.1, ~terabytes per group at 100 TB. Deriving P from the row
+    count (parquet metadata makes ``count()`` cheap) bounds every reducer at
+    ~``target_rows_per_part`` rows regardless of input size; keys still
+    colocate because partition = hash(key) % P within one run.
+    """
+    if n_parts is not None:
+        return n_parts
+    n = ds.count() if ds is not None else 0
+    return int(min(hi, max(lo, math.ceil(n / target_rows_per_part))))
+
+
+def _add_part_factory(key_col: str, n_parts: int):
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch[key_col], n_parts))
+        )
+
+    return add_part
 
 
 def add_tumbling_window(batch: pa.Table, ts_col: str = "ts", every: str = "1h") -> pa.Table:
@@ -105,18 +137,15 @@ def with_previous_event(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-key lag (the as-of-previous-row family): each event annotated with
     the previous event's ts/value for the same key. Same coarse-partitioned
-    sort kernel as sessionize; event_id tiebreak keeps it deterministic."""
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(str(u).encode()) % n_parts for u in batch[key_col].to_pylist()]
-        return batch.append_column("part", pa.array(parts, type=pa.int32()))
-
+    sort kernel as sessionize; event_id tiebreak keeps it deterministic.
+    ``n_parts=None`` → sized from the input (see resolve_n_parts)."""
+    n_parts = resolve_n_parts(events, n_parts)
     return (
-        events.map_batches(add_part, batch_format="pyarrow")
+        events.map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             _lag_partition_factory(key_col, ts_col, id_col, value_col),
@@ -131,19 +160,15 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """→ (user_id, session_id, n_events, session_start, session_end).
 
     session_id restarts at 1 per user (matches the SQL cumulative-sum-over-
-    lag oracle)."""
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(str(u).encode()) % n_parts for u in batch[key_col].to_pylist()]
-        return batch.append_column("part", pa.array(parts, type=pa.int32()))
-
+    lag oracle). ``n_parts=None`` → sized from the input (resolve_n_parts)."""
+    n_parts = resolve_n_parts(events, n_parts)
     return (
-        events.map_batches(add_part, batch_format="pyarrow")
+        events.map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             _sessionize_partition_factory(gap_minutes, key_col, ts_col, id_col),

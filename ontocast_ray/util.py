@@ -2,6 +2,31 @@
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def hash_u64(values) -> "np.ndarray":
+    """Vectorized, cross-process-deterministic 64-bit hash of a column.
+
+    pandas ``hash_array`` (siphash, fixed key) — one C call per column
+    instead of per-row ``zlib.crc32`` Python loops. Accepts a pyarrow
+    Array/ChunkedArray, numpy array, or list; strings and ints both take
+    the vectorized path.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pandas().to_numpy()
+    else:
+        values = np.asarray(values)
+    return pd.util.hash_array(values, categorize=False)
+
+
+def hash_partition(values, n_parts: int) -> "np.ndarray":
+    """values → int32 partition ids in [0, n_parts) (coarse shuffle key)."""
+    return (hash_u64(values) % np.uint64(n_parts)).astype(np.int32)
+
 
 def pool(n) -> tuple[int, int]:
     """Actor-pool concurrency spec: autoscaling (1, n).

@@ -193,3 +193,86 @@ def test_multimodal_plumbing(ray_session):
 
     with _pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="real")(media)
+
+
+def test_jaccard_verify_matches_exact_oracle(ray_session, docs_table):
+    """Distributed verify (bloom prune + shuffle join + bucket kernel) must
+    equal a direct in-memory Jaccard over the same candidate pairs."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import _shingle_hashes, ngram_jaccard_verify
+
+    docs = ray.data.from_arrow(docs_table)
+    ids = docs_table["doc_id"].to_pylist()
+    # all-pairs candidates (small fixture) — exercises pairs the LSH would skip
+    cand_a, cand_b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            cand_a.append(ids[i])
+            cand_b.append(ids[j])
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_id_a": pa.array(cand_a, type=pa.int64()),
+                  "doc_id_b": pa.array(cand_b, type=pa.int64())})
+    )
+    out = ngram_jaccard_verify(docs, pairs, threshold=0.3, shingle_k=3).take_all()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
+
+    texts = dict(zip(ids, docs_table["text"].to_pylist()))
+    expected = {}
+    for a, b in zip(cand_a, cand_b):
+        sa = set(_shingle_hashes(texts[a], 3).tolist())
+        sb = set(_shingle_hashes(texts[b], 3).tolist())
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.3:
+            expected[(a, b)] = round(jac, 6)
+    assert got == expected
+    assert got[(0, 1)] == 1.0  # exact dup pair
+
+
+def test_jaccard_verify_empty_and_missing(ray_session, docs_table):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import ngram_jaccard_verify
+
+    docs = ray.data.from_arrow(docs_table)
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id_a": pa.array([], type=pa.int64()),
+                  "doc_id_b": pa.array([], type=pa.int64())})
+    )
+    assert ngram_jaccard_verify(docs, empty).take_all() == []
+    # a pair whose member doc is absent from the corpus is dropped, not fatal
+    ghost = ray.data.from_arrow(
+        pa.table({"doc_id_a": pa.array([0], type=pa.int64()),
+                  "doc_id_b": pa.array([9999], type=pa.int64())})
+    )
+    assert ngram_jaccard_verify(docs, ghost, threshold=0.0).take_all() == []
+
+
+def test_bloom_filter_no_false_negatives():
+    import numpy as np
+
+    from ontocast_ray.ops.dedup import _BLOOM_BITS, _bloom_contains, _bloom_positions
+
+    ids = np.arange(1000, dtype=np.int64)
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    pos = _bloom_positions(ids, _BLOOM_BITS).reshape(-1)
+    np.bitwise_or.at(bloom, (pos >> 3).astype(np.int64), np.uint8(1) << (pos & 7).astype(np.uint8))
+    assert _bloom_contains(bloom, ids, _BLOOM_BITS).all()
+    # false-positive rate on disjoint ids stays low
+    others = np.arange(100000, 110000, dtype=np.int64)
+    fp = _bloom_contains(bloom, others, _BLOOM_BITS).mean()
+    assert fp < 0.01
+
+
+def test_resolve_n_parts_scales(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+
+    small = ray.data.range(1000)
+    big = ray.data.range(100_000)
+    p_small = resolve_n_parts(small, None, target_rows_per_part=500)
+    p_big = resolve_n_parts(big, None, target_rows_per_part=500)
+    assert p_small == 2 or p_small == 8  # clamped at lo
+    assert p_big > p_small  # P grows with input size
+    assert resolve_n_parts(small, 17) == 17  # explicit wins
