@@ -540,20 +540,79 @@ def simhash_candidates(
 # embedding cosine near-dup
 
 
+def _bucket_cosine_pairs(
+    ids: np.ndarray,
+    nv: np.ndarray,
+    threshold: float,
+    max_bucket: int,
+    chunk: int = 512,
+):
+    """Threshold-cosine pairs within one bucket, memory-bounded.
+
+    ≤ max_bucket vectors: exact all-pairs via CHUNKED matmul (peak memory
+    chunk × bucket floats, never bucket²) with a vectorized
+    ``np.argwhere`` upper-triangle scan — no Python double loop.
+
+    > max_bucket (pathological all-near-identical clusters): degrade to
+    star verification against the bucket's min-id representative — O(n)
+    work/output instead of O(n²). For dedup keep-first semantics the star
+    is sufficient (every member links to the kept representative); the
+    degradation is deliberate and documented, not silent truncation.
+    """
+    order = np.argsort(ids, kind="stable")
+    ids, nv = ids[order], nv[order]
+    n = len(ids)
+    a_out, b_out, s_out = [], [], []
+    if n > max_bucket:
+        sims = nv[1:] @ nv[0]
+        hit = np.flatnonzero(sims >= threshold)
+        for j in hit:
+            a_out.append(ids[0])
+            b_out.append(ids[j + 1])
+            s_out.append(round(float(sims[j]), 6))
+        return a_out, b_out, s_out
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        sims = nv[start:stop] @ nv.T  # (chunk, n)
+        # upper triangle only: global col > global row
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = cols > (rows + start)
+        for r, c in zip(rows[keep], cols[keep]):
+            lo, hi = sorted((ids[r + start], ids[c]))
+            a_out.append(lo)
+            b_out.append(hi)
+            s_out.append(round(float(sims[r, c]), 6))
+    return a_out, b_out, s_out
+
+
 def embedding_dedup_candidates(
     embeddings: "ray.data.Dataset",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int = 16,
+    bands: int = 2,
     seed: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_parts: int = 64,
+    max_bucket: int = 4096,
 ) -> "ray.data.Dataset":
-    """Random-hyperplane LSH buckets → within-bucket cosine ≥ threshold pairs."""
+    """Banded random-hyperplane LSH → within-bucket cosine ≥ threshold pairs.
+
+    The n_planes signs are split into ``bands`` sub-signatures
+    (MinHash-style banding): a pair collides if ANY band matches — higher
+    recall than one wide signature, and each band's bucket population is
+    capped in the kernel (see _bucket_cosine_pairs). Keys and partition
+    ids are vectorized (packbits), never per-row Python.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
     first = embeddings.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    ppb = n_planes // bands
+    if ppb > 56:
+        raise ValueError("planes per band must fit a packed uint64 with band tag")
 
     import ray
 
@@ -564,38 +623,52 @@ def embedding_dedup_candidates(
             self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=batch[id_col].type),
+                     vec_col: pa.array([], type=batch[vec_col].type),
+                     "bucket_part": pa.array([], type=pa.int32())}
+                )
             vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-            signs = (vecs @ self.planes) > 0
-            keys = ["".join("1" if b else "0" for b in row) for row in signs]
-            parts = [zlib.crc32(k.encode()) % n_parts for k in keys]
+            signs = (vecs @ self.planes) > 0  # (n, n_planes)
+            keys = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                sub = signs[:, b * ppb:(b + 1) * ppb]
+                packed = np.packbits(sub, axis=1, bitorder="little")  # (n, ceil(ppb/8))
+                padded = np.zeros((n, 8), dtype=np.uint8)
+                padded[:, : packed.shape[1]] = packed
+                keys[:, b] = padded.view(np.uint64).reshape(-1) | (
+                    np.uint64(b) << np.uint64(56)
+                )
+            flat = keys.reshape(-1)
+            with np.errstate(over="ignore"):
+                parts = ((flat * _GOLDEN64) >> np.uint64(33)) % np.uint64(n_parts)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
             return pa.table(
                 {
-                    "bucket": pa.array(keys, type=pa.string()),
-                    id_col: batch[id_col],
-                    vec_col: batch[vec_col],
-                    "bucket_part": pa.array(parts, type=pa.int32()),
+                    "bucket": pa.array(flat.view(np.int64)),
+                    id_col: batch[id_col].take(idx),
+                    vec_col: batch[vec_col].take(idx),
+                    "bucket_part": pa.array(parts.astype(np.int32)),
                 }
             )
 
     def bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, s_out = [], [], []
         for _, rows in group.groupby("bucket", sort=False):
-            ids = rows[id_col].tolist()
-            if len(ids) < 2:
+            if len(rows) < 2:
                 continue
+            rows = rows.drop_duplicates(id_col)
+            ids = rows[id_col].to_numpy()
             vecs = np.array(rows[vec_col].tolist(), dtype=np.float32)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            nv = vecs / norms
-            sims = nv @ nv.T
-            n = len(ids)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if sims[i, j] >= threshold:
-                        lo, hi = sorted((ids[i], ids[j]))
-                        a_out.append(lo)
-                        b_out.append(hi)
-                        s_out.append(round(float(sims[i, j]), 6))
+            a, b, s = _bucket_cosine_pairs(ids, vecs / norms, threshold, max_bucket)
+            a_out.extend(a)
+            b_out.extend(b)
+            s_out.extend(s)
         return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": s_out})
 
     bucketed = embeddings.map_batches(
@@ -605,5 +678,5 @@ def embedding_dedup_candidates(
     pairs = bucketed.groupby("bucket_part").map_groups(
         bucket_pairs_partition, batch_format="pandas"
     )
-    # a pair can surface from more than one bucket → distinct
+    # a pair can surface from more than one band's bucket → distinct
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))

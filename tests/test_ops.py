@@ -276,3 +276,73 @@ def test_resolve_n_parts_scales(ray_session):
     assert p_small == 2 or p_small == 8  # clamped at lo
     assert p_big > p_small  # P grows with input size
     assert resolve_n_parts(small, 17) == 17  # explicit wins
+
+
+def test_bucket_cosine_pairs_exact_matches_bruteforce():
+    """Chunked argwhere kernel == naive double loop (incl. chunk boundaries)."""
+    from ontocast_ray.ops.dedup import _bucket_cosine_pairs
+
+    rng = np.random.RandomState(0)
+    n, dim = 300, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    # plant identical clusters to guarantee hits
+    vecs[50] = vecs[10]
+    vecs[200] = vecs[10]
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = rng.permutation(n).astype(np.int64)
+    thr = 0.9
+    a, b, s = _bucket_cosine_pairs(ids.copy(), nv.copy(), thr, max_bucket=10_000, chunk=64)
+    got = {(x, y) for x, y in zip(a, b)}
+    sims = nv @ nv.T
+    order = np.argsort(ids)
+    sids, snv = ids[order], nv[order]
+    ssims = snv @ snv.T
+    expected = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if ssims[i, j] >= thr:
+                expected.add(tuple(sorted((int(sids[i]), int(sids[j])))))
+    assert got == expected and len(got) >= 3
+
+
+def test_embedding_dedup_hot_bucket_degrades_to_star(ray_session):
+    """10k near-identical vectors: star fallback keeps work/output O(n)."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import embedding_dedup_candidates
+
+    rng = np.random.RandomState(1)
+    base = rng.normal(size=16).astype(np.float32)
+    vecs = base[None, :] + rng.normal(scale=1e-4, size=(10_000, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10_000, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_dedup_candidates(
+        ray.data.from_arrow(tbl), threshold=0.999, max_bucket=1000
+    ).take_all()
+    # star degradation: every member pairs with the min-id representative only
+    assert len(out) == 9_999
+    assert all(r["id_a"] == 0 for r in out)
+
+
+def test_embedding_dedup_banding_finds_planted_pair(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.dedup import embedding_dedup_candidates
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(200, 32)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=1e-5, size=32).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_dedup_candidates(
+        ray.data.from_arrow(tbl), threshold=0.999
+    ).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
