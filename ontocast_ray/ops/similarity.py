@@ -109,38 +109,113 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, seed: int = 3, iters: int =
     return centroids
 
 
-def knn_ivf(
+# --- IVF: cluster-partitioned layout + pruned reads ------------------------
+#
+# A real IVF is two phases:
+#   build  — ONE full pass assigns every vector to its nearest centroid and
+#            writes a cluster-partitioned Parquet layout
+#            (index_dir/cluster=<c>/...) plus the centroid table;
+#   search — reads ONLY the partitions probed by the query batch. At 100 TB
+#            with n_probe/n_clusters = 4/1024, a query touches ~0.4% of the
+#            bytes a full scan would.
+
+
+def build_ivf_index(
     embeddings: "ray.data.Dataset",
-    query_matrix: np.ndarray,
-    k: int = 10,
+    index_dir: str,
     n_clusters: int = 16,
-    n_probe: int = 4,
     sample_size: int = 2000,
     seed: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 4,
-) -> "ray.data.Dataset":
-    """IVF-style ANN: probe only the n_probe nearest clusters per query."""
+    min_rows_per_file: int = 50_000,
+) -> np.ndarray:
+    """One pass over the corpus → cluster-partitioned layout; returns centroids.
+
+    Centroids come from a bounded driver-side sample (kmeans on the full
+    corpus would be its own distributed job; a seeded sample is the standard
+    IVF trade-off and keeps the table tiny enough to broadcast).
+    """
+    import json
+    import os
+
     sample_rows = embeddings.limit(sample_size).take_all()
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
     centroids = kmeans_lite(sample, n_clusters, seed=seed)
+    centroids_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.centroids = ray.get(centroids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            assign = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
+            # "cluster" becomes the hive partition key (stripped from data
+            # files); "cluster_id" stays physical so probed reads see it
+            out = batch.append_column("cluster", pa.array(assign))
+            return out.append_column("cluster_id", pa.array(assign))
+
+    embeddings.map_batches(Assign, batch_format="pyarrow", concurrency=pool(4)).write_parquet(
+        index_dir, partition_cols=["cluster"], min_rows_per_file=min_rows_per_file
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w", encoding="utf-8") as fh:
+        json.dump(
+            {"n_clusters": int(len(centroids)), "id_col": id_col, "vec_col": vec_col},
+            fh,
+        )
+    return centroids
+
+
+def ivf_probe_paths(index_dir: str, probed: set[int]) -> tuple[list[str], int]:
+    """(paths of probed partitions, total partition count) — the read prune."""
+    import glob
+    import os
+
+    all_parts = sorted(glob.glob(os.path.join(index_dir, "cluster=*")))
+    paths = []
+    for p in all_parts:
+        if int(os.path.basename(p).split("=", 1)[1]) in probed:
+            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return paths, len(all_parts)
+
+
+def knn_ivf_search(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """ANN top-k over a built IVF index; reads only probed partitions."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     queries = _normalize(np.asarray(query_matrix, dtype=np.float32))
     probes = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     probe_sets = [set(map(int, row)) for row in probes]
-
-    centroids_ref = ray.put(centroids)
+    union_probed = set().union(*probe_sets) if probe_sets else set()
+    paths, _total = ivf_probe_paths(index_dir, union_probed)
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table({"query_id": pa.array([], type=pa.int64()),
+                      id_col: pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64()),
+                      "rank": pa.array([], type=pa.int64())})
+        )
     queries_ref = ray.put(queries)
 
     class ProbedTopK:
         def __init__(self):
-            self.centroids = ray.get(centroids_ref)
             self.queries = ray.get(queries_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist())
             vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
-            assign = (vecs @ self.centroids.T).argmax(axis=1)
+            assign = np.asarray(batch["cluster_id"].to_pylist())
             q_out, id_out, s_out = [], [], []
             for qi, probe in enumerate(probe_sets):
                 mask = np.isin(assign, list(probe))
@@ -163,9 +238,41 @@ def knn_ivf(
                 }
             )
 
-    partial = embeddings.map_batches(
-        ProbedTopK, batch_format="pyarrow", concurrency=pool(concurrency)
-    )
+    partial = ray.data.read_parquet(
+        paths, columns=[id_col, vec_col, "cluster_id"]
+    ).map_batches(ProbedTopK, batch_format="pyarrow", concurrency=pool(concurrency))
     return partial.groupby("query_id").map_groups(
         _final_topk_factory(k, id_col), batch_format="pandas"
+    )
+
+
+def knn_ivf(
+    embeddings: "ray.data.Dataset",
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2000,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    index_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Build-then-search convenience: one-shot IVF ANN.
+
+    For repeated queries call build_ivf_index once and knn_ivf_search per
+    query batch — the build is the full-corpus pass, the search is pruned.
+    """
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(
+        embeddings, index_dir, n_clusters=n_clusters, sample_size=sample_size,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return knn_ivf_search(
+        index_dir, query_matrix, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, concurrency=concurrency,
     )

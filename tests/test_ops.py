@@ -346,3 +346,36 @@ def test_embedding_dedup_banding_finds_planted_pair(ray_session):
         ray.data.from_arrow(tbl), threshold=0.999
     ).take_all()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(3, 7)}
+
+
+def test_ivf_index_prunes_reads(ray_session, tmp_path):
+    """Search must touch only probed partitions of the built layout."""
+    import ray.data
+
+    from ontocast_ray.ops.similarity import (
+        build_ivf_index, ivf_probe_paths, knn_ivf_search, _normalize,
+    )
+
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(2000, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2000, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    idx_dir = str(tmp_path / "ivf")
+    centroids = build_ivf_index(
+        ray.data.from_arrow(tbl), idx_dir, n_clusters=16, sample_size=500
+    )
+    queries = vecs[:2]
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :2]
+    union_probed = {int(c) for row in probes for c in row}
+    paths, total = ivf_probe_paths(idx_dir, union_probed)
+    assert total >= 8  # layout actually partitioned by cluster
+    assert 0 < len(paths) < total  # the read is pruned, not a full scan
+    out = knn_ivf_search(idx_dir, queries, k=5, n_probe=2).take_all()
+    # each query's own vector is its top hit (cosine 1.0, rank 1)
+    top = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top == {0: 0, 1: 1}
