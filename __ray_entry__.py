@@ -268,11 +268,22 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_embedding_dedup(sf_dir: str):
+    import pyarrow as pa
+
     from ontocast_ray.ops.dedup import embedding_dedup_candidates
 
-    return embedding_dedup_candidates(
+    out = embedding_dedup_candidates(
         _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.99
     )
+    # collect to arrow with a pinned schema: an all-empty result otherwise
+    # loses its schema (None) and the driver compare can't see columns
+    fallback = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cosine", pa.float64())]
+    )
+    batches = list(out.iter_batches(batch_size=4096, batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches, promote_options="default")
+    return fallback.empty_table()
 
 
 def _q_lang_id(sf_dir: str):
@@ -315,12 +326,35 @@ def _q_kg_rewritten_global(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
     import ray.data
 
     from ontocast_ray.ops.multimodal import extract_media_features, synth_media_table
 
     media = ray.data.from_arrow(synth_media_table(n=64))
-    return extract_media_features(media, decoder="fake")
+    out = extract_media_features(media, decoder="fake")
+
+    def digest(batch: pa.Table) -> pa.Table:
+        # project the list<float> feature to a scalar l2 digest: value-hash
+        # comparable by the driver (list columns are not), same information
+        # for a regression check
+        n = len(batch)
+        flat = batch["feature"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        arr = flat.reshape(n, -1).astype(np.float64) if n else np.zeros((0, 1))
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "kind": batch["kind"],
+                "feature_dim": batch["feature_dim"],
+                "payload_sha": batch["payload_sha"],
+                "feature_l2": pa.array(np.sqrt((arr ** 2).sum(axis=1))),
+            }
+        )
+
+    return out.map_batches(digest, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +400,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+
+# Seed-deterministic queries whose outputs SQL cannot re-derive (hash
+# signatures, LSH, KG extraction): the oracle is a pinned golden parquet
+# regenerated by tools/make_goldens.py at the driver's gate SF (0.01) and
+# verified invariant across Ray parallelism levels. This upgrades the
+# former rows-only checks to rows+schema+value-hash regression checks.
+_GOLDEN_QUERIES = [
+    "kg_triples",
+    "kg_chunks",
+    "kg_aggregated_facts",
+    "minhash_dedup_pairs",
+    "simhash_signatures",
+    "embedding_dedup_pairs",
+    "doc_fingerprint",
+    "knn_ivf_top10",
+    "media_features",
+    "kg_global_entities",
+    "kg_rewritten_global",
+]
+
+
 def oracle_sql() -> dict[str, str]:
+    out = {
+        name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+        for name in _GOLDEN_QUERIES
+    }
+    out.update(_sql_oracles())
+    return out
+
+
+def _sql_oracles() -> dict[str, str]:
     return {
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -458,6 +523,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM numbered GROUP BY user_id, session_id
+        """,
+        # mirrors ops/text.py LangId exactly: words = [a-zà-ÿäöüß]+ of
+        # lower(text); per-language stopword ratio; strict-> argmax with
+        # en,de,fr,es priority on ties; 'unknown' unless best > 0.02;
+        # raw int/int double division (no rounding) matches Python IEEE
+        "lang_id": r"""
+            WITH scored AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('the','and','of','to','a','in','is','that','it','for','on','with','as')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_en,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','für')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_de,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('le','la','les','et','de','un','une','est','pour','dans','que','des')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_fr,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('el','la','los','las','y','de','un','una','es','por','que','con')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.02 THEN 'unknown'
+                        WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   greatest(s_en, s_de, s_fr, s_es) AS lang_score
+            FROM scored
         """,
         "knn_cosine_top10": """
             WITH q AS (

@@ -93,8 +93,10 @@ class LangId:
                 score = sum(1 for w in words if w in sw) / denom
                 if score > best_score:
                     best, best_score = lang, score
+            # raw IEEE division — no rounding, so the DuckDB oracle's
+            # count/denom double division matches bit-for-bit
             langs.append(best if best_score > 0.02 else "unknown")
-            scores.append(round(best_score, 6))
+            scores.append(best_score)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
