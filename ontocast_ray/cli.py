@@ -180,6 +180,110 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pdfs_to_markdown(args: argparse.Namespace) -> int:
+    """PDF dir → one {name}.json with {"text": markdown} per file
+    (ref /root/reference/ontocast/cli/pdfs_to_markdown.py:14-38), run as a
+    Ray Data pipeline so the docling model loads once per worker."""
+    import ray
+
+    from ontocast_ray.sources.documents import crawl_directory, read_documents_from_files
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    paths = crawl_directory(args.input_path, suffixes=(".pdf",), prefix=args.prefix or "")
+    if not paths:
+        print(json.dumps({"status": "success", "files": 0}))
+        return 0
+    ds = read_documents_from_files(args.input_path)
+    os.makedirs(args.output_path, exist_ok=True)
+    n_ok, n_fail = 0, 0
+    for row in ds.iter_rows():
+        if not row["doc_id"].lower().endswith(".pdf"):
+            continue
+        if not row["convert_status"].startswith("success"):
+            n_fail += 1
+            continue
+        name = os.path.splitext(os.path.basename(row["doc_id"]))[0] + ".json"
+        with open(os.path.join(args.output_path, name), "w", encoding="utf-8") as fh:
+            json.dump({"text": row["text"]}, fh, ensure_ascii=False, indent=4)
+        n_ok += 1
+    ray.shutdown()
+    print(json.dumps({"status": "success", "files": n_ok, "failed": n_fail}))
+    return 0 if n_fail == 0 else 1
+
+
+def cmd_cmp_states(args: argparse.Namespace) -> int:
+    """Tabular diff of agent-state JSON files
+    (ref /root/reference/ontocast/cli/cmp_states.py:20-86): per file, triple
+    counts of chunk graph / current ontology / addendum + success score,
+    rows sorted by the trailing number in the filename."""
+    import glob as _glob
+
+    from ontocast_ray.rdf import parse_turtle
+
+    def graph_len(node) -> str:
+        if not isinstance(node, dict):
+            return ""
+        ttl = node.get("graph") or ""
+        try:
+            return str(len(parse_turtle(ttl)))
+        except Exception:
+            return "?"
+
+    files = sorted(_glob.glob(os.path.join(args.directory, args.pattern)))
+
+    def trailing_num(path: str) -> int:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        last = stem.split(".")[-1]
+        return int(last) if last.isdigit() else 0
+
+    rows = []
+    for path in sorted(files, key=trailing_num):
+        with open(path, "r", encoding="utf-8") as fh:
+            state = json.load(fh)
+        rows.append(
+            (
+                os.path.splitext(os.path.basename(path))[0],
+                graph_len(state.get("current_chunk")),
+                graph_len(state.get("current_ontology")),
+                graph_len(state.get("ontology_addendum")),
+                str(state.get("success_score", "")),
+            )
+        )
+    headers = ("File", "Graph Facts", "Current Ontology", "Ontology Addendum", "Success Score")
+    widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+              for i, h in enumerate(headers)]
+    print("  ".join(h.ljust(w) for h, w in zip(headers, widths)))
+    for r in rows:
+        print("  ".join(c.ljust(w) for c, w in zip(r, widths)))
+    return 0
+
+
+def cmd_test_api(args: argparse.Namespace) -> int:
+    """Smoke client for the serve mode (ref cli/test_api.py): POST a text
+    payload (default or --json-file) and print the response."""
+    import urllib.request
+
+    if args.json_file:
+        with open(args.json_file, "r", encoding="utf-8") as fh:
+            payload = json.load(fh)
+    else:
+        payload = {"text": "Apple Inc. reported quarterly revenue. Tim Cook is the CEO of Apple Inc."}
+    req = urllib.request.Request(
+        args.url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    print(f"POSTing to: {args.url}")
+    with urllib.request.urlopen(req, timeout=args.timeout) as resp:
+        body = resp.read().decode("utf-8", "replace")
+        print(f"status: {resp.status}")
+        print(body)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ontocast_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -197,6 +301,20 @@ def main(argv=None) -> int:
     chunk_p.add_argument("--min-chunk-size", type=int, default=2000)
     chunk_p.add_argument("--max-chunk-size", type=int, default=20000)
     chunk_p.set_defaults(fn=cmd_chunk)
+    pdf_p = sub.add_parser("pdfs-to-markdown", help="convert PDFs to markdown JSON files")
+    pdf_p.add_argument("--input-path", required=True)
+    pdf_p.add_argument("--output-path", required=True)
+    pdf_p.add_argument("--prefix", default=None)
+    pdf_p.set_defaults(fn=cmd_pdfs_to_markdown)
+    cmp_p = sub.add_parser("cmp-states", help="tabular diff of agent-state JSON files")
+    cmp_p.add_argument("directory")
+    cmp_p.add_argument("--pattern", default="agent_state.onto.update*.json")
+    cmp_p.set_defaults(fn=cmd_cmp_states)
+    api_p = sub.add_parser("test-api", help="smoke client for the HTTP serve mode")
+    api_p.add_argument("--url", required=True)
+    api_p.add_argument("--json-file", default=None)
+    api_p.add_argument("--timeout", type=float, default=60.0)
+    api_p.set_defaults(fn=cmd_test_api)
     args = parser.parse_args(argv)
     return args.fn(args)
 

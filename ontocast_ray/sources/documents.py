@@ -46,21 +46,50 @@ class ConverterUnavailable(NotImplementedError):
     pass
 
 
-def _convert_rich_document(payload: bytes, suffix: str) -> str:
-    """PDF/PPT → markdown. The reference uses docling layout models
-    (converter.py:19-59); not present in this container — the call site and
-    error path are real, the decode is stubbed."""
+def default_docling_factory():
+    """Build the docling converter (ref converter.py:30-40: DocumentConverter
+    constructed ONCE — it loads layout models; per-payload construction would
+    reload them). Raises ConverterUnavailable when the library is absent."""
     try:
-        import docling  # noqa: F401
+        from docling.document_converter import DocumentConverter
     except ImportError as exc:
         raise ConverterUnavailable(
-            f"{suffix} conversion requires docling (not installed); "
-            "plug DocumentConverter here"
+            "pdf/ppt conversion requires docling (not installed)"
         ) from exc
-    raise ConverterUnavailable("docling present but converter wiring not implemented")
+    return DocumentConverter()
 
 
-def convert_payload(payload: bytes, path: str) -> tuple[str, str]:
+# one converter instance per worker process (model load happens once even
+# under task-based map_batches, mirroring an actor __init__)
+_CONVERTER_CACHE: dict[int, object] = {}
+
+
+def _get_converter(converter_factory=None):
+    factory = converter_factory or default_docling_factory
+    key = id(factory)
+    if key not in _CONVERTER_CACHE:
+        _CONVERTER_CACHE[key] = factory()
+    return _CONVERTER_CACHE[key]
+
+
+def _convert_rich_document(payload: bytes, suffix: str, converter_factory=None) -> str:
+    """PDF/PPT → markdown via the docling converter (ref converter.py:42-59:
+    bytes → DocumentStream → convert → export_to_markdown)."""
+    converter = _get_converter(converter_factory)
+    import io
+
+    try:
+        from docling.datamodel.base_models import DocumentStream
+
+        stream = DocumentStream(name=f"doc{suffix}", stream=io.BytesIO(payload))
+    except ImportError:
+        # injected converters (tests / alternative backends) take raw bytes
+        stream = payload
+    result = converter.convert(stream)
+    return result.document.export_to_markdown()
+
+
+def convert_payload(payload: bytes, path: str, converter_factory=None) -> tuple[str, str]:
     """→ (text, status). status: 'success' | 'failed:<reason>'."""
     suffix = Path(path).suffix.lower()
     try:
@@ -72,7 +101,7 @@ def convert_payload(payload: bytes, path: str) -> tuple[str, str]:
         if suffix in (".txt", ".md"):
             return payload.decode("utf-8", "replace"), "success"
         if suffix in CONVERT_SUFFIXES:
-            return _convert_rich_document(payload, suffix), "success"
+            return _convert_rich_document(payload, suffix, converter_factory), "success"
         return "", f"failed:unsupported extension {suffix}"  # ref :57-60
     except ConverterUnavailable as exc:
         return "", f"failed:{exc}"
@@ -80,12 +109,12 @@ def convert_payload(payload: bytes, path: str) -> tuple[str, str]:
         return "", f"failed:{type(exc).__name__}:{exc}"
 
 
-def _convert_batch(batch: pa.Table) -> pa.Table:
+def _convert_batch(batch: pa.Table, converter_factory=None) -> pa.Table:
     paths = batch["path"].to_pylist()
     payloads = batch["bytes"].to_pylist()
     texts, statuses = [], []
     for path, payload in zip(paths, payloads):
-        text, status = convert_payload(payload or b"", path)
+        text, status = convert_payload(payload or b"", path, converter_factory)
         texts.append(text)
         statuses.append(status)
     return pa.table(
@@ -97,10 +126,17 @@ def _convert_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_documents_from_files(input_path: str, **read_kwargs):
-    """Directory of raw files → Dataset(doc_id, text, convert_status)."""
+def read_documents_from_files(input_path: str, converter_factory=None, **read_kwargs):
+    """Directory of raw files → Dataset(doc_id, text, convert_status).
+
+    ``converter_factory`` overrides the docling backend (tests inject a fake;
+    the factory runs once per worker — see _get_converter)."""
     import ray.data
 
     paths = crawl_directory(input_path)
     ds = ray.data.read_binary_files(paths, include_paths=True, **read_kwargs)
-    return ds.map_batches(_convert_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        _convert_batch,
+        fn_kwargs={"converter_factory": converter_factory},
+        batch_format="pyarrow",
+    )

@@ -109,3 +109,38 @@ def test_cli_run_end_to_end(ray_session, tmp_path):
     from ontocast_ray.rdf import parse_turtle
 
     assert len(parse_turtle(open(ttl[0]).read())) > 0
+
+
+def test_cli_cmp_states(tmp_path, capsys):
+    from ontocast_ray.cli import main
+
+    ttl = "@prefix ex: <https://example.com/> .\nex:a ex:b ex:c .\nex:a ex:d ex:e .\n"
+    for i in (2, 1):
+        (tmp_path / f"agent_state.onto.update.{i}.json").write_text(json.dumps({
+            "current_chunk": {"graph": ttl},
+            "current_ontology": {"graph": ttl + "ex:x ex:y ex:z .\n"},
+            "ontology_addendum": {"graph": ""},
+            "success_score": 10 * i,
+        }))
+    rc = main(["cmp-states", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines[0].startswith("File")
+    # sorted by trailing number: update.1 before update.2
+    assert lines[1].startswith("agent_state.onto.update.1")
+    assert "2" in lines[1] and "3" in lines[1] and "10" in lines[1]
+
+
+def test_cli_pdfs_to_markdown_no_docling(ray_session, tmp_path, capsys):
+    """Without docling the command fails per-file, reports, and exits 1."""
+    from ontocast_ray.cli import main
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "x.pdf").write_bytes(b"%PDF-1.4 fake")
+    rc = main(["pdfs-to-markdown", "--input-path", str(src), "--output-path", str(out)])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["failed"] == 1 and report["files"] == 0

@@ -96,3 +96,75 @@ def test_llm_protocol():
     assert EchoLLM("hi").complete("x") == "hi"
     with pytest.raises(RuntimeError):
         OpenAIChatClient(api_key="")  # no key → clean failure, no network
+
+
+# --- docling converter wiring (S3) -----------------------------------------
+
+
+class _FakeDoc:
+    def __init__(self, payload: bytes):
+        self.payload = payload
+
+    def export_to_markdown(self) -> str:
+        return f"# converted\n\n{len(self.payload)} bytes"
+
+
+class _FakeResult:
+    def __init__(self, payload: bytes):
+        self.document = _FakeDoc(payload)
+
+
+class _FakeConverter:
+    """Stands in for docling.DocumentConverter: takes raw bytes (the wiring
+    falls back to raw payload when docling's DocumentStream is absent)."""
+
+    def convert(self, stream):
+        payload = stream if isinstance(stream, bytes) else stream.stream.read()
+        return _FakeResult(payload)
+
+
+_FACTORY_CALLS = {"n": 0}
+
+
+def _fake_factory():
+    _FACTORY_CALLS["n"] += 1
+    return _FakeConverter()
+
+
+def test_convert_payload_pdf_dispatch_uses_injected_converter():
+    from ontocast_ray.sources.documents import _CONVERTER_CACHE, convert_payload
+
+    _CONVERTER_CACHE.clear()
+    _FACTORY_CALLS["n"] = 0
+    text, status = convert_payload(b"12345", "report.pdf", _fake_factory)
+    assert status == "success" and text == "# converted\n\n5 bytes"
+    text2, status2 = convert_payload(b"abc", "deck.pptx", _fake_factory)
+    assert status2 == "success" and text2 == "# converted\n\n3 bytes"
+    # model-load semantics: ONE converter construction for many payloads
+    assert _FACTORY_CALLS["n"] == 1
+    _CONVERTER_CACHE.clear()
+
+
+def test_convert_payload_pdf_without_docling_fails_cleanly():
+    from ontocast_ray.sources.documents import _CONVERTER_CACHE, convert_payload
+
+    _CONVERTER_CACHE.clear()
+    text, status = convert_payload(b"%PDF-1.4", "a.pdf")
+    assert text == "" and status.startswith("failed:")
+    assert "docling" in status
+
+
+def test_read_documents_rich_conversion_end_to_end(ray_session, tmp_path):
+    """Actor-pool wiring: .pdf/.pptx go through the (injected) converter,
+    .txt passes through, unsupported suffixes record failure."""
+    from ontocast_ray.sources.documents import read_documents_from_files
+
+    (tmp_path / "a.pdf").write_bytes(b"fake-pdf-bytes")
+    (tmp_path / "b.pptx").write_bytes(b"deck")
+    (tmp_path / "c.txt").write_text("plain text")
+    rows = {r["doc_id"]: r for r in
+            read_documents_from_files(str(tmp_path), converter_factory=_fake_factory).take_all()}
+    assert rows[str(tmp_path / "a.pdf")]["text"] == "# converted\n\n14 bytes"
+    assert rows[str(tmp_path / "b.pptx")]["text"] == "# converted\n\n4 bytes"
+    assert rows[str(tmp_path / "c.txt")]["text"] == "plain text"
+    assert all(r["convert_status"] == "success" for r in rows.values())
