@@ -1,15 +1,16 @@
 """Text analysis ops for large-scale training-data pipelines.
 
 All stages are vectorized ``map_batches`` transforms (pandas/numpy string
-kernels — no per-row Python in the hot path except where a compiled regex
-must walk each string once). Each op has a ``queries()`` entry; token/quality
-stats also have DuckDB oracles.
+kernels — no per-row Python in the hot path; word-level work is one
+pandas C call per batch, per-language scores fall out of explode +
+isin + bincount). Each op has a ``queries()`` entry; token/quality/lang-id
+also have DuckDB oracles that must match bit-for-bit — every ratio is a
+raw int/int → float64 IEEE division, never rounded.
 """
 
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -27,12 +28,26 @@ _STOPWORDS = {
 }
 
 
+def _explode_words(words: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """list-of-words Series → (row index, word) flat arrays (vectorized)."""
+    ex = words.reset_index(drop=True).explode()
+    valid = ex.notna().to_numpy()
+    return ex.index.to_numpy()[valid].astype(np.int64), ex.to_numpy()[valid]
+
+
+def _stopword_counts(idx: np.ndarray, vals: np.ndarray, stopwords, n: int) -> np.ndarray:
+    if len(vals) == 0:
+        return np.zeros(n, dtype=np.int64)
+    mask = pd.Series(vals).isin(list(stopwords)).to_numpy()
+    return np.bincount(idx[mask], minlength=n).astype(np.int64)
+
+
 def token_stats(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens_ws, n_tokens_bpeish) — whitespace + BPE-ish counts."""
     texts = batch["text"].to_pandas().fillna("")
     stripped = texts.str.strip()
     n_ws = stripped.str.split().str.len().fillna(0).astype("int64")
-    n_bpe = texts.map(lambda t: len(_BPEISH.findall(t)))
+    n_bpe = texts.str.count(_BPEISH).astype("int64")
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -45,14 +60,15 @@ def token_stats(batch: pa.Table) -> pa.Table:
 def quality_stats(batch: pa.Table) -> pa.Table:
     """Length / punctuation / alpha / stopword-ratio quality signals."""
     texts = batch["text"].to_pandas().fillna("")
+    n = len(texts)
     n_chars = texts.str.len().astype("int64")
     n_alpha = texts.str.count(r"[A-Za-z]").astype("int64")
     n_punct = texts.str.count(r"[^\w\s]").astype("int64")
     n_digit = texts.str.count(r"\d").astype("int64")
     words = texts.str.lower().str.findall(r"[a-z]+")
     n_words = words.str.len().astype("int64")
-    en = _STOPWORDS["en"]
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w in en))
+    idx, vals = _explode_words(words)
+    n_stop = _stopword_counts(idx, vals, _STOPWORDS["en"], n)
     denom_c = n_chars.replace(0, 1)
     denom_w = n_words.replace(0, 1)
     # no rounding: int/int → float64 division is IEEE-identical to the SQL
@@ -60,7 +76,7 @@ def quality_stats(batch: pa.Table) -> pa.Table:
     alpha_ratio = n_alpha / denom_c
     punct_ratio = n_punct / denom_c
     digit_ratio = n_digit / denom_c
-    stop_ratio = pd.Series(n_stop, index=texts.index) / denom_w
+    stop_ratio = n_stop / denom_w.to_numpy()
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -75,58 +91,85 @@ def quality_stats(batch: pa.Table) -> pa.Table:
 
 
 class LangId:
-    """Stopword + character n-gram language heuristic (actor-pool stage:
-    profiles built once per actor)."""
+    """Stopword-ratio language heuristic (profiles built once per actor).
+
+    Vectorized: one findall pass, one explode, one isin+bincount per
+    language; strict-> argmax keeps the en,de,fr,es tie priority the DuckDB
+    oracle mirrors (np.argmax returns the FIRST maximum).
+    """
+
+    LANGS = ("en", "de", "fr", "es")
 
     def __init__(self):
-        self.profiles = {lang: sw for lang, sw in _STOPWORDS.items()}
+        self.profiles = {lang: _STOPWORDS[lang] for lang in self.LANGS}
         self.word_re = re.compile(r"[a-zà-ÿäöüß]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        langs, scores = [], []
-        for t in texts:
-            words = self.word_re.findall((t or "").lower())
-            best, best_score = "unknown", 0.0
-            denom = max(1, len(words))
-            for lang, sw in self.profiles.items():
-                score = sum(1 for w in words if w in sw) / denom
-                if score > best_score:
-                    best, best_score = lang, score
-            # raw IEEE division — no rounding, so the DuckDB oracle's
-            # count/denom double division matches bit-for-bit
-            langs.append(best if best_score > 0.02 else "unknown")
-            scores.append(best_score)
+        texts = batch["text"].to_pandas().fillna("")
+        n = len(texts)
+        words = texts.str.lower().str.findall(self.word_re)
+        counts = words.str.len().to_numpy().astype(np.int64)
+        denom = np.maximum(counts, 1)
+        idx, vals = _explode_words(words)
+        scores = np.zeros((len(self.LANGS), n), dtype=np.float64)
+        for li, lang in enumerate(self.LANGS):
+            scores[li] = _stopword_counts(idx, vals, self.profiles[lang], n) / denom
+        best_i = scores.argmax(axis=0)  # first max wins on ties
+        best = scores[best_i, np.arange(n)]
+        langs = np.where(
+            best > 0.02, np.asarray(self.LANGS, dtype=object)[best_i], "unknown"
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang_pred": pa.array(langs, type=pa.string()),
-                "lang_score": pa.array(scores, type=pa.float64()),
+                # raw IEEE division — matches the SQL oracle bit-for-bit
+                "lang_score": pa.array(best, type=pa.float64()),
             }
         )
 
 
 def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
-    """Winnowing-style document fingerprint: rolling crc32 over word 4-grams,
-    min-sampled per window, xor-folded to one stable 64-bit id."""
+    """Winnowing-style document fingerprint: rolling hash over word 4-grams,
+    min-sampled per window, xor-folded to one stable 63-bit id.
+
+    Word hashing is ONE ``pd.util.hash_array`` call per batch; 4-gram hashes
+    are an FNV fold of sliding word-hash slices (no gram strings built)."""
+    from ontocast_ray.ops.dedup import _FNV_OFFSET0, _FNV_PRIME0, _word_hashes_batch
+
     texts = batch["text"].to_pylist()
-    out = []
-    for t in texts:
-        words = _WS.split((t or "").strip().lower())
-        grams = [" ".join(words[i:i + 4]) for i in range(max(1, len(words) - 3))]
-        hashes = np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
-        if len(hashes) >= window:
-            view = np.lib.stride_tricks.sliding_window_view(hashes, window)
-            mins = view.min(axis=1)
-        else:
-            mins = hashes
-        fp = np.uint64(0)
-        for i, m in enumerate(np.unique(mins)):
-            fp ^= np.uint64(m) << np.uint64(i % 32)
-        out.append(int(fp & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    word_hashes, ranges, empty = _word_hashes_batch(texts)
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, (s, e) in enumerate(ranges):
+            if empty[i]:
+                wh = np.zeros(1, dtype=np.uint64)
+            else:
+                wh = word_hashes[s:e]
+            n_words = len(wh)
+            if n_words < 4:  # one gram over all words
+                h = _FNV_OFFSET0
+                for j in range(n_words):
+                    h = (h ^ wh[j]) * _FNV_PRIME0
+                grams = np.array([h], dtype=np.uint64)
+            else:
+                m = n_words - 3
+                grams = np.full(m, _FNV_OFFSET0, dtype=np.uint64)
+                for j in range(4):
+                    grams = (grams ^ wh[j:j + m]) * _FNV_PRIME0
+            if len(grams) >= window:
+                view = np.lib.stride_tricks.sliding_window_view(grams, window)
+                mins = view.min(axis=1)
+            else:
+                mins = grams
+            uniq = np.unique(mins)
+            shifts = (np.arange(len(uniq), dtype=np.uint64) % np.uint64(32))
+            out[i] = np.bitwise_xor.reduce(uniq << shifts)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(out, type=pa.int64()),
+            "fingerprint": pa.array(
+                (out & np.uint64(0x7FFFFFFFFFFFFFFF)).view(np.int64)
+            ),
         }
     )
