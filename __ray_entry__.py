@@ -357,6 +357,72 @@ def _q_media_features(sf_dir: str):
     return out.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_doc_group_components(sf_dir: str):
+    """Connected components over star edges within each (source, lang)
+    group — a SQL-checkable closure: component == min doc_id per group."""
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    def pairs_kernel(group):
+        import pandas as pd
+
+        frames = []
+        for _, rows in group.groupby(["source", "lang"], sort=False):
+            ids = sorted(rows["doc_id"].tolist())
+            if len(ids) < 2:
+                continue
+            frames.append(
+                pd.DataFrame({"doc_id_a": [ids[0]] * (len(ids) - 1), "doc_id_b": ids[1:]})
+            )
+        if not frames:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        return pd.concat(frames, ignore_index=True)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    pairs = docs.groupby("source").map_groups(pairs_kernel, batch_format="pandas")
+    return connected_components(pairs)
+
+
+def _q_neardup_keep_list(sf_dir: str):
+    """Near-dup keep-list: MinHash candidates → exact Jaccard → components."""
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+    from ontocast_ray.ops.graph_cc import dedup_keep_list
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3)
+    return dedup_keep_list(verified)
+
+
+def _q_events_hopping(sf_dir: str):
+    import pyarrow as pa
+
+    from ontocast_ray.ops.windows import hopping_window
+
+    out = hopping_window(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        size_minutes=60, hop_minutes=30,
+    )
+
+    def cast_us(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch["window_start"].cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
+def _q_top_docs_per_source(sf_dir: str):
+    from ontocast_ray.ops.rank import topk_per_group
+
+    docs = _read(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    out = topk_per_group(
+        docs, group_col="source", order_col="n_chars", k=3,
+        tiebreak_col="doc_id", descending=True,
+    )
+    return out.select_columns(["source", "doc_id", "n_chars", "rank"])
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -397,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-document entity merge (salted two-phase shuffle + pure-map rewrite)
         "kg_global_entities": _q_global_entities,
         "kg_rewritten_global": _q_kg_rewritten_global,
+        # round 2: dedup end-game + extra window/rank ops
+        "doc_group_components": _q_doc_group_components,
+        "neardup_keep_list": _q_neardup_keep_list,
+        "events_hopping": _q_events_hopping,
+        "top_docs_per_source": _q_top_docs_per_source,
     }
 
 
@@ -419,6 +490,7 @@ _GOLDEN_QUERIES = [
     "media_features",
     "kg_global_entities",
     "kg_rewritten_global",
+    "neardup_keep_list",
 ]
 
 
@@ -523,6 +595,40 @@ def _sql_oracles() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM numbered GROUP BY user_id, session_id
+        """,
+        # CC over (source, lang) star edges == min-doc_id label per group
+        "doc_group_components": """
+            WITH g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY source, lang) AS component,
+                       count(*) OVER (PARTITION BY source, lang) AS n_members
+                FROM documents
+            )
+            SELECT doc_id, component FROM g WHERE n_members > 1
+        """,
+        "events_hopping": """
+            WITH assigned AS (
+                SELECT user_id, value, ts,
+                       time_bucket(INTERVAL '30 minutes', ts) AS window_start
+                FROM events
+                UNION ALL
+                SELECT user_id, value, ts,
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+                FROM events
+            )
+            SELECT user_id, window_start, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM assigned
+            WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
+            GROUP BY user_id, window_start
+        """,
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, rank FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents
+            ) WHERE rank <= 3
         """,
         # mirrors ops/text.py LangId exactly: words = [a-zà-ÿäöüß]+ of
         # lower(text); per-language stopword ratio; strict-> argmax with

@@ -83,6 +83,54 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_minutes: int = 60,
+    hop_minutes: int = 30,
+) -> "ray.data.Dataset":
+    """Overlapping (hopping) windows: each event lands in size/hop windows.
+
+    Pure map: every event emits its size/hop window starts (vectorized
+    floor + offsets), then ONE groupby — the same pre-aggregate-then-shuffle
+    shape as tumbling_window, with a size/hop fan-out factor on the tiny
+    pre-aggregation rows rather than any extra shuffle.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size must be a multiple of hop")
+    fanout = size_minutes // hop_minutes
+    hop = pd.Timedelta(minutes=hop_minutes)
+    size = pd.Timedelta(minutes=size_minutes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_pandas()
+        base = ts.dt.floor(f"{hop_minutes}min")
+        tables = []
+        for k in range(fanout):
+            ws = base - k * hop
+            keep = (ts >= ws) & (ts < ws + size)
+            sub = batch.filter(pa.array(keep.to_numpy()))
+            tables.append(
+                sub.append_column(
+                    "window_start",
+                    pa.Array.from_pandas(ws[keep.to_numpy()], type=batch[ts_col].type),
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min(value_col, alias_name="min_value"),
+            Max(value_col, alias_name="max_value"),
+        )
+    )
+
+
 def _sessionize_partition_factory(gap_minutes: float, key_col: str, ts_col: str, id_col: str):
     gap = pd.Timedelta(minutes=gap_minutes)
 

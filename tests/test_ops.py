@@ -1,5 +1,6 @@
 """Tests for the training-data ops: dedup, similarity, text stats, multimodal."""
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -379,3 +380,91 @@ def test_ivf_index_prunes_reads(ray_session, tmp_path):
     # each query's own vector is its top hit (cosine 1.0, rank 1)
     top = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
     assert top == {0: 0, 1: 1}
+
+
+def test_connected_components_chain_and_clusters(ray_session):
+    """Star-rounds CC == brute-force components on chains (multi-hop),
+    triangles, and singleton pairs."""
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import connected_components, dedup_keep_list
+
+    edges = [(i, i + 1) for i in range(9)]            # chain 0..9
+    edges += [(20, 21), (21, 22), (20, 22)]           # triangle
+    edges += [(30, 31)]                               # pair
+    edges += [(41, 40)]                               # reversed order input
+    tbl = pa.table(
+        {
+            "doc_id_a": pa.array([a for a, b in edges], type=pa.int64()),
+            "doc_id_b": pa.array([b for a, b in edges], type=pa.int64()),
+        }
+    )
+    out = connected_components(ray.data.from_arrow(tbl)).take_all()
+    got = {r["doc_id"]: r["component"] for r in out}
+    expected = {i: 0 for i in range(10)}
+    expected.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40, 41: 40})
+    assert got == expected
+
+    keep = dedup_keep_list(ray.data.from_arrow(tbl)).take_all()
+    kept = {r["doc_id"] for r in keep if r["keep"]}
+    assert kept == {0, 20, 30, 40}
+    assert all(r["keep_id"] == expected[r["doc_id"]] for r in keep)
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id_a": pa.array([], type=pa.int64()),
+                  "doc_id_b": pa.array([], type=pa.int64())})
+    )
+    assert connected_components(empty).take_all() == []
+
+
+def test_hopping_window_multi_membership(ray_session):
+    """Each event appears in size/hop windows; counts match a direct check."""
+    import ray.data
+
+    from ontocast_ray.ops.windows import hopping_window
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:05:00", "2024-01-01 00:35:00", "2024-01-01 01:10:00",
+    ])
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = hopping_window(
+        ray.data.from_arrow(tbl), size_minutes=60, hop_minutes=30
+    ).take_all()
+    got = {(str(r["window_start"]), r["n_events"]) for r in out}
+    # 00:05 → [23:30, 00:00]; 00:35 → [00:00, 00:30]; 01:10 → [00:30, 01:00]
+    assert ("2024-01-01 00:00:00", 2) in got
+    assert ("2024-01-01 00:30:00", 2) in got
+    assert ("2023-12-31 23:30:00", 1) in got
+    assert ("2024-01-01 01:00:00", 1) in got
+    assert sum(r["n_events"] for r in out) == 6  # every event in exactly 2 windows
+
+
+def test_topk_per_group(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.rank import topk_per_group
+
+    tbl = pa.table({
+        "grp": pa.array(["a"] * 5 + ["b"] * 2),
+        "score": pa.array([5, 3, 9, 9, 1, 2, 2], type=pa.int64()),
+        "id": pa.array([10, 11, 12, 13, 14, 20, 21], type=pa.int64()),
+    })
+    out = topk_per_group(
+        ray.data.from_arrow(tbl), group_col="grp", order_col="score",
+        k=3, tiebreak_col="id",
+    ).take_all()
+    by_grp = {}
+    for r in sorted(out, key=lambda r: (r["grp"], r["rank"])):
+        by_grp.setdefault(r["grp"], []).append((r["id"], r["score"], r["rank"]))
+    assert by_grp["a"] == [(12, 9, 1), (13, 9, 2), (10, 5, 3)]  # ties by id asc
+    assert by_grp["b"] == [(20, 2, 1), (21, 2, 2)]

@@ -18,19 +18,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GOLDEN_QUERIES = [
-    "kg_triples",
-    "kg_chunks",
-    "kg_aggregated_facts",
-    "minhash_dedup_pairs",
-    "simhash_signatures",
-    "embedding_dedup_pairs",
-    "doc_fingerprint",
-    "knn_ivf_top10",
-    "media_features",
-    "kg_global_entities",
-    "kg_rewritten_global",
-]
+def _golden_queries():
+    """Single source of truth: the driver contract's golden-backed list."""
+    import __ray_entry__ as entry
+
+    return entry._GOLDEN_QUERIES
 
 
 def _empty_schema(name):
@@ -70,7 +62,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", label: str = "sf0.01") -> None:
     out_dir = os.path.join(REPO, "goldens", label)
     os.makedirs(out_dir, exist_ok=True)
     qs = entry.queries()
-    for name in GOLDEN_QUERIES:
+    for name in _golden_queries():
         tbl = collect_arrow(qs[name](sf_dir), name)
         try:  # stable on-disk row order → reviewable git diffs on regen
             tbl = tbl.sort_by([(c, "ascending") for c in tbl.column_names])
