@@ -104,10 +104,38 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     if args.ttl_export:
         _export_ttl(os.path.join(out_dir, "triples"), out_dir)
+
+    # optional remote store push (S8/S9; selection policy ref toolbox.py:98)
+    if getattr(args, "fuseki_uri", None) or getattr(args, "neo4j_uri", None):
+        import functools
+
+        import ray.data
+
+        from ontocast_ray.sources.triple_store import write_facts_to_store
+
+        factory = functools.partial(
+            _store_factory, args.fuseki_uri, args.fuseki_auth,
+            args.neo4j_uri, args.neo4j_auth,
+        )
+        receipts = write_facts_to_store(
+            ray.data.read_parquet(os.path.join(out_dir, "triples")), factory
+        ).take_all()
+        n_fail = sum(1 for r in receipts if not r["ok"])
+        print(json.dumps({"store_graphs": len(receipts), "store_failed": n_fail}))
+
     ray.kill(hub)
     ray.shutdown()
     print(json.dumps({"status": "success", "out": out_dir}))
     return 0
+
+
+def _store_factory(fuseki_uri, fuseki_auth, neo4j_uri, neo4j_auth):
+    from ontocast_ray.sources.triple_store import select_store_manager
+
+    return select_store_manager(
+        fuseki_uri=fuseki_uri, fuseki_auth=fuseki_auth,
+        neo4j_uri=neo4j_uri, neo4j_auth=neo4j_auth,
+    )
 
 
 def _export_ttl(triples_dir: str, out_dir: str) -> None:
@@ -260,6 +288,53 @@ def cmd_cmp_states(args: argparse.Namespace) -> int:
     return 0
 
 
+_PIPELINE_MERMAID = """flowchart TD
+    START([START]) --> crawl[crawl_directory / read_binary_files]
+    crawl --> convert[convert_document<br/>map_batches]
+    convert --> assemble[assemble_spans]
+    assemble --> chunk[chunk_text<br/>semantic chunker]
+    chunk --> select[select_ontology]
+    select --> render[render_onto_triples]
+    render --> critique_o{criticise_ontology}
+    critique_o -->|retry| render
+    critique_o --> facts[render_facts]
+    facts --> critique_f{criticise_facts}
+    critique_f -->|retry| facts
+    critique_f --> sublimate[sublimate_triples]
+    sublimate --> sanitize[sanitize + connect]
+    sanitize --> aggregate[aggregate_graphs<br/>disambiguation]
+    aggregate --> serialize[aggregate_serialize<br/>parquet / ttl / store]
+    serialize --> END([END])
+"""
+
+
+def cmd_plot_graph(args: argparse.Namespace) -> int:
+    """Emit the pipeline dataflow as mermaid (ref cli/plot_graph.py:6-33):
+    writes graph.mmd and, with --update-md, replaces/appends the
+    '### Agent graph' mermaid block of a markdown file."""
+    with open(args.output, "w", encoding="utf-8") as fh:
+        fh.write(_PIPELINE_MERMAID)
+    print(f"wrote {args.output}")
+    if args.update_md:
+        import re as _re
+
+        with open(args.update_md, "r", encoding="utf-8") as fh:
+            content = fh.read()
+        pattern = r"(### Agent graph\s+```mermaid\n)(.*?)(\n```)"
+        if _re.search(pattern, content, flags=_re.DOTALL):
+            content = _re.sub(
+                pattern, r"\1" + _PIPELINE_MERMAID.rstrip("\n") + r"\3",
+                content, flags=_re.DOTALL,
+            )
+            print("replaced existing mermaid block")
+        else:
+            content += f"\n\n### Agent graph\n\n```mermaid\n{_PIPELINE_MERMAID.rstrip()}\n```\n"
+            print("appended new mermaid block")
+        with open(args.update_md, "w", encoding="utf-8") as fh:
+            fh.write(content)
+    return 0
+
+
 def cmd_test_api(args: argparse.Namespace) -> int:
     """Smoke client for the serve mode (ref cli/test_api.py): POST a text
     payload (default or --json-file) and print the response."""
@@ -294,6 +369,10 @@ def main(argv=None) -> int:
     run_p.add_argument("--max-chunks", type=int, default=None)
     run_p.add_argument("--max-visits", type=int, default=3)
     run_p.add_argument("--ttl-export", action="store_true")
+    run_p.add_argument("--fuseki-uri", default=None)
+    run_p.add_argument("--fuseki-auth", default=None)
+    run_p.add_argument("--neo4j-uri", default=None)
+    run_p.add_argument("--neo4j-auth", default=None)
     run_p.set_defaults(fn=cmd_run)
     chunk_p = sub.add_parser("chunk", help="offline pre-chunking (split_chunks parity)")
     chunk_p.add_argument("--input-path", required=True)
@@ -310,6 +389,10 @@ def main(argv=None) -> int:
     cmp_p.add_argument("directory")
     cmp_p.add_argument("--pattern", default="agent_state.onto.update*.json")
     cmp_p.set_defaults(fn=cmd_cmp_states)
+    plot_p = sub.add_parser("plot-graph", help="emit the pipeline dataflow as mermaid")
+    plot_p.add_argument("--output", default="graph.mmd")
+    plot_p.add_argument("--update-md", default=None)
+    plot_p.set_defaults(fn=cmd_plot_graph)
     api_p = sub.add_parser("test-api", help="smoke client for the HTTP serve mode")
     api_p.add_argument("--url", required=True)
     api_p.add_argument("--json-file", default=None)

@@ -144,3 +144,19 @@ def test_cli_pdfs_to_markdown_no_docling(ray_session, tmp_path, capsys):
     assert rc == 1
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["failed"] == 1 and report["files"] == 0
+
+
+def test_cli_plot_graph(tmp_path):
+    from ontocast_ray.cli import main
+
+    out = tmp_path / "graph.mmd"
+    md = tmp_path / "README.md"
+    md.write_text("# Title\n\nIntro.\n")
+    rc = main(["plot-graph", "--output", str(out), "--update-md", str(md)])
+    assert rc == 0
+    assert "flowchart TD" in out.read_text()
+    content = md.read_text()
+    assert "### Agent graph" in content and "```mermaid" in content
+    # second run replaces, not duplicates
+    main(["plot-graph", "--output", str(out), "--update-md", str(md)])
+    assert md.read_text().count("### Agent graph") == 1

@@ -323,3 +323,24 @@ def test_filesystem_manager_round_trip(tmp_path):
     facts = parse_turtle("@prefix ex: <https://example.com/> .\nex:a ex:b ex:c .\n")
     assert mgr.serialize_facts(facts, chunk_uri="https://example.com/doc/7/chunk/3")
     assert (work / "facts_7_chunk").exists() or list(work.glob("facts_*"))
+
+
+def test_cli_run_pushes_to_fuseki(ray_session, fuseki_server, tmp_path):
+    """End-to-end: run pipeline over a doc dir and push facts to the store."""
+    from ontocast_ray.cli import main
+
+    base, state = fuseki_server
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "a.txt").write_text(
+        "Apple Inc. reported revenue. Tim Cook is the CEO of Apple Inc."
+    )
+    out_dir = tmp_path / "out"
+    rc = main([
+        "run", "--input-path", str(docs_dir),
+        "--working-directory", str(out_dir),
+        "--fuseki-uri", f"{base}/kg",
+    ])
+    assert rc == 0
+    assert len(state.graphs) >= 1  # named graphs PUT per doc_iri
+    assert any(g.startswith("https://") for g in state.graphs)
