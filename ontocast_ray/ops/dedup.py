@@ -30,7 +30,7 @@ import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min
-from ontocast_ray.util import pool
+from ontocast_ray.util import pool, vectors_2d
 
 _WS = re.compile(r"\s+")
 
@@ -231,22 +231,21 @@ def _band_rows(batch: pa.Table, bands: int, n_parts: int) -> pa.Table:
 
 
 def _bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
-    """All LSH buckets of one coarse partition in a single kernel call.
-
-    groupby-per-bucket would invoke Python once per bucket (≈ one per doc per
-    band); here the shuffle key is crc32(band_key) % P and the real buckets
-    are looped inside one pandas groupby — the per-invocation overhead is
-    amortized P-ways instead of bucket-ways.
+    """All LSH buckets of one coarse partition in a single VECTORIZED pass:
+    candidate star pairs (min-id representative → member) fall out of one
+    sort + drop_duplicates + groupby().transform('first') — no per-bucket
+    Python loop, and the shuffle key stays the coarse hash(band_key) % P.
     """
-    a_out, b_out = [], []
-    for _, rows in group.groupby("band_key", sort=False):
-        ids = sorted(set(rows["doc_id"].tolist()))
-        if len(ids) < 2:
-            continue
-        rep = ids[0]
-        a_out.extend([rep] * (len(ids) - 1))
-        b_out.extend(ids[1:])
-    return pd.DataFrame({"doc_id_a": a_out, "doc_id_b": b_out})
+    if group.empty:
+        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+    df = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+        ["band_key", "doc_id"], kind="stable"
+    )
+    rep = df.groupby("band_key", sort=False)["doc_id"].transform("first")
+    mask = (df["doc_id"] != rep).to_numpy()
+    return pd.DataFrame(
+        {"doc_id_a": rep.to_numpy()[mask], "doc_id_b": df["doc_id"].to_numpy()[mask]}
+    )
 
 
 def minhash_lsh_candidates(
@@ -721,7 +720,7 @@ def embedding_dedup_candidates(
                      vec_col: pa.array([], type=batch[vec_col].type),
                      "bucket_part": pa.array([], type=pa.int32())}
                 )
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
+            vecs = vectors_2d(batch[vec_col])
             signs = (vecs @ self.planes) > 0  # (n, n_planes)
             keys = np.empty((n, bands), dtype=np.uint64)
             for b in range(bands):

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ontocast_ray.util import pool
+from ontocast_ray.util import pool, vectors_2d
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -36,7 +36,7 @@ class _PartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist())
-        vecs = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float32))
+        vecs = _normalize(vectors_2d(batch[self.vec_col]))
         sims = self.queries @ vecs.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
@@ -149,7 +149,7 @@ def build_ivf_index(
             self.centroids = ray.get(centroids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            vecs = _normalize(vectors_2d(batch[vec_col]))
             assign = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
             # "cluster" becomes the hive partition key (stripped from data
             # files); "cluster_id" stays physical so probed reads see it
@@ -214,7 +214,7 @@ def knn_ivf_search(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist())
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float32))
+            vecs = _normalize(vectors_2d(batch[vec_col]))
             assign = np.asarray(batch["cluster_id"].to_pylist())
             q_out, id_out, s_out = [], [], []
             for qi, probe in enumerate(probe_sets):

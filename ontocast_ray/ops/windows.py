@@ -135,46 +135,52 @@ def _sessionize_partition_factory(gap_minutes: float, key_col: str, ts_col: str,
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def _kernel(group: pd.DataFrame) -> pd.DataFrame:
-        out_frames = []
-        for _, rows in group.groupby(key_col, sort=False):
-            rows = rows.sort_values([ts_col, id_col])
-            new_session = (rows[ts_col].diff() > gap) | rows[ts_col].diff().isna()
-            rows = rows.assign(session_id=new_session.cumsum().astype("int64"))
-            agg = rows.groupby("session_id", sort=True).agg(
-                n_events=(id_col, "count"),
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-            ).reset_index()
-            agg.insert(0, key_col, rows[key_col].iloc[0])
-            out_frames.append(agg)
-        if not out_frames:
+        """All users of the partition in ONE vectorized pass: sort by
+        (key, ts, id), per-key diff via groupby().diff(), session ids from a
+        per-key cumsum of the gap flags — no per-user Python loop."""
+        if group.empty:
             return pd.DataFrame(
                 {key_col: [], "session_id": [], "n_events": [],
                  "session_start": [], "session_end": []}
             )
-        return pd.concat(out_frames, ignore_index=True)
+        df = group.sort_values([key_col, ts_col, id_col])
+        diffs = df.groupby(key_col, sort=False)[ts_col].diff()
+        new_session = (diffs > gap) | diffs.isna()
+        df = df.assign(
+            session_id=new_session.groupby(df[key_col], sort=False)
+            .cumsum()
+            .astype("int64")
+        )
+        agg = (
+            df.groupby([key_col, "session_id"], sort=True)
+            .agg(
+                n_events=(id_col, "count"),
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+            )
+            .reset_index()
+        )
+        return agg[[key_col, "session_id", "n_events", "session_start", "session_end"]]
 
     return _kernel
 
 
 def _lag_partition_factory(key_col: str, ts_col: str, id_col: str, value_col: str):
     def _kernel(group: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, rows in group.groupby(key_col, sort=False):
-            rows = rows.sort_values([ts_col, id_col])
-            frames.append(
-                rows.assign(
-                    prev_ts=rows[ts_col].shift(1),
-                    prev_value=rows[value_col].shift(1),
-                )
-            )
-        if not frames:
+        """Per-key lag via one sort + groupby().shift() — vectorized across
+        every key in the partition."""
+        if group.empty:
             return pd.DataFrame(
                 {key_col: [], id_col: [], ts_col: [], value_col: [],
                  "prev_ts": [], "prev_value": []}
             )
-        out = pd.concat(frames, ignore_index=True)
-        return out[[key_col, id_col, ts_col, value_col, "prev_ts", "prev_value"]]
+        df = group.sort_values([key_col, ts_col, id_col])
+        grouped = df.groupby(key_col, sort=False)
+        df = df.assign(
+            prev_ts=grouped[ts_col].shift(1),
+            prev_value=grouped[value_col].shift(1),
+        )
+        return df[[key_col, id_col, ts_col, value_col, "prev_ts", "prev_value"]].reset_index(drop=True)
 
     return _kernel
 

@@ -28,6 +28,24 @@ def hash_partition(values, n_parts: int) -> "np.ndarray":
     return (hash_u64(values) % np.uint64(n_parts)).astype(np.int32)
 
 
+def vectors_2d(column, dtype=np.float32) -> "np.ndarray":
+    """list<float> arrow column → (n, dim) matrix without a Python list hop.
+
+    ``to_pylist()`` materializes every float as a PyObject; flattening the
+    list array and reshaping is a single buffer copy. Assumes non-null,
+    equal-length vectors (the embedding-table contract).
+    """
+    import pyarrow as pa
+
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    n = len(column)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    flat = column.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(dtype, copy=False)
+
+
 def pool(n) -> tuple[int, int]:
     """Actor-pool concurrency spec: autoscaling (1, n).
 
