@@ -35,6 +35,10 @@ class _PartialTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             self.id_col: batch[self.id_col],
+                             "cosine": pa.array([], type=pa.float64())})
         ids = np.asarray(batch[self.id_col].to_pylist())
         vecs = _normalize(vectors_2d(batch[self.vec_col]))
         sims = self.queries @ vecs.T  # (n_queries, n_batch)
@@ -149,6 +153,9 @@ def build_ivf_index(
             self.centroids = ray.get(centroids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                out = batch.append_column("cluster", pa.array([], type=pa.int32()))
+                return out.append_column("cluster_id", pa.array([], type=pa.int32()))
             vecs = _normalize(vectors_2d(batch[vec_col]))
             assign = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
             # "cluster" becomes the hive partition key (stripped from data
@@ -213,6 +220,10 @@ def knn_ivf_search(
             self.queries = ray.get(queries_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 id_col: batch[id_col],
+                                 "cosine": pa.array([], type=pa.float64())})
             ids = np.asarray(batch[id_col].to_pylist())
             vecs = _normalize(vectors_2d(batch[vec_col]))
             assign = np.asarray(batch["cluster_id"].to_pylist())
