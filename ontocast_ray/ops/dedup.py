@@ -511,29 +511,36 @@ class SimHasher:
     def __init__(self, seed: int = 11):
         self.seed = seed
 
-    @staticmethod
-    def _features(text: str) -> list[str]:
-        words = _WS.split((text or "").strip().lower())
-        return words + [" ".join(words[i:i + 2]) for i in range(len(words) - 1)]
-
     @classmethod
     def simhash_batch(cls, texts: list[str]) -> np.ndarray:
-        """→ uint64 signatures, one per text (0 for empty texts)."""
-        feats: list[str] = []
+        """→ uint64 signatures, one per text (0 for empty texts).
+
+        Features = word hashes + FNV-folded bigram hashes (multiplicity
+        kept — simhash votes count repeats); bigram strings are never
+        built. One pd.util.hash_array call per batch, per-doc bit votes
+        via unpackbits + reduceat.
+        """
+        word_hashes, ranges, empty = _word_hashes_batch(texts)
+        segs: list[np.ndarray] = []
         offsets = [0]
-        empty = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            fs = cls._features(t)
-            if not fs or fs == [""]:
-                empty[i] = True
-                fs = [""]  # keep reduceat segments non-empty; zeroed below
-            feats.extend(fs)
-            offsets.append(len(feats))
-        if not feats:
+        n_feats = 0
+        with np.errstate(over="ignore"):
+            for i, (s, e) in enumerate(ranges):
+                if empty[i]:
+                    seg = np.zeros(1, dtype=np.uint64)  # zeroed after packbits
+                else:
+                    wh = word_hashes[s:e]
+                    bigrams = ((wh[:-1] ^ _FNV_OFFSET0) * _FNV_PRIME0) ^ wh[1:]
+                    seg = np.concatenate([wh, bigrams])
+                segs.append(seg)
+                n_feats += len(seg)
+                offsets.append(n_feats)
+        if n_feats == 0:
             return np.zeros(len(texts), dtype=np.uint64)
-        hashes = pd.util.hash_array(np.asarray(feats, dtype=object), categorize=False)
+        hashes = np.concatenate(segs)
         bits = np.unpackbits(
-            hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            np.ascontiguousarray(hashes).view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
         )  # (n_feats, 64); column i == bit i of the hash
         seg_ones = np.add.reduceat(bits.astype(np.int64), offsets[:-1], axis=0)
         counts = np.diff(offsets)
