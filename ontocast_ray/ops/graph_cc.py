@@ -74,10 +74,16 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_rounds: int = 50,
+    n_blocks: int = 8,
 ) -> "ray.data.Dataset":
     """→ (doc_id, component): every node of the pair graph labeled with its
     component's min id. Alternating star rounds until the edge multiset is
     stable (checked via count + checksum aggregates — tiny driver values).
+
+    ``n_blocks`` bounds the per-round shuffle grid: edges are pair-scale
+    (tiny next to the corpus), so each round's two groupbys run over a few
+    coalesced blocks instead of inheriting the previous round's reducer
+    count — raise it only for edge sets that exceed worker memory / 8.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -86,7 +92,7 @@ def connected_components(
             {"u": b[a_col].cast(pa.int64()), "v": b[b_col].cast(pa.int64())}
         ),
         batch_format="pyarrow",
-    ).map_batches(_as_max_min, batch_format="pyarrow").materialize()
+    ).map_batches(_as_max_min, batch_format="pyarrow").repartition(n_blocks).materialize()
 
     def _signature(ds) -> tuple[int, int]:
         def _chk(batch: pa.Table) -> pa.Table:
@@ -117,7 +123,13 @@ def connected_components(
             .map_batches(_as_max_min, batch_format="pyarrow")
         )
         # distinct: star rounds re-derive the same edge from many paths
-        edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="_n")).select_columns(["u", "v"]).materialize()
+        edges = (
+            edges.groupby(["u", "v"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["u", "v"])
+            .repartition(n_blocks)
+            .materialize()
+        )
         sig = _signature(edges)
         if sig == prev:
             break
