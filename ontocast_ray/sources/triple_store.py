@@ -262,21 +262,68 @@ class Neo4jTripleStoreManager:
         with self._session_factory() as session:
             return session.run(self.IMPORT_INLINE, ttl=serialize_turtle(graph))
 
-    def fetch_ontologies(self) -> list[OntologyRecord]:
-        """owl:Ontology resources → records (ref neo4j.py:211-298; metadata
-        reconstruction path — the n10s cypher export fallback is driver-side
-        and service-gated)."""
+    DISCOVER = (
+        "MATCH (o:Resource) WHERE any(l IN labels(o) WHERE l ENDS WITH 'Ontology') "
+        "RETURN o.uri AS uri"
+    )
+
+    @staticmethod
+    def _extract_namespace(iri: str) -> str:
+        """IRI → its namespace prefix (ref neo4j.py:152-175): keep through
+        the '#' when present, else through the last '/'."""
+        if "#" in iri:
+            return iri.split("#", 1)[0] + "#"
+        if "/" in iri:
+            return iri.rsplit("/", 1)[0] + "/"
+        return iri
+
+    def _export_namespace(self, session, namespace_uri: str) -> TripleGraph:
+        """n10s cypher export of every triple whose subject lives in the
+        namespace → TripleGraph (ref neo4j.py:299-372; terms are built
+        directly instead of printing-and-reparsing N-Triples)."""
+        from ontocast_ray.rdf.terms import Literal
+
         query = (
-            "MATCH (o:Resource) WHERE any(l IN labels(o) WHERE l ENDS WITH 'Ontology') "
-            "RETURN o.uri AS uri"
+            "CALL n10s.rdf.export.cypher("
+            f"'MATCH (n)-[r]->(m) WHERE n.uri STARTS WITH \"{namespace_uri}\" RETURN n,r,m', "
+            "{format: 'Turtle'}) "
+            "YIELD subject, predicate, object, isLiteral, literalType, literalLang "
+            "RETURN subject, predicate, object, isLiteral, literalType, literalLang"
         )
+        graph = TripleGraph()
+        for rec in session.run(query):
+            get = rec.get if hasattr(rec, "get") else rec.__getitem__
+            obj = (
+                Literal(
+                    str(get("object")),
+                    datatype=get("literalType") or None,
+                    lang=get("literalLang") or None,
+                )
+                if get("isLiteral")
+                else URI(str(get("object")))
+            )
+            graph.add((URI(str(get("subject"))), URI(str(get("predicate"))), obj))
+        return graph
+
+    def fetch_ontologies(self) -> list[OntologyRecord]:
+        """owl:Ontology resources → full records: discovery + per-namespace
+        n10s export reconstruction with metadata sync
+        (ref neo4j.py:211-372)."""
         out = []
         with self._session_factory() as session:
-            for rec in session.run(query):
+            iris = []
+            for rec in session.run(self.DISCOVER):
                 iri = rec["uri"] if isinstance(rec, dict) else rec.get("uri")
-                if not iri:
-                    continue
-                record = OntologyRecord(iri=iri, ontology_id=derive_ontology_id(iri))
+                if iri:
+                    iris.append(iri)
+            for iri in iris:
+                graph = self._export_namespace(session, self._extract_namespace(iri))
+                if len(graph):
+                    record = ontology_from_graph(graph)
+                else:
+                    record = OntologyRecord()
+                record.iri = iri
+                record.ontology_id = derive_ontology_id(iri)
                 out.append(record)
         return out
 

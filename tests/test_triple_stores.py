@@ -344,3 +344,55 @@ def test_cli_run_pushes_to_fuseki(ray_session, fuseki_server, tmp_path):
     assert rc == 0
     assert len(state.graphs) >= 1  # named graphs PUT per doc_iri
     assert any(g.startswith("https://") for g in state.graphs)
+
+
+class _FakeNeo4jSessionWithData(_FakeNeo4jSession):
+    """Serves discovery + n10s-export rows like a live n10s instance."""
+
+    EXPORT_ROWS = [
+        {"subject": "https://example.com/fsec#", "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "object": "http://www.w3.org/2002/07/owl#Ontology", "isLiteral": False, "literalType": None, "literalLang": None},
+        {"subject": "https://example.com/fsec#", "predicate": "http://www.w3.org/2000/01/rdf-schema#label",
+         "object": "Financial Securities Ontology", "isLiteral": True, "literalType": None, "literalLang": None},
+        {"subject": "https://example.com/fsec#", "predicate": "http://www.w3.org/2002/07/owl#versionInfo",
+         "object": "1.0", "isLiteral": True, "literalType": None, "literalLang": None},
+        {"subject": "https://example.com/fsec#Security", "predicate": "http://www.w3.org/2000/01/rdf-schema#label",
+         "object": "Wertpapier", "isLiteral": True, "literalType": None, "literalLang": "de"},
+        {"subject": "https://example.com/fsec#Security", "predicate": "https://example.com/fsec#count",
+         "object": "3", "isLiteral": True, "literalType": "http://www.w3.org/2001/XMLSchema#integer", "literalLang": None},
+    ]
+
+    def run(self, query, **params):
+        self.log.append((query, params))
+        if "RETURN o.uri AS uri" in query:
+            return [{"uri": "https://example.com/fsec#"}]
+        if "n10s.rdf.export.cypher" in query:
+            assert 'STARTS WITH "https://example.com/fsec#"' in query
+            return list(self.EXPORT_ROWS)
+        return []
+
+
+def test_neo4j_fetch_reconstructs_via_n10s_export():
+    from ontocast_ray.rdf.terms import Literal, URI
+    from ontocast_ray.sources.triple_store import Neo4jTripleStoreManager
+
+    log: list = []
+    mgr = Neo4jTripleStoreManager(
+        uri="bolt://localhost:7687", auth=("neo4j", "pw"),
+        session_factory=lambda: _FakeNeo4jSessionWithData(log),
+    )
+    out = mgr.fetch_ontologies()
+    assert len(out) == 1
+    rec = out[0]
+    assert rec.iri == "https://example.com/fsec#"
+    assert rec.ontology_id == "fsec"
+    assert rec.title == "Financial Securities Ontology"
+    assert rec.version == "1.0"
+    assert len(rec.graph) == 5
+    # literal typing/lang survives reconstruction
+    triples = set(rec.graph)
+    assert (URI("https://example.com/fsec#Security"),
+            URI("https://example.com/fsec#count"),
+            Literal("3", datatype="http://www.w3.org/2001/XMLSchema#integer")) in triples
+    lit = [o for s, p, o in triples if str(p).endswith("rdf-schema#label") and str(s).endswith("#Security")][0]
+    assert lit.lang == "de"
