@@ -156,6 +156,39 @@ def connected_components(
     )
 
 
+def apply_keep_list(
+    docs: "ray.data.Dataset",
+    keep_list: "ray.data.Dataset",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Drop non-representative duplicates from the corpus.
+
+    The DROPPED side (components minus their representatives) is the small
+    side — candidates are rare — so it broadcasts once via ray.put and the
+    corpus filters map-side: no corpus shuffle, the classic broadcast
+    anti-join.
+    """
+    import ray
+
+    dropped_rows = keep_list.map_batches(
+        lambda b: b.filter(pa.compute.invert(b["keep"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).take_all()
+    dropped = {r["doc_id"] for r in dropped_rows}
+    dropped_ref = ray.put(dropped)
+
+    class Filter:
+        def __init__(self):
+            self.dropped = ray.get(dropped_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            mask = np.array([i not in self.dropped for i in ids], dtype=bool)
+            return batch.filter(pa.array(mask))
+
+    return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def dedup_keep_list(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_id_a",

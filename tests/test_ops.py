@@ -468,3 +468,24 @@ def test_topk_per_group(ray_session):
         by_grp.setdefault(r["grp"], []).append((r["id"], r["score"], r["rank"]))
     assert by_grp["a"] == [(12, 9, 1), (13, 9, 2), (10, 5, 3)]  # ties by id asc
     assert by_grp["b"] == [(20, 2, 1), (21, 2, 2)]
+
+
+def test_apply_keep_list_drops_non_representatives(ray_session, docs_table):
+    """Full dedup flow: exact pairs → components → keep-list → filtered corpus."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+    from ontocast_ray.ops.graph_cc import apply_keep_list, dedup_keep_list
+
+    docs = ray.data.from_arrow(docs_table)
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.9, shingle_k=3)
+    keep = dedup_keep_list(verified)
+    kept_docs = apply_keep_list(docs, keep).take_all()
+    kept_ids = {r["doc_id"] for r in kept_docs}
+    # exact dup pairs (0,1), (3,4), (6,7) collapse to their min ids
+    assert 0 in kept_ids and 1 not in kept_ids
+    assert 3 in kept_ids and 4 not in kept_ids
+    assert 6 in kept_ids and 7 not in kept_ids
+    # unique fillers all survive
+    assert all(i in kept_ids for i in range(9, 15))
