@@ -427,8 +427,12 @@ def ngram_jaccard_verify(
             mask = _bloom_contains(self.bloom, ids, _BLOOM_BITS)
             sub = batch.filter(pa.array(mask))
             texts = sub["text"].to_pylist()
+            # one hash_array call for ALL surviving docs, then per-doc folds
+            word_hashes, ranges, empty = _word_hashes_batch(texts)
             blobs = [
-                _shingle_hashes(t, shingle_k).astype(np.uint64).tobytes() for t in texts
+                (np.zeros(1, dtype=np.uint64) if empty[i]
+                 else _fold_kgrams(word_hashes[s:e], shingle_k)).tobytes()
+                for i, (s, e) in enumerate(ranges)
             ]
             sub_ids = sub["doc_id"]
             n = len(texts)
