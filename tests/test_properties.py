@@ -93,3 +93,47 @@ def test_span_assignment_partitions_sequence(span_spec, n_chunks):
     parts = assign_spans_to_chunks(spans, chunk_texts)
     flat = [s for part in parts for s in part]
     assert flat == spans  # contiguous partition reproduces the sequence exactly
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=5, deadline=None)  # each example is a full Ray CC run
+def test_connected_components_equals_union_find(ray_session, edges):
+    """Star-rounds CC == classic union-find on arbitrary random graphs."""
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    tbl = pa.table(
+        {
+            "doc_id_a": pa.array([a for a, b in edges], type=pa.int64()),
+            "doc_id_b": pa.array([b for a, b in edges], type=pa.int64()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(ray.data.from_arrow(tbl)).take_all()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    assert got == expected
