@@ -412,6 +412,20 @@ def _q_events_hopping(sf_dir: str):
     return out.map_batches(cast_us, batch_format="pyarrow")
 
 
+def _q_term_counts(sf_dir: str):
+    from ontocast_ray.ops.text import term_counts
+
+    return term_counts(_read(sf_dir, "documents", columns=["text"]), top_n=50)
+
+
+def _q_doc_sample(sf_dir: str):
+    from ontocast_ray.ops.text import deterministic_sample
+
+    return deterministic_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), pct=10
+    )
+
+
 def _q_top_docs_per_source(sf_dir: str):
     from ontocast_ray.ops.rank import topk_per_group
 
@@ -468,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_list": _q_neardup_keep_list,
         "events_hopping": _q_events_hopping,
         "top_docs_per_source": _q_top_docs_per_source,
+        "term_counts_top50": _q_term_counts,
+        "doc_sample_10pct": _q_doc_sample,
     }
 
 
@@ -621,6 +637,20 @@ def _sql_oracles() -> dict[str, str]:
             FROM assigned
             WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
             GROUP BY user_id, window_start
+        """,
+        # map-side combiner then one vocab-sized groupby; tie-break (count desc,
+        # term asc) makes the top-50 cutoff deterministic on both sides
+        "term_counts_top50": """
+            SELECT w AS term, count(*) AS n_count
+            FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+            GROUP BY w
+            ORDER BY n_count DESC, term ASC
+            LIMIT 50
+        """,
+        # same modular hash both sides: (doc_id * 2654435761) % 2^32 < 10% of 2^32
+        "doc_sample_10pct": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 < 429496729
         """,
         "top_docs_per_source": """
             SELECT source, doc_id, n_chars, rank FROM (

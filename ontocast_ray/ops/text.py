@@ -173,3 +173,53 @@ def fingerprint(batch: pa.Table, window: int = 8) -> pa.Table:
             ),
         }
     )
+
+
+def term_counts(docs, top_n: int = 50):
+    """Global top-N term frequencies — the canonical pre-aggregate shape.
+
+    Each batch counts its own terms FIRST (map-side combiner), so the
+    groupby shuffles (term, partial_count) rows — vocabulary-sized — never
+    the exploded word stream. Final top-N via sort+limit on the tiny
+    aggregated table.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        _, vals = _explode_words(words)
+        if len(vals) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        counts = pd.Series(vals).value_counts()
+        return pa.table(
+            {"term": pa.array(counts.index.to_numpy(), type=pa.string()),
+             "n": pa.array(counts.to_numpy(), type=pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_count"))
+    )
+    return agg.sort(["n_count", "term"], descending=[True, False]).limit(top_n)
+
+
+def deterministic_sample(docs, pct: int, id_col: str = "doc_id"):
+    """Deterministic modular-hash sample: keep rows where
+    (id * 2654435761) % 2^32 < pct% of 2^32 — a pure map any SQL engine can
+    mirror exactly (no RNG state, resumable, cluster-size independent)."""
+    import numpy as np
+    import pyarrow as pa
+
+    threshold = np.uint64((1 << 32) * pct // 100)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < threshold))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

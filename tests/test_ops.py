@@ -489,3 +489,31 @@ def test_apply_keep_list_drops_non_representatives(ray_session, docs_table):
     assert 6 in kept_ids and 7 not in kept_ids
     # unique fillers all survive
     assert all(i in kept_ids for i in range(9, 15))
+
+
+def test_term_counts_combiner(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.text import term_counts
+
+    tbl = pa.table({"text": pa.array([
+        "alpha beta alpha", "beta gamma", "alpha delta 42 epsilon",
+    ])})
+    out = term_counts(ray.data.from_arrow(tbl), top_n=3).take_all()
+    assert [(r["term"], r["n_count"]) for r in out] == [
+        ("alpha", 3), ("beta", 2), ("delta", 1),  # ties broken term-asc
+    ]
+
+
+def test_deterministic_sample_is_stable(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.text import deterministic_sample
+
+    tbl = pa.table({"doc_id": pa.array(range(1000), type=pa.int64())})
+    a = {r["doc_id"] for r in deterministic_sample(ray.data.from_arrow(tbl), pct=10).take_all()}
+    b = {r["doc_id"] for r in deterministic_sample(ray.data.from_arrow(tbl), pct=10).take_all()}
+    assert a == b  # pure function of the id, no RNG state
+    assert 50 <= len(a) <= 150  # ~10% of 1000
+    bigger = {r["doc_id"] for r in deterministic_sample(ray.data.from_arrow(tbl), pct=50).take_all()}
+    assert a <= bigger  # thresholds nest: 10% sample ⊂ 50% sample
