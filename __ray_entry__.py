@@ -412,6 +412,29 @@ def _q_events_hopping(sf_dir: str):
     return out.map_batches(cast_us, batch_format="pyarrow")
 
 
+def _q_events_asof(sf_dir: str):
+    """Each purchase annotated with the user's latest click at or before it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value", "event_type"])
+
+    def of_type(t):
+        return lambda b: b.filter(pc.equal(b["event_type"], pa.scalar(t))).drop_columns(
+            ["event_type"]
+        )
+
+    purchases = events.map_batches(of_type("purchase"), batch_format="pyarrow")
+    clicks = events.map_batches(of_type("click"), batch_format="pyarrow")
+    return asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts",
+        left_cols=["user_id", "ts", "event_id", "value"], right_value_col="value",
+        out_ts_col="click_ts", out_value_col="click_value",
+    )
+
+
 def _q_term_counts(sf_dir: str):
     from ontocast_ray.ops.text import term_counts
 
@@ -482,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_list": _q_neardup_keep_list,
         "events_hopping": _q_events_hopping,
         "top_docs_per_source": _q_top_docs_per_source,
+        "events_asof_click": _q_events_asof,
         "term_counts_top50": _q_term_counts,
         "doc_sample_10pct": _q_doc_sample,
     }
@@ -637,6 +661,21 @@ def _sql_oracles() -> dict[str, str]:
             FROM assigned
             WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
             GROUP BY user_id, window_start
+        """,
+        # DuckDB native ASOF LEFT JOIN; right side deduped to one row per
+        # (user, ts) with max(value) so tie behavior matches the Ray kernel
+        "events_asof_click": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS click_ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   c.click_ts, c.click_value
+            FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.click_ts
         """,
         # map-side combiner then one vocab-sized groupby; tie-break (count desc,
         # term asc) makes the top-50 cutoff deterministic on both sides

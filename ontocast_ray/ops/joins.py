@@ -59,3 +59,98 @@ def broadcast_join(
         batch_format="pyarrow",
         concurrency=pool(concurrency),
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_value_col: str,
+    out_ts_col: str = "asof_ts",
+    out_value_col: str = "asof_value",
+    n_parts: int = 64,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Backward as-of join (the trades/quotes operator Ray Data lacks):
+    each left row gets the latest right row with the same key and
+    ``right.ts <= left.ts``, or nulls when none exists.
+
+    Shape: both sides tagged and unioned under one schema, ONE coarse
+    hash(key) shuffle colocates each key's rows, and the per-partition
+    kernel runs a vectorized ``pd.merge_asof`` across every key at once
+    (``by=key``). The right side is deduped to one row per (key, ts) —
+    max value wins — so tie behavior is deterministic and matches the
+    SQL ``ASOF LEFT JOIN`` oracle exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    schema_cols = [key_col, ts_col] + [c for c in left_cols if c not in (key_col, ts_col)]
+    _lsch = left.schema()
+    _ltypes = dict(zip(_lsch.names, _lsch.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = pa.table({c: batch[c] for c in schema_cols})
+        out = out.append_column("_rv", pa.array([None] * len(batch), type=pa.float64()))
+        out = out.append_column("_side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+        return out.append_column("part", pa.array(hash_partition(batch[key_col], n_parts)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col], ts_col: batch[ts_col].cast(_ltypes[ts_col])}
+        for c in schema_cols[2:]:
+            # left payload columns carry their REAL types as nulls so the
+            # union schema stays consistent across sides
+            cols[c] = pa.nulls(len(batch), type=_ltypes[c])
+        out = pa.table(cols)
+        out = out.append_column(
+            "_rv", batch[right_value_col].cast(pa.float64())
+        )
+        out = out.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))
+        return out.append_column("part", pa.array(hash_partition(batch[key_col], n_parts)))
+
+    # the union's typed nulls make pandas widen int columns to float inside
+    # the kernel; left rows are null-free, so cast them back after the split
+    _cast_map = {
+        c: _ltypes[c].to_pandas_dtype()
+        for c in schema_cols
+        if pa.types.is_integer(_ltypes[c])
+    }
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["_side"] == 0].drop(columns=["_rv", "_side", "part"])
+        if _cast_map:
+            lhs = lhs.astype(_cast_map)
+        rhs = group[group["_side"] == 1][[key_col, ts_col, "_rv"]]
+        if lhs.empty:  # a partition holding only right rows
+            out = lhs.head(0).copy()  # keeps dtypes
+            out[out_ts_col] = pd.Series([], dtype="datetime64[ns]")
+            out[out_value_col] = pd.Series([], dtype="float64")
+            return out
+        if rhs.empty:
+            out = lhs.copy()
+            out[out_ts_col] = pd.NaT
+            out[out_value_col] = np.nan
+            return out.reset_index(drop=True)
+        # deterministic ties: one right row per (key, ts), max value wins
+        rhs = (
+            rhs.groupby([key_col, ts_col], sort=False)["_rv"].max().reset_index()
+            .rename(columns={ts_col: out_ts_col, "_rv": out_value_col})
+        )
+        merged = pd.merge_asof(
+            lhs.sort_values(ts_col, kind="stable"),
+            rhs.sort_values(out_ts_col, kind="stable"),
+            left_on=ts_col,
+            right_on=out_ts_col,
+            by=key_col,
+            direction="backward",
+        )
+        return merged.reset_index(drop=True)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(kernel, batch_format="pandas")

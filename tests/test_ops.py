@@ -517,3 +517,38 @@ def test_deterministic_sample_is_stable(ray_session):
     assert 50 <= len(a) <= 150  # ~10% of 1000
     bigger = {r["doc_id"] for r in deterministic_sample(ray.data.from_arrow(tbl), pct=50).take_all()}
     assert a <= bigger  # thresholds nest: 10% sample ⊂ 50% sample
+
+
+def test_asof_join_backward(ray_session):
+    """Each left row gets the latest right value at or before its ts."""
+    import ray.data
+
+    from ontocast_ray.ops.joins import asof_join
+
+    ts = lambda s: pd.Timestamp(s)
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([ts("2024-01-01 01:00"), ts("2024-01-01 00:10"),
+                        ts("2024-01-01 01:00")], type=pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12], type=pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([ts("2024-01-01 00:30"), ts("2024-01-01 00:50"),
+                        ts("2024-01-01 00:50")], type=pa.timestamp("us")),
+        "value": pa.array([7.0, 8.0, 9.0]),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", ts_col="ts",
+        left_cols=["user_id", "ts", "event_id"], right_value_col="value",
+    ).take_all()
+    by_event = {r["event_id"]: r for r in out}
+    assert len(out) == 3
+    # 01:00 matches the deduped 00:50 row (max value 9.0 wins the tie)
+    assert by_event[10]["asof_value"] == 9.0
+    assert str(by_event[10]["asof_ts"]).startswith("2024-01-01 00:50")
+    # 00:10 precedes all right rows → nulls
+    assert by_event[11]["asof_value"] is None or by_event[11]["asof_value"] != by_event[11]["asof_value"]
+    # user 2 has no right rows at all → nulls
+    assert by_event[12]["asof_value"] is None or by_event[12]["asof_value"] != by_event[12]["asof_value"]
