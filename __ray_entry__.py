@@ -412,6 +412,24 @@ def _q_events_hopping(sf_dir: str):
     return out.map_batches(cast_us, batch_format="pyarrow")
 
 
+_VALUE_BANDS = [(0.0, 10.0, "tiny"), (10.0, 50.0, "small"), (50.0, 150.0, "large")]
+
+
+def _q_events_value_bands(sf_dir: str):
+    """Broadcast range join: events.value → band intervals, then aggregate."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ontocast_ray.ops.joins import broadcast_range_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    banded = broadcast_range_join(events, _VALUE_BANDS, value_col="value", out_col="band")
+    return banded.groupby("band").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
 def _q_events_asof(sf_dir: str):
     """Each purchase annotated with the user's latest click at or before it."""
     import pyarrow as pa
@@ -506,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "top_docs_per_source": _q_top_docs_per_source,
         "events_asof_click": _q_events_asof,
+        "events_value_bands": _q_events_value_bands,
         "term_counts_top50": _q_term_counts,
         "doc_sample_10pct": _q_doc_sample,
     }
@@ -661,6 +680,15 @@ def _sql_oracles() -> dict[str, str]:
             FROM assigned
             WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
             GROUP BY user_id, window_start
+        """,
+        # range join against a literal interval table (lo <= v < hi, inner)
+        "events_value_bands": """
+            WITH bands(lo, hi, band) AS (VALUES
+                (0.0, 10.0, 'tiny'), (10.0, 50.0, 'small'), (50.0, 150.0, 'large'))
+            SELECT band, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY band
         """,
         # DuckDB native ASOF LEFT JOIN; right side deduped to one row per
         # (user, ts) with max(value) so tie behavior matches the Ray kernel

@@ -154,3 +154,50 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     return tagged.groupby("part").map_groups(kernel, batch_format="pandas")
+
+
+def broadcast_range_join(
+    big: "ray.data.Dataset",
+    intervals: list[tuple],
+    value_col: str,
+    out_col: str = "band",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Inner range join against a small interval table — broadcast, no shuffle.
+
+    ``intervals`` = sorted, non-overlapping [(lo, hi, label), ...]; each big
+    row matches the interval with lo <= value < hi via one vectorized
+    ``np.searchsorted`` per batch (the big side streams through untouched,
+    the classic small-side interval lookup). Non-matching rows drop (inner
+    join semantics, mirroring SQL ``JOIN ON v >= lo AND v < hi``).
+    """
+    import numpy as np
+
+    from ontocast_ray.util import pool
+
+    los = np.array([iv[0] for iv in intervals], dtype=np.float64)
+    his = np.array([iv[1] for iv in intervals], dtype=np.float64)
+    labels = np.array([iv[2] for iv in intervals], dtype=object)
+    if not (np.all(np.diff(los) > 0) and np.all(los < his)):
+        raise ValueError("intervals must be sorted and well-formed")
+    table_ref = ray.put((los, his, labels))
+
+    class RangeLookup:
+        def __init__(self):
+            self.los, self.his, self.labels = ray.get(table_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.append_column(out_col, pa.array([], type=pa.string()))
+            import numpy as np
+
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            idx = np.searchsorted(self.los, v, side="right") - 1
+            valid = (idx >= 0) & (v < self.his[np.clip(idx, 0, len(self.his) - 1)])
+            sub = batch.filter(pa.array(valid))
+            out_labels = self.labels[idx[valid]]
+            return sub.append_column(out_col, pa.array(out_labels, type=pa.string()))
+
+    return big.map_batches(
+        RangeLookup, batch_format="pyarrow", concurrency=pool(concurrency)
+    )

@@ -552,3 +552,19 @@ def test_asof_join_backward(ray_session):
     assert by_event[11]["asof_value"] is None or by_event[11]["asof_value"] != by_event[11]["asof_value"]
     # user 2 has no right rows at all → nulls
     assert by_event[12]["asof_value"] is None or by_event[12]["asof_value"] != by_event[12]["asof_value"]
+
+
+def test_broadcast_range_join(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.joins import broadcast_range_join
+
+    tbl = pa.table({"id": pa.array(range(6), type=pa.int64()),
+                    "v": pa.array([-1.0, 0.0, 49.99, 50.0, 149.0, 200.0])})
+    out = broadcast_range_join(
+        ray.data.from_arrow(tbl),
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid")], value_col="v",
+    ).take_all()
+    got = {r["id"]: r["band"] for r in out}
+    # -1 and 200 fall outside every interval → dropped (inner join)
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "mid"}
