@@ -77,6 +77,15 @@ def test_all_queries_run(ray_session, contract):
         "customers_by_region",
         "events_with_lag",
         "knn_cosine_top10",
+        # round 2 SQL oracles
+        "lang_id",
+        "events_hopping",
+        "top_docs_per_source",
+        "term_counts_top50",
+        "doc_sample_10pct",
+        "events_value_bands",
+        "events_asof_click",
+        "doc_group_components",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):
