@@ -137,3 +137,63 @@ def test_connected_components_equals_union_find(ray_session, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got == expected
+
+
+@given(
+    st.lists(  # left events: (user, minute-offset, event ordinal)
+        st.tuples(st.integers(1, 4), st.integers(0, 500)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(  # right events
+        st.tuples(st.integers(1, 4), st.integers(0, 500)),
+        min_size=0, max_size=30,
+    ),
+)
+@settings(max_examples=8, deadline=None)  # each example runs a Ray pipeline
+def test_asof_join_matches_duckdb(ray_session, left_rows, right_rows):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pa.table({
+        "user_id": pa.array([u for u, m in left_rows], type=pa.int64()),
+        "ts": pa.array([base + pd.Timedelta(minutes=m) for u, m in left_rows],
+                       type=pa.timestamp("us")),
+        "event_id": pa.array(range(len(left_rows)), type=pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([u for u, m in right_rows], type=pa.int64()),
+        "ts": pa.array([base + pd.Timedelta(minutes=m) for u, m in right_rows],
+                       type=pa.timestamp("us")),
+        "value": pa.array([float(i) for i in range(len(right_rows))]),
+    })
+    got = pd.DataFrame(asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key_col="user_id", ts_col="ts",
+        left_cols=["user_id", "ts", "event_id"], right_value_col="value",
+    ).take_all())
+
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        WITH rd AS (SELECT user_id, ts, max(value) AS asof_value
+                    FROM r GROUP BY user_id, ts)
+        SELECT l.event_id, l.user_id, l.ts,
+               rd.ts AS asof_ts, rd.asof_value
+        FROM l ASOF LEFT JOIN rd ON l.user_id = rd.user_id AND l.ts >= rd.ts
+    """).df()
+    cols = ["event_id", "user_id", "ts", "asof_ts", "asof_value"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    o = want[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        oc, gc = o[c], g[c]
+        if str(oc.dtype).startswith("datetime64"):
+            oc = oc.astype("datetime64[us]")
+            gc = gc.astype("datetime64[us]")
+        neq = (oc != gc) & ~(oc.isna() & gc.isna())
+        assert int(neq.sum()) == 0, (c, g[neq].head(), o[neq].head())
