@@ -302,6 +302,19 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
+def _q_knn_pq(sf_dir: str):
+    """PQ-compressed ADC top-10 (seed-deterministic -> golden oracle)."""
+    import tempfile
+
+    from ontocast_ray.ops.similarity import build_pq_index, knn_pq_search
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _query_vectors(emb)
+    index_dir = tempfile.mkdtemp(prefix="pq_index_")
+    build_pq_index(emb, index_dir, m=8, n_codes=256)
+    return knn_pq_search(index_dir, queries, k=10)
+
+
 def _q_knn_ivf(sf_dir: str):
     from ontocast_ray.ops.similarity import knn_ivf
 
@@ -514,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "knn_ivf_top10": _q_knn_ivf,
+        "knn_pq_top10": _q_knn_pq,
         "media_features": _q_media_features,
         # cross-document entity merge (salted two-phase shuffle + pure-map rewrite)
         "kg_global_entities": _q_global_entities,
@@ -546,6 +560,7 @@ _GOLDEN_QUERIES = [
     "embedding_dedup_pairs",
     "doc_fingerprint",
     "knn_ivf_top10",
+    "knn_pq_top10",
     "media_features",
     "kg_global_entities",
     "kg_rewritten_global",

@@ -287,3 +287,150 @@ def knn_ivf(
         index_dir, query_matrix, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, concurrency=concurrency,
     )
+
+
+# --- Product quantization (PQ): compressed codes + ADC search ---------------
+#
+# At 100 TB, float32 embeddings are the dominant bytes; PQ stores each
+# vector as m uint8 codes (16-64x smaller), and search reads codes + one
+# (m, n_codes) lookup table per query — asymmetric distance computation.
+
+
+def train_pq(
+    sample: np.ndarray, m: int = 8, n_codes: int = 256, seed: int = 13, iters: int = 10
+) -> np.ndarray:
+    """→ (m, n_codes, dsub) codebooks: per-subspace k-means on a sample."""
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        k = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if k < n_codes:  # pad duplicate centroids so codes always fit uint8
+            cents = np.vstack([cents, np.repeat(cents[:1], n_codes - k, axis=0)])
+        books[j] = cents
+    return books
+
+
+def pq_encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) normalized vectors → (n, m) uint8 codes."""
+    n = len(vecs)
+    m, n_codes, dsub = codebooks.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        sub = vecs[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def build_pq_index(
+    embeddings: "ray.data.Dataset",
+    index_dir: str,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 2000,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_rows_per_file: int = 100_000,
+) -> np.ndarray:
+    """One pass: train codebooks on a bounded sample, encode every vector to
+    m uint8 codes, write the compact code table. Returns the codebooks."""
+    import os
+
+    from ontocast_ray.util import vectors_2d
+
+    sample_rows = embeddings.limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    codebooks = train_pq(sample, m=m, n_codes=n_codes, seed=seed)
+    books_ref = ray.put(codebooks)
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(books_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({id_col: batch[id_col],
+                                 "pq_code": pa.array([], type=pa.binary())})
+            vecs = _normalize(vectors_2d(batch[vec_col]))
+            codes = pq_encode(vecs, self.books)
+            return pa.table(
+                {id_col: batch[id_col],
+                 "pq_code": pa.array([c.tobytes() for c in codes], type=pa.binary())}
+            )
+
+    os.makedirs(index_dir, exist_ok=True)
+    embeddings.map_batches(Encode, batch_format="pyarrow", concurrency=pool(4)).write_parquet(
+        os.path.join(index_dir, "codes"), min_rows_per_file=min_rows_per_file
+    )
+    np.save(os.path.join(index_dir, "pq_codebooks.npy"), codebooks)
+    return codebooks
+
+
+def knn_pq_search(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """ADC search over PQ codes: one (m, n_codes) dot-product table per
+    query, approximate cosine = sum of table lookups over the m codes —
+    the scan reads ~m bytes per vector instead of 4·dim."""
+    import os
+
+    codebooks = np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+    m, n_codes, dsub = codebooks.shape
+    queries = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    # (nq, m, n_codes): dot of each query subvector with every codeword
+    luts = np.einsum("qmd,mcd->qmc", queries.reshape(len(queries), m, dsub), codebooks)
+    luts_ref = ray.put(luts.astype(np.float32))
+
+    class ADCTopK:
+        def __init__(self):
+            self.luts = ray.get(luts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 id_col: batch[id_col],
+                                 "cosine": pa.array([], type=pa.float64())})
+            ids = np.asarray(batch[id_col].to_pylist())
+            blob = b"".join(batch["pq_code"].to_pylist())
+            codes = np.frombuffer(blob, dtype=np.uint8).reshape(n, m)
+            q_out, id_out, s_out = [], [], []
+            cols = np.arange(m)
+            for qi in range(len(self.luts)):
+                sims = self.luts[qi][cols[None, :], codes].sum(axis=1)  # (n,)
+                kk = min(k, n)
+                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                q_out.extend([qi] * kk)
+                id_out.extend(ids[top])
+                s_out.extend(float(s) for s in sims[top])
+            return pa.table(
+                {"query_id": pa.array(q_out, type=pa.int64()),
+                 id_col: pa.array(id_out),
+                 "cosine": pa.array(s_out, type=pa.float64())}
+            )
+
+    partial = ray.data.read_parquet(os.path.join(index_dir, "codes")).map_batches(
+        ADCTopK, batch_format="pyarrow", concurrency=pool(concurrency)
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk_factory(k, id_col), batch_format="pandas"
+    )

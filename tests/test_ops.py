@@ -568,3 +568,35 @@ def test_broadcast_range_join(ray_session):
     got = {r["id"]: r["band"] for r in out}
     # -1 and 200 fall outside every interval → dropped (inner join)
     assert got == {1: "low", 2: "low", 3: "mid", 4: "mid"}
+
+
+def test_pq_index_retrieves_duplicates(ray_session, tmp_path):
+    """PQ codes are lossy, but identical vectors quantize identically —
+    a query must retrieve its planted exact copy (and itself) in top-10."""
+    import ray.data
+
+    from ontocast_ray.ops.similarity import build_pq_index, knn_pq_search, pq_encode, train_pq
+
+    rng = np.random.RandomState(6)
+    vecs = rng.normal(size=(1000, 32)).astype(np.float32)
+    planted = np.vstack([vecs[q] for q in range(5)])  # ids 1000..1004
+    corpus = np.vstack([vecs, planted])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(corpus), dtype=np.int64)),
+        "embedding": pa.array(corpus.tolist(), type=pa.list_(pa.float32())),
+    })
+    idx_dir = str(tmp_path / "pq")
+    books = build_pq_index(ray.data.from_arrow(tbl), idx_dir, m=8, n_codes=64, sample_size=500)
+    assert books.shape == (8, 64, 4)
+
+    approx = {}
+    for r in knn_pq_search(idx_dir, vecs[:5], k=10).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in range(5):
+        assert q in approx[q] and (1000 + q) in approx[q]
+
+    # encode determinism: same vector → same codes
+    from ontocast_ray.ops.similarity import _normalize
+    nv = _normalize(corpus)
+    codes = pq_encode(nv, books)
+    assert (codes[0] == codes[1000]).all()
