@@ -597,3 +597,40 @@ def test_pq_index_retrieves_duplicates(ray_session, tmp_path):
     nv = _normalize(corpus)
     codes = pq_encode(nv, books)
     assert (codes[0] == codes[1000]).all()
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import (
+        resize_images, sample_frames, synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(n=32))
+    resized = resize_images(media, target_w=32, target_h=32).take_all()
+    assert len(resized) == 32  # non-image rows pass through
+    for r in resized:
+        if r["kind"] == "image":
+            assert r["width"] == 32 and r["height"] == 32
+            assert isinstance(r["payload"], bytes) and len(r["payload"]) >= 16
+
+    frames = sample_frames(media, n_frames=4).take_all()
+    videos = [r for r in synth_media_table(n=32).to_pylist() if r["kind"] == "video"]
+    assert len(frames) == 4 * len(videos)  # one video row → n_frames rows
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f["media_ref"], []).append(f)
+    for ref, fs in by_ref.items():
+        ts = [f["ts_ms"] for f in sorted(fs, key=lambda f: f["frame_idx"])]
+        assert ts == sorted(ts) and len(set(ts)) == len(ts)  # spaced, increasing
+        assert all(len(f["frame"]) == 64 for f in fs)
+
+    # real backends raise at the library call point, per contract
+    import pytest as _pytest
+
+    from ontocast_ray.ops.multimodal import FrameSampler, ImageResizer
+
+    with _pytest.raises(NotImplementedError):
+        ImageResizer(backend="real")._resize_real(b"x")
+    with _pytest.raises(NotImplementedError):
+        FrameSampler(backend="real")._frame_real(b"x", 0)
