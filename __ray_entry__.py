@@ -443,6 +443,51 @@ def _q_events_value_bands(sf_dir: str):
     )
 
 
+def _q_events_watermark(sf_dir: str):
+    """Tumbling window dropping late arrivals (watermark semantics);
+    arrival_ts synthesized deterministically: ts + (id*K)%1200 seconds."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.windows import tumbling_window_late_drop
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def with_arrival(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        delay_s = (ids * 2654435761) % 1200
+        ts = batch["ts"].to_pandas()
+        arrival = ts + pd.to_timedelta(delay_s, unit="s")
+        return batch.append_column(
+            "arrival_ts", pa.Array.from_pandas(arrival, type=batch["ts"].type)
+        )
+
+    import pandas as pd
+
+    out = tumbling_window_late_drop(
+        events.map_batches(with_arrival, batch_format="pyarrow"),
+        every_minutes=60, allowed_lateness_minutes=10,
+    )
+
+    def cast_us(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch["window_start"].cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
+def _q_events_quantiles(sf_dir: str):
+    from ontocast_ray.ops.windows import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        key_col="event_type", value_col="value", quantiles=(0.5, 0.95, 0.99),
+    )
+
+
 def _q_events_asof(sf_dir: str):
     """Each purchase annotated with the user's latest click at or before it."""
     import pyarrow as pa
@@ -539,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": _q_top_docs_per_source,
         "events_asof_click": _q_events_asof,
         "events_value_bands": _q_events_value_bands,
+        "events_quantiles": _q_events_quantiles,
+        "events_watermark_window": _q_events_watermark,
         "term_counts_top50": _q_term_counts,
         "doc_sample_10pct": _q_doc_sample,
     }
@@ -695,6 +742,29 @@ def _sql_oracles() -> dict[str, str]:
             FROM assigned
             WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
             GROUP BY user_id, window_start
+        """,
+        # watermark drop: late iff arrival > window close + lateness; arrival
+        # synthesized as ts + (event_id*K)%1200 seconds on both sides
+        "events_watermark_window": """
+            WITH w AS (
+                SELECT user_id, value,
+                       date_trunc('hour', ts) AS window_start,
+                       ts + INTERVAL ((event_id * 2654435761) % 1200) SECOND AS arrival_ts
+                FROM events
+            )
+            SELECT user_id, window_start, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM w
+            WHERE arrival_ts <= window_start + INTERVAL '70 minutes'
+            GROUP BY user_id, window_start
+        """,
+        # exact discrete quantiles: quantile_disc picks sorted[ceil(p*n)-1]
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS q50,
+                   quantile_disc(value, 0.95) AS q95,
+                   quantile_disc(value, 0.99) AS q99
+            FROM events GROUP BY event_type
         """,
         # range join against a literal interval table (lo <= v < hi, inner)
         "events_value_bands": """

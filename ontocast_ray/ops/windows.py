@@ -229,3 +229,85 @@ def sessionize(
             batch_format="pandas",
         )
     )
+
+
+def group_quantiles(
+    events: "ray.data.Dataset",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple = (0.5, 0.95, 0.99),
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact per-group discrete quantiles (key, q50, q95, ... columns).
+
+    Keys colocate on the coarse hash partition, the kernel sorts each key's
+    values once (vectorized) and picks index max(0, ceil(p*n) - 1) — the
+    discrete-quantile rule SQL ``quantile_disc`` uses, so results match the
+    oracle bit-for-bit. Scale caveat (same as sessionize): one key's values
+    must fit a reducer; for billions-per-key switch to a mergeable
+    histogram sketch and accept approximation.
+    """
+    import math as _math
+
+    import numpy as np
+
+    n_parts = resolve_n_parts(events, n_parts)
+    cols = [f"q{int(p * 100)}" for p in quantiles]
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        out = {key_col: [], **{c: [] for c in cols}}
+        for key, rows in group.groupby(key_col, sort=False):
+            v = np.sort(rows[value_col].to_numpy())
+            n = len(v)
+            out[key_col].append(key)
+            for p, c in zip(quantiles, cols):
+                idx = max(0, _math.ceil(p * n) - 1)
+                out[c].append(float(v[idx]))
+        return pd.DataFrame(out)
+
+    return (
+        events.map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def tumbling_window_late_drop(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    arrival_col: str = "arrival_ts",
+    every_minutes: int = 60,
+    allowed_lateness_minutes: int = 10,
+) -> "ray.data.Dataset":
+    """Event-time tumbling aggregate with watermark semantics in batch form:
+    an event is LATE — excluded from its window — iff its arrival time is
+    past the window close plus the allowed lateness. The late check is a
+    pure row predicate (event time vs its own window bound), so the whole
+    operator stays a map + one groupby; no sequential watermark state is
+    needed to replay streaming drop decisions over stored data.
+    """
+    every = pd.Timedelta(minutes=every_minutes)
+    lateness = pd.Timedelta(minutes=allowed_lateness_minutes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_pandas()
+        arrival = batch[arrival_col].to_pandas()
+        ws = ts.dt.floor(f"{every_minutes}min")
+        on_time = (arrival <= ws + every + lateness).to_numpy()
+        sub = batch.filter(pa.array(on_time))
+        return sub.append_column(
+            "window_start",
+            pa.Array.from_pandas(ws[on_time], type=batch[ts_col].type),
+        )
+
+    return (
+        events.map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min(value_col, alias_name="min_value"),
+            Max(value_col, alias_name="max_value"),
+        )
+    )

@@ -86,6 +86,8 @@ def test_all_queries_run(ray_session, contract):
         "events_value_bands",
         "events_asof_click",
         "doc_group_components",
+        "events_quantiles",
+        "events_watermark_window",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

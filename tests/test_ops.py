@@ -634,3 +634,40 @@ def test_multimodal_resize_and_frames(ray_session):
         ImageResizer(backend="real")._resize_real(b"x")
     with _pytest.raises(NotImplementedError):
         FrameSampler(backend="real")._frame_real(b"x", 0)
+
+
+def test_group_quantiles_disc_rule(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.windows import group_quantiles
+
+    tbl = pa.table({"event_type": pa.array(["a"] * 4 + ["b"] * 3),
+                    "value": pa.array([1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0])})
+    out = {r["event_type"]: r for r in group_quantiles(
+        ray.data.from_arrow(tbl), quantiles=(0.5, 0.95)
+    ).take_all()}
+    # quantile_disc rule: sorted[max(0, ceil(p*n)-1)]
+    assert out["a"]["q50"] == 2.0 and out["a"]["q95"] == 4.0
+    assert out["b"]["q50"] == 20.0 and out["b"]["q95"] == 30.0
+
+
+def test_tumbling_window_late_drop(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.windows import tumbling_window_late_drop
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    mk = lambda m: base + pd.Timedelta(minutes=m)
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([mk(5), mk(10), mk(20)], type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 3.0]),
+        # arrivals: on time; just inside lateness; past watermark (dropped)
+        "arrival_ts": pa.array([mk(6), mk(69), mk(75)], type=pa.timestamp("us")),
+    })
+    out = tumbling_window_late_drop(
+        ray.data.from_arrow(tbl), every_minutes=60, allowed_lateness_minutes=10
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2  # the 75-minute arrival was late → dropped
+    assert out[0]["min_value"] == 1.0 and out[0]["max_value"] == 2.0
