@@ -302,15 +302,27 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
+def _index_scratch(sf_dir: str, kind: str) -> str:
+    """Deterministic per-(sf, kind) scratch dir, WIPED before rebuild so
+    repeated gate/bench runs reuse one path instead of accumulating /tmp."""
+    import hashlib
+    import os
+    import shutil
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join("/tmp", "ontocast_ray_indexes", f"{kind}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _q_knn_pq(sf_dir: str):
     """PQ-compressed ADC top-10 (seed-deterministic -> golden oracle)."""
-    import tempfile
-
     from ontocast_ray.ops.similarity import build_pq_index, knn_pq_search
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = _query_vectors(emb)
-    index_dir = tempfile.mkdtemp(prefix="pq_index_")
+    index_dir = _index_scratch(sf_dir, "pq")
     build_pq_index(emb, index_dir, m=8, n_codes=256)
     return knn_pq_search(index_dir, queries, k=10)
 
@@ -319,7 +331,10 @@ def _q_knn_ivf(sf_dir: str):
     from ontocast_ray.ops.similarity import knn_ivf
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_ivf(emb, _query_vectors(emb), k=10, n_clusters=16, n_probe=4)
+    return knn_ivf(
+        emb, _query_vectors(emb), k=10, n_clusters=16, n_probe=4,
+        index_dir=_index_scratch(sf_dir, "ivf"),
+    )
 
 
 def _q_global_entities(sf_dir: str):

@@ -223,7 +223,9 @@ def cmd_pdfs_to_markdown(args: argparse.Namespace) -> int:
     if not paths:
         print(json.dumps({"status": "success", "files": 0}))
         return 0
-    ds = read_documents_from_files(args.input_path)
+    ds = read_documents_from_files(
+        args.input_path, suffixes=(".pdf",), prefix=args.prefix or ""
+    )
     os.makedirs(args.output_path, exist_ok=True)
     n_ok, n_fail = 0, 0
     for row in ds.iter_rows():

@@ -188,8 +188,8 @@ class MinHasher:
         )
 
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = _FNV_OFFSET0  # single source for the FNV pair (see above)
+_FNV_PRIME = _FNV_PRIME0
 _GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
 

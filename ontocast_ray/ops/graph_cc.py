@@ -183,7 +183,7 @@ def apply_keep_list(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            mask = np.array([i not in self.dropped for i in ids], dtype=bool)
+            mask = ~pd.Series(ids).isin(self.dropped).to_numpy()
             return batch.filter(pa.array(mask))
 
     return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))

@@ -71,7 +71,6 @@ def asof_join(
     out_ts_col: str = "asof_ts",
     out_value_col: str = "asof_value",
     n_parts: int = 64,
-    concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Backward as-of join (the trades/quotes operator Ray Data lacks):
     each left row gets the latest right row with the same key and
@@ -119,6 +118,12 @@ def asof_join(
         for c in schema_cols
         if pa.types.is_integer(_ltypes[c])
     }
+    _ts_dtype = _ltypes[ts_col].to_pandas_dtype()
+    # numeric ts → nullable Int64/Float64 carries the no-match nulls
+    _null_ts_dtype = (
+        _ts_dtype if str(_ts_dtype).startswith("datetime64")
+        else ("Int64" if pa.types.is_integer(_ltypes[ts_col]) else "Float64")
+    )
 
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0].drop(columns=["_rv", "_side", "part"])
@@ -127,12 +132,13 @@ def asof_join(
         rhs = group[group["_side"] == 1][[key_col, ts_col, "_rv"]]
         if lhs.empty:  # a partition holding only right rows
             out = lhs.head(0).copy()  # keeps dtypes
-            out[out_ts_col] = pd.Series([], dtype="datetime64[ns]")
+            out[out_ts_col] = pd.Series([], dtype=_ts_dtype)
             out[out_value_col] = pd.Series([], dtype="float64")
             return out
         if rhs.empty:
             out = lhs.copy()
-            out[out_ts_col] = pd.NaT
+            # null of the ts column's own dtype (NaT only fits datetimes)
+            out[out_ts_col] = pd.Series([pd.NA] * len(out), dtype=_null_ts_dtype)
             out[out_value_col] = np.nan
             return out.reset_index(drop=True)
         # deterministic ties: one right row per (key, ts), max value wins

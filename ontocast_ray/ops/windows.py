@@ -41,6 +41,10 @@ def resolve_n_parts(
     count (parquet metadata makes ``count()`` cheap) bounds every reducer at
     ~``target_rows_per_part`` rows regardless of input size; keys still
     colocate because partition = hash(key) % P within one run.
+
+    Caveat: for a DERIVED dataset (map_batches upstream), ``count()``
+    executes that pipeline once before the shuffle re-executes it — pass an
+    explicit ``n_parts`` there instead of the None default.
     """
     if n_parts is not None:
         return n_parts
@@ -252,7 +256,7 @@ def group_quantiles(
     import numpy as np
 
     n_parts = resolve_n_parts(events, n_parts)
-    cols = [f"q{int(p * 100)}" for p in quantiles]
+    cols = [f"q{round(p * 100)}" for p in quantiles]  # round, not int: 0.29*100 floats to 28.999..
 
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         out = {key_col: [], **{c: [] for c in cols}}

@@ -67,9 +67,12 @@ _CONVERTER_CACHE: dict[int, object] = {}
 def _get_converter(converter_factory=None):
     factory = converter_factory or default_docling_factory
     key = id(factory)
-    if key not in _CONVERTER_CACHE:
-        _CONVERTER_CACHE[key] = factory()
-    return _CONVERTER_CACHE[key]
+    cached = _CONVERTER_CACHE.get(key)
+    # the cached entry HOLDS the factory: its id cannot be recycled by the
+    # allocator while cached, so an id hit is a true identity hit
+    if cached is None or cached[0] is not factory:
+        _CONVERTER_CACHE[key] = (factory, factory())
+    return _CONVERTER_CACHE[key][1]
 
 
 def _convert_rich_document(payload: bytes, suffix: str, converter_factory=None) -> str:
@@ -126,14 +129,21 @@ def _convert_batch(batch: pa.Table, converter_factory=None) -> pa.Table:
     )
 
 
-def read_documents_from_files(input_path: str, converter_factory=None, **read_kwargs):
+def read_documents_from_files(
+    input_path: str,
+    converter_factory=None,
+    suffixes: Iterable[str] = SUPPORTED_SUFFIXES,
+    prefix: str = "",
+    **read_kwargs,
+):
     """Directory of raw files → Dataset(doc_id, text, convert_status).
 
     ``converter_factory`` overrides the docling backend (tests inject a fake;
-    the factory runs once per worker — see _get_converter)."""
+    the factory runs once per worker — see _get_converter); ``suffixes`` /
+    ``prefix`` restrict the crawl so unrelated files never enter the read."""
     import ray.data
 
-    paths = crawl_directory(input_path)
+    paths = crawl_directory(input_path, suffixes=suffixes, prefix=prefix)
     ds = ray.data.read_binary_files(paths, include_paths=True, **read_kwargs)
     return ds.map_batches(
         _convert_batch,

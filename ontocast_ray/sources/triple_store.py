@@ -406,9 +406,11 @@ def write_facts_to_store(
 
     def sink(batch: pa.Table) -> pa.Table:
         key = id(manager_factory)
-        if key not in _MANAGER_CACHE:
-            _MANAGER_CACHE[key] = manager_factory()
-        manager = _MANAGER_CACHE[key]
+        cached = _MANAGER_CACHE.get(key)
+        # holding the factory in the entry pins its id (no GC reuse aliasing)
+        if cached is None or cached[0] is not manager_factory:
+            _MANAGER_CACHE[key] = (manager_factory, manager_factory())
+        manager = _MANAGER_CACHE[key][1]
         uris, counts, oks = [], [], []
         df = batch.to_pandas()
         for uri, rows in df.groupby(graph_col, sort=False):
