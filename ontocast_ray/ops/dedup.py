@@ -317,16 +317,17 @@ def _bloom_positions(ids, m_bits: int) -> np.ndarray:
     return pos
 
 
-def _bloom_build(pairs: "ray.data.Dataset", m_bits: int = _BLOOM_BITS) -> np.ndarray:
-    """OR of per-block partial bitmaps; each block returns ONE fixed-size row."""
+def _bloom_build_cols(
+    ds: "ray.data.Dataset", cols: list[str], m_bits: int = _BLOOM_BITS
+) -> np.ndarray:
+    """OR of per-block partial bitmaps over the ids in ``cols``; each block
+    returns ONE fixed-size row, so driver memory is bounded regardless of
+    how many ids feed the filter."""
 
     def partial(batch: pa.Table) -> pa.Table:
         bloom = np.zeros(m_bits // 8, dtype=np.uint8)
         ids = np.concatenate(
-            [
-                batch["doc_id_a"].to_numpy(zero_copy_only=False),
-                batch["doc_id_b"].to_numpy(zero_copy_only=False),
-            ]
+            [batch[c].to_numpy(zero_copy_only=False) for c in cols]
         )
         if len(ids):
             pos = _bloom_positions(ids, m_bits).reshape(-1)
@@ -334,9 +335,14 @@ def _bloom_build(pairs: "ray.data.Dataset", m_bits: int = _BLOOM_BITS) -> np.nda
         return pa.table({"bloom": pa.array([bloom.tobytes()], type=pa.binary())})
 
     out = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in pairs.map_batches(partial, batch_format="pyarrow").take_all():
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
         out |= np.frombuffer(row["bloom"], dtype=np.uint8)
     return out
+
+
+def _bloom_build(pairs: "ray.data.Dataset", m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Bloom of every doc id referenced by a candidate pair."""
+    return _bloom_build_cols(pairs, ["doc_id_a", "doc_id_b"], m_bits)
 
 
 def _bloom_contains(bloom: np.ndarray, ids, m_bits: int) -> np.ndarray:

@@ -9,6 +9,20 @@ and Beyond", SOCC'14): every round is two edge-scale groupbys, converging
 in O(log n) rounds; nothing corpus-sized is touched and the driver only
 sees per-round COUNTS for the convergence check.
 
+Execution shape (the part that must survive 100 TB):
+
+- Both star groupbys run on a COARSE key ``hash(u) % P`` — one Python
+  call per partition, not per node — and the kernels are fully
+  vectorized (one pandas ``groupby(...).transform("min")`` C call per
+  partition handles every node in it at once).
+- The per-round DISTINCT is fused into the kernels: the same (u, v) edge
+  always hashes to the same partition, so a partition-local
+  ``drop_duplicates`` is a global distinct.  This removes one all-to-all
+  shuffle per round (the old ``groupby(["u","v"]).aggregate(Count)``),
+  leaving exactly two shuffles per round — the algorithmic minimum.
+- ``P`` is sized from the edge count so per-reducer work is bounded at
+  any scale.
+
 Edge rows are two int64s — at 100 TB the edge set (candidate pairs) is
 orders of magnitude smaller than the corpus, so each round's shuffle is
 cheap relative to a single corpus pass.
@@ -24,35 +38,49 @@ import ray.data
 
 
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_EMPTY_EDGES = pa.table({"u": pa.array([], type=pa.int64()),
+                         "v": pa.array([], type=pa.int64())})
 
 
-def _large_star(group: pd.DataFrame) -> pa.Table:
-    """For each u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u."""
-    out_u, out_v = [], []
-    for u, rows in group.groupby("u", sort=False):
-        neigh = rows["v"].to_numpy()
-        m = min(int(neigh.min()), int(u))
-        big = neigh[neigh > u]
-        out_u.extend(int(v) for v in big)
-        out_v.extend([m] * len(big))
-    return pa.table({"u": pa.array(out_u, type=pa.int64()),
-                     "v": pa.array(out_v, type=pa.int64())})
+def _large_star_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Large-star over a coarse hash(u) partition.
+
+    For each u in the partition: m = min(N(u) ∪ {u}); emit (v, m) for
+    v in N(u) with v > u.  Vectorized: one ``transform("min")`` covers
+    every u in the partition.  ``drop_duplicates`` here is a GLOBAL
+    distinct (same (u,v) always lands in the same partition).
+    """
+    df = df.drop_duplicates(subset=["u", "v"])
+    if not len(df):
+        return _EMPTY_EDGES
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    m = np.minimum(df.groupby("u", sort=False)["v"].transform("min").to_numpy(), u)
+    mask = v > u
+    return pa.table({"u": pa.array(v[mask], type=pa.int64()),
+                     "v": pa.array(m[mask], type=pa.int64())})
 
 
-def _small_star(group: pd.DataFrame) -> pa.Table:
-    """For each u over edges (u, v≤u): m = min(N ∪ {u});
-    emit (v, m) for v in N ∪ {u}, v != m."""
-    out_u, out_v = [], []
-    for u, rows in group.groupby("u", sort=False):
-        neigh = rows["v"].to_numpy()
-        m = min(int(neigh.min()), int(u))
-        nodes = set(int(v) for v in neigh)
-        nodes.add(int(u))
-        nodes.discard(m)
-        out_u.extend(nodes)
-        out_v.extend([m] * len(nodes))
-    return pa.table({"u": pa.array(out_u, type=pa.int64()),
-                     "v": pa.array(out_v, type=pa.int64())})
+def _small_star_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Small-star over a coarse hash(u) partition of max-min edges (v ≤ u).
+
+    For each u: m = min(N(u) ∪ {u}) = min(N(u)) since all v ≤ u; emit
+    (w, m) for w in N(u) ∪ {u}, w != m.  The ∪{u} member is added by
+    concatenating one (u, u) row per distinct u; output is max-min form
+    by construction (every emitted w > m).
+    """
+    df = df.drop_duplicates(subset=["u", "v"])
+    if not len(df):
+        return _EMPTY_EDGES
+    uu = df["u"].unique()
+    aug = pd.concat(
+        [df[["u", "v"]], pd.DataFrame({"u": uu, "v": uu})], ignore_index=True
+    ).drop_duplicates(subset=["u", "v"])
+    m = aug.groupby("u", sort=False)["v"].transform("min").to_numpy()
+    w = aug["v"].to_numpy()
+    mask = w != m
+    return pa.table({"u": pa.array(w[mask], type=pa.int64()),
+                     "v": pa.array(m[mask], type=pa.int64())})
 
 
 def _both_directions(batch: pa.Table) -> pa.Table:
@@ -69,12 +97,25 @@ def _as_max_min(batch: pa.Table) -> pa.Table:
     return pa.table({"u": pa.array(np.maximum(u, v)), "v": pa.array(np.minimum(u, v))})
 
 
+def _grouped_by_part(ds: "ray.data.Dataset", n_parts: int):
+    """edges → groupby on the coarse shuffle key hash(u) % P."""
+    from ontocast_ray.util import hash_partition
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["u"], n_parts))
+        )
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("part")
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_rounds: int = 50,
     n_blocks: int = 8,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """→ (doc_id, component): every node of the pair graph labeled with its
     component's min id. Alternating star rounds until the edge multiset is
@@ -83,16 +124,26 @@ def connected_components(
     ``n_blocks`` bounds the per-round shuffle grid: edges are pair-scale
     (tiny next to the corpus), so each round's two groupbys run over a few
     coalesced blocks instead of inheriting the previous round's reducer
-    count — raise it only for edge sets that exceed worker memory / 8.
+    count.  ``n_parts`` is the coarse star-kernel partition count; by
+    default it is sized from the edge count (~64k edges per reducer,
+    clamped to [8, 256]) so per-reducer memory is bounded at any scale.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"u": b[a_col].cast(pa.int64()), "v": b[b_col].cast(pa.int64())}
+        )
+        # self-pairs carry no connectivity (and pure alternation would
+        # silently drop their nodes) — remove them up front
+        return _as_max_min(t.filter(pa.compute.not_equal(t["u"], t["v"])))
 
     edges = pairs.map_batches(
-        lambda b: pa.table(
-            {"u": b[a_col].cast(pa.int64()), "v": b[b_col].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).map_batches(_as_max_min, batch_format="pyarrow").repartition(n_blocks).materialize()
+        to_edges, batch_format="pyarrow"
+    ).repartition(n_blocks).materialize()
+
+    if n_parts is None:
+        n_parts = int(np.clip(edges.count() // 65536, 8, 256))
 
     def _signature(ds) -> tuple[int, int]:
         def _chk(batch: pa.Table) -> pa.Table:
@@ -111,22 +162,17 @@ def connected_components(
 
     prev = None
     for _ in range(max_rounds):
-        large = (
-            edges.map_batches(_both_directions, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star, batch_format="pandas")
-        )
-        merged = large.union(edges).map_batches(_as_max_min, batch_format="pyarrow")
+        # Pure Kiveris alternation: large-star OUTPUT replaces the edge set
+        # (connectivity-preserving per the paper — no union with the old
+        # edges, which would double per-round data and grow the multiset).
+        # Both outputs are max-min form by construction; distinct happens
+        # inside the kernels (partition-local == global).
+        large = _grouped_by_part(
+            edges.map_batches(_both_directions, batch_format="pyarrow"), n_parts
+        ).map_groups(_large_star_part, batch_format="pandas")
         edges = (
-            merged.groupby("u")
-            .map_groups(_small_star, batch_format="pandas")
-            .map_batches(_as_max_min, batch_format="pyarrow")
-        )
-        # distinct: star rounds re-derive the same edge from many paths
-        edges = (
-            edges.groupby(["u", "v"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["u", "v"])
+            _grouped_by_part(large, n_parts)
+            .map_groups(_small_star_part, batch_format="pandas")
             .repartition(n_blocks)
             .materialize()
         )
@@ -160,33 +206,95 @@ def apply_keep_list(
     docs: "ray.data.Dataset",
     keep_list: "ray.data.Dataset",
     id_col: str = "doc_id",
+    n_parts: int = 64,
 ) -> "ray.data.Dataset":
-    """Drop non-representative duplicates from the corpus.
+    """Drop non-representative duplicates from the corpus — fully
+    distributed (nothing corpus-sized touches the driver).
 
-    The DROPPED side (components minus their representatives) is the small
-    side — candidates are rare — so it broadcasts once via ray.put and the
-    corpus filters map-side: no corpus shuffle, the classic broadcast
-    anti-join.
+    Shape (the ``ngram_jaccard_verify`` template at dedup.py:362):
+
+    1. dropped ids (components minus representatives) → fixed-size Bloom
+       bitmap, OR-ed from per-block partials on the driver (bounded driver
+       memory regardless of how many docs are dropped);
+    2. docs that MISS the Bloom are definitely kept → pure map-side pass-
+       through, no shuffle (the vast majority of a typical corpus);
+    3. docs that HIT the Bloom (actual drops + FP rate) are shuffled by
+       ``hash(id) % P`` together with the dropped ids and anti-joined
+       exactly inside a coarse-partition kernel.
+
+    Shuffled volume ≈ the dropped fraction of the corpus (web-scale dedup
+    drops 30-50%) — unavoidable for an exact filter, and never resident
+    in one place.
     """
     import ray
 
-    dropped_rows = keep_list.map_batches(
-        lambda b: b.filter(pa.compute.invert(b["keep"])).select(["doc_id"]),
-        batch_format="pyarrow",
-    ).take_all()
-    dropped = {r["doc_id"] for r in dropped_rows}
-    dropped_ref = ray.put(dropped)
+    from ontocast_ray.ops.dedup import _BLOOM_BITS, _bloom_build_cols, _bloom_contains
+    from ontocast_ray.util import hash_partition
 
-    class Filter:
+    dropped = keep_list.map_batches(
+        lambda b: pa.table({id_col: b.filter(pa.compute.invert(b["keep"]))["doc_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    if dropped.count() == 0:
+        return docs
+
+    bloom_ref = ray.put(_bloom_build_cols(dropped, [id_col]))
+    doc_schema = docs.schema()
+    doc_fields = list(zip(doc_schema.names, doc_schema.types))
+    id_type = dict(doc_fields)[id_col]
+
+    class PassThrough:
+        """Docs whose id misses the Bloom: keep, no shuffle."""
+
         def __init__(self):
-            self.dropped = ray.get(dropped_ref)
+            self.bloom = ray.get(bloom_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            mask = ~pd.Series(ids).isin(self.dropped).to_numpy()
-            return batch.filter(pa.array(mask))
+            hit = _bloom_contains(self.bloom, batch[id_col], _BLOOM_BITS)
+            return batch.filter(pa.array(~hit))
 
-    return docs.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 4))
+    class MaybeDropped:
+        """Docs whose id hits the Bloom: tag with (part, kind=0) for the join."""
+
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hit = _bloom_contains(self.bloom, batch[id_col], _BLOOM_BITS)
+            b = batch.filter(pa.array(hit))
+            return b.append_column(
+                "__part", pa.array(hash_partition(b[id_col], n_parts))
+            ).append_column("__kind", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    def dropped_rows(batch: pa.Table) -> pa.Table:
+        """Dropped ids null-padded to the doc schema + (part, kind=1)."""
+        n = len(batch)
+        ids = batch[id_col].cast(id_type)
+        arrays = [
+            ids if name == id_col else pa.nulls(n, typ) for name, typ in doc_fields
+        ]
+        t = pa.Table.from_arrays(arrays, names=[n for n, _ in doc_fields])
+        return t.append_column(
+            "__part", pa.array(hash_partition(ids, n_parts))
+        ).append_column("__kind", pa.array(np.ones(n, dtype=np.int8)))
+
+    def anti_join(part: pa.Table) -> pa.Table:
+        kind = part["__kind"].to_numpy(zero_copy_only=False)
+        ids = part[id_col].to_numpy(zero_copy_only=False)
+        keep = kind == 0
+        drop_ids = ids[kind == 1]
+        if len(drop_ids):
+            keep &= ~pd.Series(ids).isin(drop_ids).to_numpy()
+        return part.filter(pa.array(keep)).drop_columns(["__part", "__kind"])
+
+    kept_fast = docs.map_batches(PassThrough, batch_format="pyarrow", concurrency=(1, 8))
+    maybe = docs.map_batches(MaybeDropped, batch_format="pyarrow", concurrency=(1, 8))
+    verified = (
+        maybe.union(dropped.map_batches(dropped_rows, batch_format="pyarrow"))
+        .groupby("__part")
+        .map_groups(anti_join, batch_format="pyarrow")
+    )
+    return kept_fast.union(verified)
 
 
 def dedup_keep_list(

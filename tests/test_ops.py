@@ -408,6 +408,75 @@ def test_connected_components_chain_and_clusters(ray_session):
     assert kept == {0, 20, 30, 40}
 
 
+def test_connected_components_scale_star_and_chain(ray_session):
+    """Per-round cost must be per-PARTITION, not per-node: a 100k-node star
+    (one Python call per node would take minutes) plus a 4k chain (multi-
+    round convergence at coarse partitions) both finish promptly & exactly."""
+    import time
+
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    n_star, n_chain = 100_000, 4_096
+    star_a = np.zeros(n_star - 1, dtype=np.int64)
+    star_b = np.arange(1, n_star, dtype=np.int64)
+    chain_a = np.arange(n_chain - 1, dtype=np.int64) + 1_000_000
+    chain_b = chain_a + 1
+    tbl = pa.table(
+        {
+            "doc_id_a": pa.array(np.concatenate([star_a, chain_a])),
+            "doc_id_b": pa.array(np.concatenate([star_b, chain_b])),
+        }
+    )
+    t0 = time.monotonic()
+    out = connected_components(ray.data.from_arrow(tbl)).take_all()
+    elapsed = time.monotonic() - t0
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert len(comp) == n_star + n_chain
+    assert all(comp[i] == 0 for i in range(n_star))
+    assert all(comp[1_000_000 + i] == 1_000_000 for i in range(n_chain))
+    # generous bound: per-node Python dispatch would blow far past this
+    assert elapsed < 120, f"CC rounds took {elapsed:.0f}s — per-node dispatch?"
+
+
+def test_apply_keep_list_large_dropped_fraction(ray_session):
+    """Anti-join path: 40% of the corpus dropped — both the Bloom pass-
+    through and the shuffle anti-join branches produce the exact survivor
+    set, with full doc rows (multiple column types) intact."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import apply_keep_list
+
+    n = 5_000
+    ids = np.arange(n, dtype=np.int64)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "text": pa.array([f"doc {i}" for i in ids]),
+                "score": pa.array(ids.astype(np.float64) / 7.0),
+            }
+        )
+    )
+    dropped_mask = ids % 5 < 2  # 40% dropped
+    keep_list = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "keep_id": pa.array(ids - ids % 5),
+                "keep": pa.array(~dropped_mask),
+            }
+        )
+    )
+    out = apply_keep_list(docs, keep_list).take_all()
+    assert {r["doc_id"] for r in out} == set(ids[~dropped_mask].tolist())
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[4]["text"] == "doc 4" and by_id[4]["score"] == 4 / 7.0
+
+
 def test_connected_components_empty(ray_session):
     import ray.data
 
