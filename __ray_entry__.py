@@ -14,6 +14,7 @@ The driver initialises Ray BEFORE importing this module; nothing here calls
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -606,7 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_GOLDEN_DIR = "/root/repo/goldens/sf0.01"
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "goldens", "sf0.01"
+)
 
 # Seed-deterministic queries whose outputs SQL cannot re-derive (hash
 # signatures, LSH, KG extraction): the oracle is a pinned golden parquet

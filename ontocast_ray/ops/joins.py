@@ -32,9 +32,14 @@ class BroadcastLookup:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key_col].to_pylist()
-        values = [self.lookup.get(k) for k in keys]
-        return batch.append_column(self.out_col, pa.array(values))
+        import pandas as pd
+
+        # Series.map factorizes the keys once and takes from the dict's
+        # value array — vectorized, no per-row Python dict.get loop
+        mapped = pd.Series(batch[self.key_col].to_pandas()).map(self.lookup)
+        return batch.append_column(
+            self.out_col, pa.Array.from_pandas(mapped)
+        )
 
 
 def broadcast_join(

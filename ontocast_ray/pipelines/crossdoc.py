@@ -219,15 +219,25 @@ def global_entity_table(
     )
 
     def add_part1(batch: pa.Table) -> pa.Table:
-        parts = [
-            zlib.crc32(f"{k}:{s}".encode()) % n_parts
-            for k, s in zip(batch["entity_key"].to_pylist(), batch["salt"].to_pylist())
-        ]
-        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+        # vectorized (key ⊕ salt) partition — the part column is only a
+        # shuffle key, so any deterministic hash gives identical results
+        import numpy as np
+
+        from ontocast_ray.util import hash_u64
+
+        h = hash_u64(batch["entity_key"])
+        salt = batch["salt"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = h ^ (salt * np.uint64(0x9E3779B97F4A7C15))
+        parts = (mixed % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("part", pa.array(parts))
 
     def add_part2(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(k.encode()) % n_parts for k in batch["entity_key"].to_pylist()]
-        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+        from ontocast_ray.util import hash_partition
+
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["entity_key"], n_parts))
+        )
 
     partial = (
         mentions.map_batches(add_part1, batch_format="pyarrow")

@@ -24,7 +24,7 @@ import ray
 import ray.data
 
 from ontocast_ray.corpus import spanify_batch
-from ontocast_ray.sources.io import commit_shard, committed_shards, shard_of, shard_out_path
+from ontocast_ray.sources.io import commit_shard, committed_shards, shard_out_path
 from ontocast_ray.sources.ontologies import OntologyRecord, fetch_ontologies
 from ontocast_ray.stages.assemble import assemble_spans
 from ontocast_ray.stages.canonicalize_stage import canonicalize_doc_group
@@ -389,9 +389,11 @@ def run_resumable(
 def _shard_filter_factory(shard: int, n_shards: int):
     import pyarrow as pa
 
+    from ontocast_ray.util import hash_partition
+
     def _filter(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [i for i, d in enumerate(ids) if shard_of(d, n_shards) == shard]
-        return batch.take(keep)
+        # vectorized; hash_partition == shard_of by construction (io.py)
+        keep = hash_partition(batch["doc_id"], n_shards) == shard
+        return batch.filter(pa.array(keep))
 
     return _filter

@@ -19,12 +19,15 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 
 
 def shard_of(doc_id: str, n_shards: int) -> int:
-    """Stable doc_id → shard (crc32; independent of PYTHONHASHSEED)."""
-    return zlib.crc32(doc_id.encode()) % n_shards
+    """Stable doc_id → shard (siphash, fixed key; independent of
+    PYTHONHASHSEED). Must agree with the vectorized batch filter in
+    pipelines/kg.py, so both delegate to util.hash_partition."""
+    from ontocast_ray.util import hash_partition
+
+    return int(hash_partition([doc_id], n_shards)[0])
 
 
 def manifest_dir(out_dir: str) -> str:

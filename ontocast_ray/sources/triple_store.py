@@ -214,11 +214,15 @@ class Neo4jTripleStoreManager:
     driver when installed — absent in this container, so tests inject a
     recorder and service-gated runs plug the real one)."""
 
+    # store format mirrors the reference exactly (ref neo4j.py:115-127):
+    # KEEP vocab URIs + rdf:type as NODES edges, so a database written by
+    # either implementation is discoverable by the other
     N10S_INIT = (
-        "CALL n10s.graphconfig.init({handleVocabUris: 'SHORTEN', "
-        "handleMultival: 'OVERWRITE', handleRDFTypes: 'LABELS_AND_NODES', "
-        "keepLangTag: false, keepCustomDataTypes: true, applyNeo4jNaming: false})"
+        "CALL n10s.graphconfig.init({handleVocabUris: 'KEEP', "
+        "handleMultival: 'OVERWRITE', typesToLabels: false, "
+        "keepLangTag: false, keepCustomDataTypes: true, handleRDFTypes: 'NODES'})"
     )
+    N10S_SHOW = "CALL n10s.graphconfig.show()"
     CONSTRAINT = (
         "CREATE CONSTRAINT n10s_unique_uri IF NOT EXISTS "
         "FOR (r:Resource) REQUIRE r.uri IS UNIQUE"
@@ -247,8 +251,21 @@ class Neo4jTripleStoreManager:
         with self._session_factory() as session:
             if clean:
                 session.run("MATCH (n) DETACH DELETE n")
-            session.run(self.N10S_INIT)
-            session.run(self.CONSTRAINT)
+            # n10s rejects (re)configuration once RDF data exists; mirror the
+            # reference (neo4j.py:97-128): probe graphconfig.show() and
+            # swallow init/constraint errors on an already-configured store
+            try:
+                session.run(self.N10S_SHOW)
+            except Exception:
+                pass
+            try:
+                session.run(self.N10S_INIT)
+            except Exception:
+                pass
+            try:
+                session.run(self.CONSTRAINT)
+            except Exception:
+                pass
 
     def serialize_ontology(self, record: OntologyRecord, **kwargs):
         """Inline n10s Turtle import (ref neo4j.py:389-412)."""
@@ -262,8 +279,12 @@ class Neo4jTripleStoreManager:
         with self._session_factory() as session:
             return session.run(self.IMPORT_INLINE, ttl=serialize_turtle(graph))
 
+    # rdf:type-EDGE discovery, matching the KEEP + NODES store format
+    # (ref neo4j.py:255-270): ontologies are Resources with an explicit
+    # rdf:type edge to the owl:Ontology node, not label-typed
     DISCOVER = (
-        "MATCH (o:Resource) WHERE any(l IN labels(o) WHERE l ENDS WITH 'Ontology') "
+        "MATCH (o)-[:`http://www.w3.org/1999/02/22-rdf-syntax-ns#type`]->"
+        '(t:Resource { uri: "http://www.w3.org/2002/07/owl#Ontology" }) '
         "RETURN o.uri AS uri"
     )
 
@@ -283,9 +304,13 @@ class Neo4jTripleStoreManager:
         directly instead of printing-and-reparsing N-Triples)."""
         from ontocast_ray.rdf.terms import Literal
 
+        # escape store-controlled content before interpolating into the
+        # inner Cypher string — an IRI containing a quote or backslash must
+        # not break out of the literal (Cypher injection via stored data)
+        safe_ns = namespace_uri.replace("\\", "\\\\").replace('"', '\\"').replace("'", "\\'")
         query = (
             "CALL n10s.rdf.export.cypher("
-            f"'MATCH (n)-[r]->(m) WHERE n.uri STARTS WITH \"{namespace_uri}\" RETURN n,r,m', "
+            f"'MATCH (n)-[r]->(m) WHERE n.uri STARTS WITH \"{safe_ns}\" RETURN n,r,m', "
             "{format: 'Turtle'}) "
             "YIELD subject, predicate, object, isLiteral, literalType, literalLang "
             "RETURN subject, predicate, object, isLiteral, literalType, literalLang"

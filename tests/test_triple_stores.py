@@ -220,22 +220,62 @@ def test_neo4j_n10s_payloads():
         uri="bolt://localhost:7687", auth=("neo4j", "pw"), clean=True,
         session_factory=lambda: _FakeNeo4jSession(log),
     )
-    # init: clean, n10s graphconfig, uniqueness constraint — in that order
+    # init: clean, graphconfig probe, n10s graphconfig, constraint — in order
     assert log[0][0] == "MATCH (n) DETACH DELETE n"
-    assert "n10s.graphconfig.init" in log[1][0]
-    assert "CREATE CONSTRAINT n10s_unique_uri" in log[2][0]
+    assert "n10s.graphconfig.show" in log[1][0]
+    assert "n10s.graphconfig.init" in log[2][0]
+    # reference store format: KEEP vocab URIs, rdf:type as NODES edges
+    assert "'KEEP'" in log[2][0] and "'NODES'" in log[2][0]
+    assert "CREATE CONSTRAINT n10s_unique_uri" in log[3][0]
 
     record = ontology_from_graph(parse_turtle(ONTO_TTL))
     mgr.serialize_ontology(record)
-    query, params = log[3]
+    query, params = log[4]
     assert query == "CALL n10s.rdf.import.inline($ttl, 'Turtle')"
     assert "owl:Ontology" in params["ttl"] or "owl#Ontology" in params["ttl"]
 
     facts = parse_turtle("@prefix ex: <https://example.com/> .\nex:s ex:p ex:o .\n")
     mgr.serialize_facts(facts)
-    query, params = log[4]
+    query, params = log[5]
     assert query == "CALL n10s.rdf.import.inline($ttl, 'Turtle')"
     assert "ex:s" in params["ttl"] or "https://example.com/s" in params["ttl"]
+
+
+def test_neo4j_reconnect_to_configured_store():
+    """n10s rejects graphconfig.init once RDF data exists — reconnecting to
+    a populated database must not raise (ref neo4j.py:97-128)."""
+    from ontocast_ray.sources.triple_store import Neo4jTripleStoreManager
+
+    log: list = []
+
+    class _ConfiguredSession(_FakeNeo4jSession):
+        def run(self, query, **params):
+            self.log.append((query, params))
+            if "n10s.graphconfig.init" in query or "CREATE CONSTRAINT" in query:
+                raise RuntimeError("n10s: config frozen, RDF data present")
+            return []
+
+    mgr = Neo4jTripleStoreManager(
+        uri="bolt://localhost:7687", auth=("neo4j", "pw"),
+        session_factory=lambda: _ConfiguredSession(log),
+    )
+    assert any("graphconfig.init" in q for q, _ in log)  # attempted, swallowed
+
+
+def test_neo4j_export_namespace_escapes_cypher():
+    """A namespace IRI containing quotes must not break out of the inner
+    Cypher string literal (injection via stored data)."""
+    from ontocast_ray.sources.triple_store import Neo4jTripleStoreManager
+
+    log: list = []
+    mgr = Neo4jTripleStoreManager(
+        uri="bolt://localhost:7687", auth=("neo4j", "pw"),
+        session_factory=lambda: _FakeNeo4jSession(log),
+    )
+    with mgr._session_factory() as session:
+        mgr._export_namespace(session, 'https://e.com/x" RETURN 1 //#')
+    query = log[-1][0]
+    assert '\\"' in query and 'x" RETURN 1' not in query
 
 
 def test_neo4j_without_driver_raises():
