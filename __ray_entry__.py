@@ -422,6 +422,33 @@ def _q_neardup_keep_list(sf_dir: str):
     return dedup_keep_list(verified)
 
 
+def _q_neardup_filtered(sf_dir: str):
+    """End of the dedup flow: the corpus with non-representative near-dups
+    removed (Bloom-pruned shuffle anti-join — nothing corpus-sized on the
+    driver). Projects text to its length so the compare hashes scalars."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+    from ontocast_ray.ops.graph_cc import apply_keep_list, dedup_keep_list
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3)
+    kept = apply_keep_list(docs, dedup_keep_list(verified))
+
+    def project(batch):
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "text_len": pc.utf8_length(batch["text"]),
+            }
+        )
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_hopping(sf_dir: str):
     import pyarrow as pa
 
@@ -596,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 2: dedup end-game + extra window/rank ops
         "doc_group_components": _q_doc_group_components,
         "neardup_keep_list": _q_neardup_keep_list,
+        "neardup_filtered_docs": _q_neardup_filtered,
         "events_hopping": _q_events_hopping,
         "top_docs_per_source": _q_top_docs_per_source,
         "events_asof_click": _q_events_asof,
@@ -620,7 +648,6 @@ _GOLDEN_QUERIES = [
     "kg_triples",
     "kg_chunks",
     "kg_aggregated_facts",
-    "minhash_dedup_pairs",
     "simhash_signatures",
     "embedding_dedup_pairs",
     "doc_fingerprint",
@@ -629,8 +656,63 @@ _GOLDEN_QUERIES = [
     "media_features",
     "kg_global_entities",
     "kg_rewritten_global",
-    "neardup_keep_list",
 ]
+
+# Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
+# re-derivation of the MinHash→LSH→verify pipeline's final answer (at this
+# SF every true pair is caught by 16 bands × 4 rows with probability
+# ~1-1e-4, and the fixed seeds make it deterministic). Tokenization mirrors
+# ops/dedup.py:_word_hashes_batch: lower, strip, split on \s+; docs with
+# < 3 words collapse to one whole-text shingle; jaccard is the raw IEEE
+# |∩|/|∪| integer division on both sides.
+_JACCARD_PAIRS_SQL = r"""
+    WITH ws AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE [array_to_string(w, ' ')] END
+               ) AS shingles
+        FROM ws
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n FROM sh
+    ), inter AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS i
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_id_a
+    JOIN sizes nb ON nb.doc_id = doc_id_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+"""
+
+# Transitive closure of the verified pair graph via WITH RECURSIVE:
+# reach(node, comp) holds when a path comp→node exists, so min(comp) per
+# node is the component's min id — the keep-list rule.
+_NEARDUP_KEEP_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS comp FROM edges
+        UNION
+        SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS keep_id, node = min(comp) AS keep
+    FROM reach GROUP BY node
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -644,6 +726,18 @@ def oracle_sql() -> dict[str, str]:
 
 def _sql_oracles() -> dict[str, str]:
     return {
+        # independent re-derivations of the dedup end-game (see the CTE
+        # docstrings above): exact shingle Jaccard, recursive closure, and
+        # the filtered corpus as an anti-join against the closure
+        "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
+        "neardup_keep_list": _NEARDUP_KEEP_SQL,
+        "neardup_filtered_docs": f"""
+            WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL})
+            SELECT d.doc_id, d.source, length(d.text) AS text_len
+            FROM documents d
+            LEFT JOIN keep_list k ON d.doc_id = k.doc_id
+            WHERE k.keep IS NULL OR k.keep
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

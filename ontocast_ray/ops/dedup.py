@@ -492,7 +492,10 @@ def ngram_jaccard_verify(
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-                sims.append(round(j, 6))
+                # raw IEEE |∩|/|∪| — bit-exact vs a SQL oracle computing the
+                # same integer division (rounding would reintroduce the
+                # banker's-vs-half-up mismatch documented in CLAUDE.md)
+                sims.append(j)
         return pa.table(
             {
                 "doc_id_a": pa.array(out_a, type=id_type),
