@@ -338,6 +338,18 @@ def _q_knn_ivf(sf_dir: str):
     )
 
 
+def _q_knn_ivf_rerank(sf_dir: str):
+    """IVF-PQ ADC candidates (code-only probed scan) + exact float re-rank
+    (seed-deterministic → golden oracle; recall≥0.9 asserted in tests)."""
+    from ontocast_ray.ops.similarity import build_ivfpq_index, knn_ivfpq_rerank_search
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _query_vectors(emb)
+    index_dir = _index_scratch(sf_dir, "ivfpq")
+    build_ivfpq_index(emb, index_dir, n_clusters=16, m=8, n_codes=256)
+    return knn_ivfpq_rerank_search(index_dir, queries, k=10, n_probe=4, rerank_factor=4)
+
+
 def _q_global_entities(sf_dir: str):
     from ontocast_ray.pipelines.crossdoc import global_entity_table
 
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "knn_ivf_top10": _q_knn_ivf,
         "knn_pq_top10": _q_knn_pq,
+        "knn_ivf_rerank_top10": _q_knn_ivf_rerank,
         "media_features": _q_media_features,
         # cross-document entity merge (salted two-phase shuffle + pure-map rewrite)
         "kg_global_entities": _q_global_entities,
@@ -653,6 +666,7 @@ _GOLDEN_QUERIES = [
     "doc_fingerprint",
     "knn_ivf_top10",
     "knn_pq_top10",
+    "knn_ivf_rerank_top10",
     "media_features",
     "kg_global_entities",
     "kg_rewritten_global",

@@ -381,6 +381,198 @@ def build_pq_index(
     return codebooks
 
 
+def build_ivfpq_index(
+    embeddings: "ray.data.Dataset",
+    index_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 2000,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_rows_per_file: int = 50_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ build: ONE pass assigns every vector to its nearest centroid,
+    PQ-encodes it, and writes a cluster-partitioned layout carrying BOTH the
+    uint8 codes and the float vectors as separate columns.  The ADC scan
+    then reads only (id, code, cluster) columns of probed partitions —
+    columnar pruning makes the candidate scan ~m bytes/vector — and the
+    re-rank pass reads the float column for just the candidate ids.
+    Returns (centroids, codebooks)."""
+    import json
+    import os
+
+    sample_rows = embeddings.limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    centroids = kmeans_lite(sample, n_clusters, seed=seed)
+    codebooks = train_pq(sample, m=m, n_codes=n_codes, seed=seed)
+    centroids_ref = ray.put(centroids)
+    books_ref = ray.put(codebooks)
+
+    class AssignEncode:
+        def __init__(self):
+            self.centroids = ray.get(centroids_ref)
+            self.books = ray.get(books_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {id_col: batch[id_col], vec_col: batch[vec_col],
+                     "pq_code": pa.array([], type=pa.binary()),
+                     "cluster": pa.array([], type=pa.int32()),
+                     "cluster_id": pa.array([], type=pa.int32())}
+                )
+            vecs = _normalize(vectors_2d(batch[vec_col]))
+            assign = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
+            codes = pq_encode(vecs, self.books)
+            return pa.table(
+                {id_col: batch[id_col], vec_col: batch[vec_col],
+                 "pq_code": pa.array([c.tobytes() for c in codes], type=pa.binary()),
+                 "cluster": pa.array(assign), "cluster_id": pa.array(assign)}
+            )
+
+    embeddings.map_batches(
+        AssignEncode, batch_format="pyarrow", concurrency=pool(4)
+    ).write_parquet(
+        index_dir, partition_cols=["cluster"], min_rows_per_file=min_rows_per_file
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(index_dir, "pq_codebooks.npy"), codebooks)
+    with open(os.path.join(index_dir, "ivfpq_meta.json"), "w", encoding="utf-8") as fh:
+        json.dump({"n_clusters": int(len(centroids)), "m": int(m),
+                   "id_col": id_col, "vec_col": vec_col}, fh)
+    return centroids, codebooks
+
+
+def knn_ivfpq_rerank_search(
+    index_dir: str,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Two-phase ANN over an IVF-PQ index:
+
+    1. ADC candidate scan — probed partitions, code column only, top-k′
+       (k′ = rerank_factor·k) per query by approximate cosine;
+    2. exact re-rank — float vectors of the SAME probed partitions,
+       map-side filtered to the candidate ids (a bounded nq·k′ set
+       broadcast once), exact cosine, final top-k.
+
+    The re-rank repairs PQ quantization error: recall-vs-bruteforce is
+    asserted ≥ 0.9 in tests (tests/test_ops.py)."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    codebooks = np.load(os.path.join(index_dir, "pq_codebooks.npy"))
+    m, n_codes, dsub = codebooks.shape
+    queries = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    probes = np.argsort(-(queries @ centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(map(int, row)) for row in probes]
+    union_probed = set().union(*probe_sets) if probe_sets else set()
+    paths, _total = ivf_probe_paths(index_dir, union_probed)
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      id_col: pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if not paths:
+        return ray.data.from_arrow(empty)
+
+    k_prime = max(k, rerank_factor * k)
+    luts = np.einsum(
+        "qmd,mcd->qmc", queries.reshape(len(queries), m, dsub), codebooks
+    ).astype(np.float32)
+    luts_ref = ray.put(luts)
+
+    class ADCCandidates:
+        def __init__(self):
+            self.luts = ray.get(luts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 id_col: batch[id_col],
+                                 "adc": pa.array([], type=pa.float64())})
+            ids = np.asarray(batch[id_col].to_pylist())
+            assign = batch["cluster_id"].to_numpy(zero_copy_only=False)
+            blob = b"".join(batch["pq_code"].to_pylist())
+            codes = np.frombuffer(blob, dtype=np.uint8).reshape(n, m)
+            cols = np.arange(m)
+            q_out, id_out, s_out = [], [], []
+            for qi, probe in enumerate(probe_sets):
+                mask = np.isin(assign, list(probe))
+                if not mask.any():
+                    continue
+                sims = self.luts[qi][cols[None, :], codes[mask]].sum(axis=1)
+                kk = min(k_prime, int(mask.sum()))
+                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                sub_ids = ids[mask]
+                q_out.extend([qi] * kk)
+                id_out.extend(sub_ids[top])
+                s_out.extend(float(s) for s in sims[top])
+            return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                             id_col: pa.array(id_out),
+                             "adc": pa.array(s_out, type=pa.float64())})
+
+    def _adc_final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["adc", id_col], ascending=[False, True]).head(k_prime)
+
+    # phase 1: code-column-only scan of probed partitions
+    candidates = (
+        ray.data.read_parquet(paths, columns=[id_col, "pq_code", "cluster_id"])
+        .map_batches(ADCCandidates, batch_format="pyarrow", concurrency=pool(concurrency))
+        .groupby("query_id")
+        .map_groups(_adc_final, batch_format="pandas")
+        .take_all()
+    )  # bounded: nq × k′ rows — NOT corpus-sized
+    cand_ids: dict[int, set] = {}
+    for r in candidates:
+        cand_ids.setdefault(int(r["query_id"]), set()).add(r[id_col])
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+    cand_ref = ray.put(cand_ids)
+    queries_ref = ray.put(queries)
+
+    class ExactRerank:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+            self.queries = ray.get(queries_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 id_col: batch[id_col],
+                                 "cosine": pa.array([], type=pa.float64())})
+            ids = np.asarray(batch[id_col].to_pylist())
+            vecs = _normalize(vectors_2d(batch[vec_col]))
+            q_out, id_out, s_out = [], [], []
+            for qi, cset in self.cand.items():
+                mask = np.isin(ids, list(cset))
+                if not mask.any():
+                    continue
+                sims = self.queries[qi] @ vecs[mask].T
+                for i, s in zip(ids[mask], sims):
+                    q_out.append(qi)
+                    id_out.append(i)
+                    s_out.append(float(s))
+            return pa.table({"query_id": pa.array(q_out, type=pa.int64()),
+                             id_col: pa.array(id_out),
+                             "cosine": pa.array(s_out, type=pa.float64())})
+
+    # phase 2: float column of the same probed partitions, candidate-filtered
+    rerank = ray.data.read_parquet(paths, columns=[id_col, vec_col]).map_batches(
+        ExactRerank, batch_format="pyarrow", concurrency=pool(concurrency)
+    )
+    return rerank.groupby("query_id").map_groups(
+        _final_topk_factory(k, id_col), batch_format="pandas"
+    )
+
+
 def knn_pq_search(
     index_dir: str,
     query_matrix: np.ndarray,

@@ -148,6 +148,46 @@ def test_knn_ivf_recall(ray_session):
     assert 3 in approx  # self must be found (its own cluster is the nearest)
 
 
+def test_knn_ivfpq_rerank_recall(ray_session, tmp_path):
+    """IVF-PQ ADC candidates + exact float re-rank: recall@10 vs brute force
+    must be ≥ 0.9 (the re-rank repairs PQ quantization error), and the
+    re-ranked cosines must be the EXACT values, not ADC approximations."""
+    import ray.data
+
+    from ontocast_ray.ops.similarity import (
+        build_ivfpq_index, knn_bruteforce, knn_ivfpq_rerank_search,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(600, 16)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(600), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    queries = vecs[[3, 42]]
+    idx_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds, idx_dir, n_clusters=8, m=8, n_codes=64, sample_size=600)
+    exact = knn_bruteforce(ds, queries, k=10).take_all()
+    rr = knn_ivfpq_rerank_search(
+        idx_dir, queries, k=10, n_probe=6, rerank_factor=4
+    ).take_all()
+    recalls = []
+    for qi in (0, 1):
+        e = {r["vec_id"] for r in exact if r["query_id"] == qi}
+        a = {r["vec_id"] for r in rr if r["query_id"] == qi}
+        recalls.append(len(e & a) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    # re-ranked scores are exact: any id in both lists has the same cosine
+    e_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in rr:
+        key = (r["query_id"], r["vec_id"])
+        if key in e_scores:
+            assert abs(r["cosine"] - e_scores[key]) < 1e-9
+
+
 def test_text_stats(ray_session):
     from ontocast_ray.ops.text import LangId, fingerprint, quality_stats, token_stats
 
