@@ -42,14 +42,55 @@ def resolve_n_parts(
     ~``target_rows_per_part`` rows regardless of input size; keys still
     colocate because partition = hash(key) % P within one run.
 
-    Caveat: for a DERIVED dataset (map_batches upstream), ``count()``
-    executes that pipeline once before the shuffle re-executes it — pass an
-    explicit ``n_parts`` there instead of the None default.
+    For a DERIVED dataset (map_batches upstream), ``count()`` would execute
+    that pipeline once before the shuffle re-executes it — so the row count
+    is first ESTIMATED from the input files' parquet metadata (an upper
+    bound: upstream filters only shrink it, and P only needs the right
+    order of magnitude). ``count()`` runs only when there are no input
+    files to read metadata from (in-memory datasets — where it is cheap).
     """
     if n_parts is not None:
         return n_parts
-    n = ds.count() if ds is not None else 0
+    if ds is None:
+        n = 0
+    else:
+        n = _estimate_rows_from_metadata(ds)
+        if n is None:
+            n = ds.count()
     return int(min(hi, max(lo, math.ceil(n / target_rows_per_part))))
+
+
+def _estimate_rows_from_metadata(ds: "ray.data.Dataset") -> int | None:
+    """Row count from the lineage's parquet file footers — no execution.
+
+    ``ds.input_files()`` only resolves for pure read datasets, so this walks
+    the logical plan to the leaf Read operator and sums the parquet footers
+    of its source paths (Ray 2.49 internals, guarded — any drift falls back
+    to ``count()`` by returning None). Returns None when the dataset has no
+    single-source parquet lineage.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        op = ds._logical_plan.dag
+        while op.input_dependencies:
+            if len(op.input_dependencies) > 1:  # union/zip: no single lineage
+                return None
+            op = op.input_dependencies[0]
+        paths = getattr(getattr(op, "_datasource", None), "_pq_paths", None)
+    except Exception:
+        return None
+    if not paths:
+        return None
+    total = 0
+    for f in paths:
+        if "://" in f:
+            f = f.split("://", 1)[1]
+        try:
+            total += pq.read_metadata(f).num_rows
+        except Exception:
+            return None
+    return total
 
 
 def _add_part_factory(key_col: str, n_parts: int):

@@ -555,6 +555,38 @@ def test_hopping_window_multi_membership(ray_session):
     assert sum(r["n_events"] for r in out) == 6  # every event in exactly 2 windows
 
 
+def test_resolve_n_parts_no_double_execution(ray_session, tmp_path):
+    """Sizing P for a DERIVED dataset must read parquet footers, not execute
+    the upstream pipeline (which the shuffle would then re-execute)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table({"x": pa.array(range(1000), type=pa.int64())}), str(src)
+    )
+    markers = tmp_path / "exec_markers"
+    markers.mkdir()
+
+    def touch_and_pass(batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        (markers / f"{os.getpid()}-{uuid.uuid4().hex}").touch()
+        return batch
+
+    derived = ray.data.read_parquet(str(src)).map_batches(
+        touch_and_pass, batch_format="pyarrow"
+    )
+    p = resolve_n_parts(derived, None, target_rows_per_part=100, lo=2, hi=64)
+    assert p == 10  # 1000 rows / 100 per part, straight from the footer
+    assert list(markers.iterdir()) == []  # upstream map NEVER ran
+    derived.take_all()
+    assert len(list(markers.iterdir())) > 0  # sanity: markers do fire on exec
+
+
 def test_topk_per_group(ray_session):
     import ray.data
 
