@@ -123,3 +123,99 @@ def test_plugs_into_extract_stage():
     out = stage(batch)
     scopes = set(out["graph_scope"].to_pylist())
     assert "facts" in scopes and "status" in scopes and "ontology" in scopes
+
+
+# --- e2e through the REAL OpenAI-compatible HTTP client ---------------------
+#
+# A stdlib HTTP server replays recorded chat completions, so the full
+# L1→L5 loop (JSON select, Turtle render+parse, critique, retry feedback)
+# runs through OpenAIChatClient's actual request/response path — headers,
+# JSON envelope, and all — with zero network.
+
+
+class _RecordedChatServer:
+    """Serves POST /chat/completions from a queue of recorded responses."""
+
+    def __init__(self, responses):
+        import http.server
+        import threading
+
+        self.responses = list(responses)
+        self.requests = []
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib naming)
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                outer.requests.append(
+                    (self.path, dict(self.headers), json.loads(body))
+                )
+                content = outer.responses.pop(0)
+                payload = json.dumps(
+                    {
+                        "id": "chatcmpl-recorded",
+                        "object": "chat.completion",
+                        "model": "gpt-4o-mini",
+                        "choices": [
+                            {
+                                "index": 0,
+                                "message": {"role": "assistant", "content": content},
+                                "finish_reason": "stop",
+                            }
+                        ],
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.base = f"http://127.0.0.1:{self.httpd.server_port}/v1"
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+
+
+def test_e2e_via_openai_compatible_http_client():
+    from ontocast_ray.llm import OpenAIChatClient
+
+    server = _RecordedChatServer([
+        SELECT_OK,
+        ONTO_TTL, PASS,
+        "NOT TURTLE AT ALL {{{",   # facts attempt 1 → parse error → retry
+        FACTS_TTL, PASS,
+    ])
+    try:
+        client = OpenAIChatClient(
+            model="gpt-4o-mini", base_url=server.base, api_key="test-key"
+        )
+        ex = LLMExtractor(client, _views())
+        result = ex.process_chunk("Alice works at Acme.", DOC_IRI, CHUNK, max_visits=3)
+    finally:
+        server.shutdown()
+
+    assert result.status == "success" and result.failure_stage is None
+    assert result.attempts == 2
+    subjects = {str(s) for s, _, _ in result.facts}
+    assert CD + "Alice" in subjects
+
+    # the real wire format was exercised
+    assert len(server.requests) == 6
+    path, headers, body = server.requests[0]
+    assert path.endswith("/chat/completions")
+    assert headers.get("Authorization") == "Bearer test-key"
+    assert body["model"] == "gpt-4o-mini"
+    assert body["messages"][0]["role"] == "user"
+    # retry prompt carried the parse-failure feedback over the wire
+    retry_body = server.requests[4][2]
+    assert STAGE_PARSE_FACTS in retry_body["messages"][0]["content"]
+    # prompt parity: the typed-literal mandate rides in the facts prompt
+    # (ref render_facts.py:22-25)
+    facts_prompt = server.requests[3][2]["messages"][0]["content"]
+    assert "xsd:" in facts_prompt and "atomic" in facts_prompt
