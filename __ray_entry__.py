@@ -350,6 +350,30 @@ def _q_knn_ivf_rerank(sf_dir: str):
     return knn_ivfpq_rerank_search(index_dir, queries, k=10, n_probe=4, rerank_factor=4)
 
 
+def _q_corpus_interleave(sf_dir: str):
+    """Deterministic weighted source interleave: even doc_ids as a 'web'
+    source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
+    pure function of (seed, doc_id), re-derived bit-exactly by the SQL
+    oracle's splitmix64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.interleave import weighted_interleave
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    web = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    code = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    return weighted_interleave(
+        {"web": web, "code": code}, {"web": 2.0, "code": 1.0}, seed=7
+    )
+
+
 def _q_global_entities(sf_dir: str):
     from ontocast_ray.pipelines.crossdoc import global_entity_table
 
@@ -645,6 +669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_window": _q_events_watermark,
         "term_counts_top50": _q_term_counts,
         "doc_sample_10pct": _q_doc_sample,
+        # round 3: training-data export surface
+        "corpus_interleave": _q_corpus_interleave,
     }
 
 
@@ -709,6 +735,49 @@ _JACCARD_PAIRS_SQL = r"""
     WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
 """
 
+# splitmix64 re-derived in pure SQL (ops/interleave.py mirrors this exactly):
+# 64-bit wrapping multiply via 32-bit constant halves inside HUGEINT (a full
+# 64×64 product overflows INT128), xor-shift on UBIGINT. Bit-exact vs the
+# numpy kernel — verified in tests and by the corpus_interleave hash match.
+def _splitmix_sql(seed: int) -> str:
+    T = "18446744073709551616"  # 2^64
+    gamma = 0x9E3779B97F4A7C15
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    add = (seed * gamma + gamma) % (1 << 64)
+
+    def mul_mod(expr: str, const: int) -> str:
+        ch, cl = const >> 32, const & 0xFFFFFFFF
+        e = f"CAST({expr} AS HUGEINT)"
+        return (
+            f"CAST((({e} * {cl}) + ((({e} * {ch}) % 4294967296) * 4294967296))"
+            f" % {T} AS UBIGINT)"
+        )
+
+    return f"""
+        s0 AS (
+            SELECT doc_id,
+                   CAST((CAST(doc_id AS HUGEINT) + {add}) % {T} AS UBIGINT) AS z
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id, {mul_mod("xor(z, z >> 30)", m1)} AS z FROM s0
+        ), s2 AS (
+            SELECT doc_id, {mul_mod("xor(z, z >> 27)", m2)} AS z FROM s1
+        ), mixed AS (
+            SELECT doc_id,
+                   CAST(xor(z, z >> 31) AS DOUBLE) / {T}.0 AS u
+            FROM s2
+        )"""
+
+
+_INTERLEAVE_SQL = f"""
+    WITH {_splitmix_sql(7)}
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'code' END AS source_name,
+           u / (CASE WHEN doc_id % 2 = 0 THEN 2.0 / 3.0 ELSE 1.0 / 3.0 END)
+               AS position
+    FROM mixed
+"""
+
 # Transitive closure of the verified pair graph via WITH RECURSIVE:
 # reach(node, comp) holds when a path comp→node exists, so min(comp) per
 # node is the component's min id — the keep-list rule.
@@ -745,6 +814,7 @@ def _sql_oracles() -> dict[str, str]:
         # the filtered corpus as an anti-join against the closure
         "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
         "neardup_keep_list": _NEARDUP_KEEP_SQL,
+        "corpus_interleave": _INTERLEAVE_SQL,
         "neardup_filtered_docs": f"""
             WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL})
             SELECT d.doc_id, d.source, length(d.text) AS text_len

@@ -137,6 +137,20 @@ def run_minhash_verified() -> int:
     return ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3).count()
 
 
+def run_neardup_keep_list() -> int:
+    """Dedup end-game: candidates → exact verify → CC star rounds → keep."""
+    from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+    from ontocast_ray.ops.graph_cc import dedup_keep_list
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=64, bands=16, shingle_k=3,
+        concurrency=max(2, NUM_CPUS // 4),
+    )
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3)
+    return dedup_keep_list(verified).count()
+
+
 def run_sessionize() -> int:
     from ontocast_ray.ops.windows import sessionize
 
@@ -239,6 +253,10 @@ def main() -> None:
     t = time.perf_counter()
     run_minhash_verified()
     extras["minhash_verified_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_neardup_keep_list()
+    extras["neardup_keep_list"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
     run_sessionize()
@@ -385,6 +403,29 @@ def scaling_child(num_cpus: int, corpus_path: str) -> None:
     ray.shutdown()
 
 
+def _serial_burn(n: int = 20_000_000) -> float:
+    """Seconds for a fixed single-process CPU burn — the machine-state probe.
+
+    The sandbox hypervisor steals cycles in episodes (documented ±40% in
+    CLAUDE.md); a leg run during a steal episode measures the hypervisor,
+    not the pipeline. Each leg is stamped with the burn measured right
+    before it so outlier legs can be detected and re-run."""
+    t0 = time.perf_counter()
+    _burn_child(n)
+    return time.perf_counter() - t0
+
+
+def _run_scaling_leg(n: int, corpus_path: str) -> dict:
+    burn = _serial_burn()
+    out = subprocess.run(
+        [sys.executable, __file__, "--scaling-child", str(n), corpus_path],
+        capture_output=True, text=True, env=dict(os.environ), check=True,
+    )
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res["burn_s"] = burn
+    return res
+
+
 def scaling_main() -> None:
     """Two N→4N pairs (2→8 and 8→32 workers), fresh sessions, same input.
 
@@ -392,17 +433,25 @@ def scaling_main() -> None:
     baseline measures < 4× effective CPU for 4× workers at the top end), so
     both pairs are reported together with the measured hardware baselines:
     2→8 sits in the platform's linear region; 8→32 shows the pipeline
-    tracking the hardware ceiling."""
+    tracking the hardware ceiling.
+
+    Burn gating: each leg is stamped with a serial CPU-burn probe taken
+    immediately before it; legs whose burn deviates > 25% from the run
+    median were measured in a different machine state and are re-run (up
+    to 3 sweeps), so the efficiency numbers compare legs from the SAME
+    hardware window without manual window-picking."""
     corpus_path = prepare_scaling_corpus()
-    results = {}
-    for n in (2, 8, 32):
-        env = dict(os.environ)
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(n), corpus_path],
-            capture_output=True, text=True, env=env, check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+    results = {n: _run_scaling_leg(n, corpus_path) for n in (2, 8, 32)}
+    retried = 0
+    for _sweep in range(3):
+        burns = {n: results[n]["burn_s"] for n in results}
+        med = sorted(burns.values())[len(burns) // 2]
+        outliers = [n for n, b in burns.items() if abs(b - med) / med > 0.25]
+        if not outliers:
+            break
+        for n in outliers:
+            results[n] = _run_scaling_leg(n, corpus_path)
+            retried += 1
     thr = {n: results[n]["docs"] / results[n]["sec"] for n in results}
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     eff_8_32 = (thr[32] / thr[8]) / 4.0
@@ -422,6 +471,10 @@ def scaling_main() -> None:
                 "efficiency_8_to_32_vs_hw_ceiling": round(
                     (thr[32] / thr[8]) / (hw[32] / hw[8]), 4
                 ),
+                "leg_burn_s": {
+                    str(n): round(results[n]["burn_s"], 3) for n in results
+                },
+                "legs_retried": retried,
                 "sf": SF_DIR,
             }
         )

@@ -42,8 +42,10 @@ def main(argv=None) -> int:
     import ray.data
 
     from ontocast_ray.pipelines.kg import run_resumable
+    from ontocast_ray.sources.io import read_documents
 
-    docs = ray.data.read_parquet(args.docs)
+    # contract input: a Lance dataset dir (when the wheel exists) or parquet
+    docs = read_documents(args.docs)
     t0 = time.time()
     stats = run_resumable(
         docs,

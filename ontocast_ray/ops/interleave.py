@@ -1,0 +1,95 @@
+"""Deterministic corpus shuffling and weighted source interleaving — the
+training-data-export end of the engine.
+
+A training run wants (a) a reproducible global shuffle of the corpus and
+(b) sources mixed by sampling weight (2 parts web : 1 part code : ...),
+without any stateful sampler that would break resume. Both reduce to a
+PURE FUNCTION of the row: a 64-bit mix of (seed, doc_id) gives every row
+a deterministic pseudo-random position; dividing each source's unit
+interval by its weight makes heavier sources appear proportionally more
+often in any prefix of the position order. The only distributed work is
+one ``sort`` by that position — Ray Data's range-partitioned sort, the
+same all-to-all any shuffle pays — and re-running with the same seed
+reproduces the identical order on any cluster size.
+
+The mix is splitmix64 (public-domain PRNG finalizer) — chosen over the
+engine's siphash helper because it is exactly reproducible in ANSI SQL
+(multiplication and xor-shift on UBIGINT), so the driver's DuckDB oracle
+re-derives positions independently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized splitmix64 finalizer of (value + seed·γ) — uint64 in, out."""
+    with np.errstate(over="ignore"):
+        z = values.astype(np.uint64) + np.uint64(seed) * _SM_GAMMA + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        return z ^ (z >> np.uint64(31))
+
+
+def deterministic_shuffle(
+    ds: "ray.data.Dataset", seed: int = 0, id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Reproducible global shuffle: position = splitmix64(seed, id), one
+    range-partitioned sort. Unlike ``random_shuffle`` the order is a pure
+    function of (seed, ids) — identical across runs and cluster sizes, so
+    a resumed training job sees the same sample order."""
+
+    def add_pos(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "_shuffle_pos", pa.array(splitmix64(ids, seed).astype(np.int64))
+        )
+
+    return ds.map_batches(add_pos, batch_format="pyarrow").sort("_shuffle_pos")
+
+
+def weighted_interleave(
+    sources: "dict[str, ray.data.Dataset]",
+    weights: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Mix sources by sampling weight into one deterministic stream.
+
+    Each row's position is ``u / weight`` where u = splitmix64(seed, id)
+    scaled to [0, 1): in any prefix of the position order, a source with
+    twice the weight contributes ~twice the rows (inverse-CDF of an
+    exponential race, the standard weighted-interleave trick). Output
+    carries (source, position) so consumers ``sort(position)`` — or read
+    the already-sorted stream — and resume is a position-range predicate.
+    """
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have the same keys")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    tagged = []
+    for name, ds in sources.items():
+        w = float(weights[name]) / total
+
+        def add(batch: pa.Table, name=name, w=w) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            u = splitmix64(ids, seed).astype(np.float64) / float(2**64)
+            pos = u / w if w > 0 else np.full(len(batch), np.inf)
+            out = batch.append_column(
+                "source_name", pa.array([name] * len(batch), type=pa.string())
+            )
+            return out.append_column("position", pa.array(pos, type=pa.float64()))
+
+        tagged.append(ds.map_batches(add, batch_format="pyarrow"))
+    merged = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+    return merged.sort("position")

@@ -21,6 +21,56 @@ import json
 import os
 
 
+def is_lance_dataset(path: str) -> bool:
+    """Lance dataset layout probe: a directory with a ``_versions`` (or
+    ``_latest.manifest``) sidecar and ``data/*.lance`` fragments."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.isdir(os.path.join(path, "_versions")):
+        return True
+    import glob
+
+    return bool(glob.glob(os.path.join(path, "data", "*.lance")))
+
+
+def read_documents(path: str, columns: list | None = None):
+    """The engine's contract input (north rule: Lance tables of interleaved
+    documents): a Lance dataset directory streams via ``ray.data.read_lance``
+    when the pylance wheel is present; everything else reads as Parquet.
+    This sandbox has no lance wheel, so the Lance branch raises a clearly
+    marked NotImplementedError at the exact library call — the dispatch,
+    detection, and parquet fallback are real and tested."""
+    import ray.data
+
+    if is_lance_dataset(path):
+        try:
+            import lance  # noqa: F401  (presence gate)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "input is a Lance dataset but the pylance wheel is not "
+                "installed; install `pylance` or convert to parquet"
+            ) from exc
+        return ray.data.read_lance(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def write_documents(ds, path: str, fmt: str = "parquet", **kwargs):
+    """Sink shim mirroring read_documents: fmt="lance" uses
+    ``Dataset.write_lance`` when the wheel exists, else raises the same
+    marked NotImplementedError; parquet is the canonical store here."""
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "fmt='lance' requires the pylance wheel; use fmt='parquet'"
+            ) from exc
+        return ds.write_lance(path, **kwargs)
+    if fmt != "parquet":
+        raise ValueError(f"unknown format {fmt!r}")
+    return ds.write_parquet(path, **kwargs)
+
+
 def shard_of(doc_id: str, n_shards: int) -> int:
     """Stable doc_id → shard (siphash, fixed key; independent of
     PYTHONHASHSEED). Must agree with the vectorized batch filter in

@@ -812,3 +812,59 @@ def test_tumbling_window_late_drop(ray_session):
     assert len(out) == 1
     assert out[0]["n_events"] == 2  # the 75-minute arrival was late → dropped
     assert out[0]["min_value"] == 1.0 and out[0]["max_value"] == 2.0
+
+
+def test_splitmix64_matches_scalar_reference():
+    """Vectorized splitmix64 == the scalar public-domain reference."""
+    from ontocast_ray.ops.interleave import splitmix64
+
+    def scalar(x, seed):
+        M = (1 << 64) - 1
+        z = (x + seed * 0x9E3779B97F4A7C15 + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    xs = np.array([0, 1, 2, 41, 10**12, 2**63 + 5], dtype=np.uint64)
+    got = splitmix64(xs, seed=7)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        assert g == scalar(int(x), 7)
+
+
+def test_weighted_interleave_ratio_and_determinism(ray_session):
+    """2:1 weights → ~2:1 source mix in any prefix; same seed → identical
+    order at different parallelism; deterministic_shuffle is reproducible."""
+    import ray.data
+
+    from ontocast_ray.ops.interleave import deterministic_shuffle, weighted_interleave
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    web = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids[: n // 2])}))
+    code = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids[n // 2:])}))
+
+    out = weighted_interleave(
+        {"web": web, "code": code}, {"web": 2.0, "code": 1.0}, seed=7
+    ).take_all()
+    assert len(out) == n
+    pos = [r["position"] for r in out]
+    assert pos == sorted(pos)  # stream arrives in position order
+    # prefix mixing: heavier source ~2x as frequent in the first quarter
+    prefix = [r["source_name"] for r in out[: n // 4]]
+    frac_web = prefix.count("web") / len(prefix)
+    assert 0.55 < frac_web < 0.78, frac_web
+    # determinism: same seed reproduces the identical order
+    again = weighted_interleave(
+        {"web": web, "code": code}, {"web": 2.0, "code": 1.0}, seed=7
+    ).take_all()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
+    # different seed → different order
+    other = weighted_interleave(
+        {"web": web, "code": code}, {"web": 2.0, "code": 1.0}, seed=8
+    ).take_all()
+    assert [r["doc_id"] for r in other] != [r["doc_id"] for r in out]
+
+    sh1 = deterministic_shuffle(web, seed=3).take_all()
+    sh2 = deterministic_shuffle(web, seed=3).take_all()
+    assert [r["doc_id"] for r in sh1] == [r["doc_id"] for r in sh2]
+    assert [r["doc_id"] for r in sh1] != sorted(r["doc_id"] for r in sh1)

@@ -168,3 +168,27 @@ def test_read_documents_rich_conversion_end_to_end(ray_session, tmp_path):
     assert rows[str(tmp_path / "b.pptx")]["text"] == "# converted\n\n4 bytes"
     assert rows[str(tmp_path / "c.txt")]["text"] == "plain text"
     assert all(r["convert_status"] == "success" for r in rows.values())
+
+
+def test_read_documents_lance_dispatch(ray_session, tmp_path):
+    """Contract-input shim: parquet paths stream; a Lance dataset dir is
+    detected and raises the marked gate when the wheel is absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from ontocast_ray.sources.io import is_lance_dataset, read_documents, write_documents
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": ["a", "b"], "text": ["x", "y"]}), str(src))
+    ds = read_documents(str(src), columns=["doc_id"])
+    assert sorted(r["doc_id"] for r in ds.take_all()) == ["a", "b"]
+
+    fake_lance = tmp_path / "corpus.lance"
+    (fake_lance / "_versions").mkdir(parents=True)
+    assert is_lance_dataset(str(fake_lance))
+    assert not is_lance_dataset(str(src))
+    with pytest.raises(NotImplementedError, match="pylance"):
+        read_documents(str(fake_lance))
+    with pytest.raises(NotImplementedError, match="pylance"):
+        write_documents(ds, str(tmp_path / "out"), fmt="lance")
