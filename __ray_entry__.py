@@ -350,6 +350,16 @@ def _q_knn_ivf_rerank(sf_dir: str):
     return knn_ivfpq_rerank_search(index_dir, queries, k=10, n_probe=4, rerank_factor=4)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-line fraction, top
+    word-2-gram fraction) — pure-map, SQL-oracled."""
+    from ontocast_ray.ops.text import repetition_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_stats, batch_format="pyarrow"
+    )
+
+
 def _q_corpus_interleave(sf_dir: str):
     """Deterministic weighted source interleave: even doc_ids as a 'web'
     source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
@@ -669,8 +679,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_window": _q_events_watermark,
         "term_counts_top50": _q_term_counts,
         "doc_sample_10pct": _q_doc_sample,
-        # round 3: training-data export surface
+        # round 3: training-data export + quality surface
         "corpus_interleave": _q_corpus_interleave,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -815,6 +826,45 @@ def _sql_oracles() -> dict[str, str]:
         "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
         "neardup_keep_list": _NEARDUP_KEEP_SQL,
         "corpus_interleave": _INTERLEAVE_SQL,
+        # Gopher repetition rules: dup-line fraction via per-doc DISTINCT,
+        # top-2-gram fraction via UNNEST-ed bigram counts; tokenization
+        # mirrors ops/text.py:repetition_stats (lower/strip/\s+ and
+        # whitespace-trimmed non-empty lines)
+        "repetition_stats": r"""
+            WITH lines AS (
+                SELECT doc_id, trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS line
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+            ), nlines AS (
+                SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_distinct
+                FROM lines WHERE line != '' GROUP BY doc_id
+            ), words AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS bg
+                FROM words WHERE len(w) >= 2
+            ), bgc AS (
+                SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+            ), bgs AS (
+                SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+                FROM bgc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   CASE WHEN ls.n_lines > 0
+                        THEN 1.0 - CAST(ls.n_distinct AS DOUBLE) / ls.n_lines
+                        ELSE 0.0 END AS dup_line_frac,
+                   CAST(COALESCE(bgs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN bgs.n_bigrams > 0
+                        THEN CAST(bgs.top_c AS DOUBLE) / bgs.n_bigrams
+                        ELSE 0.0 END AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN nlines ls USING (doc_id)
+            LEFT JOIN bgs USING (doc_id)
+        """,
         "neardup_filtered_docs": f"""
             WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL})
             SELECT d.doc_id, d.source, length(d.text) AS text_len

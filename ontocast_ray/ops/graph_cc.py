@@ -109,6 +109,43 @@ def _grouped_by_part(ds: "ray.data.Dataset", n_parts: int):
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("part")
 
 
+def _local_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Small-graph path: classic path-halving union-find on the driver.
+
+    Each distributed star round costs ~4 small shuffles of fixed Ray
+    overhead; below ``small_graph_threshold`` edges that overhead dwarfs
+    the work, and the edge list (two int64 columns) fits trivially in
+    driver memory — so solve exactly there and skip the rounds."""
+    import pandas as pd
+
+    df = pd.concat(
+        [b.to_pandas() for b in edges.iter_batches(batch_format="pyarrow")],
+        ignore_index=True,
+    ) if edges.count() else None
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    if df is not None:
+        for a, b in zip(df["u"].tolist(), df["v"].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, type=pa.int64()),
+                "component": pa.array([find(n) for n in nodes], type=pa.int64()),
+            }
+        )
+    )
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_id_a",
@@ -116,10 +153,16 @@ def connected_components(
     max_rounds: int = 50,
     n_blocks: int = 8,
     n_parts: int | None = None,
+    small_graph_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """→ (doc_id, component): every node of the pair graph labeled with its
     component's min id. Alternating star rounds until the edge multiset is
     stable (checked via count + checksum aggregates — tiny driver values).
+
+    Edge sets at or below ``small_graph_threshold`` (≈16 MB of int64
+    pairs) solve exactly on the driver instead — the star rounds' fixed
+    per-round shuffle overhead only pays off when edges outgrow one
+    machine. Both paths are property-tested against each other.
 
     ``n_blocks`` bounds the per-round shuffle grid: edges are pair-scale
     (tiny next to the corpus), so each round's two groupbys run over a few
@@ -142,8 +185,12 @@ def connected_components(
         to_edges, batch_format="pyarrow"
     ).repartition(n_blocks).materialize()
 
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        return _local_union_find(edges)
+
     if n_parts is None:
-        n_parts = int(np.clip(edges.count() // 65536, 8, 256))
+        n_parts = int(np.clip(n_edges // 65536, 8, 256))
 
     def _signature(ds) -> tuple[int, int]:
         def _chk(batch: pa.Table) -> pa.Table:

@@ -223,3 +223,75 @@ def deterministic_sample(docs, pct: int, id_col: str = "doc_id"):
         return batch.filter(pa.array(h < threshold))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    the standard web-corpus quality rules): duplicate-line fraction and the
+    most-frequent-word-2-gram fraction. Pure-map (one batch in, one batch
+    out, no shuffle); the heavy lifting is pandas explode + groupby C ops
+    over the whole batch at once — no per-document Python loop.
+
+    Columns: (doc_id, n_lines, dup_line_frac, n_bigrams, top_2gram_frac).
+    Docs with no non-empty lines → n_lines 0, dup_line_frac 0.0; docs with
+    < 2 words → n_bigrams 0, top_2gram_frac 0.0. Tokenization matches
+    token_stats / the SQL oracle: lower, strip, split on whitespace."""
+    n = len(batch)
+    texts = batch["text"].to_pandas().fillna("")
+
+    # --- duplicate-line fraction -------------------------------------------
+    lines = texts.str.split("\n").explode().str.strip()
+    lines = lines[lines != ""]
+    if len(lines):
+        grp = lines.groupby(level=0)
+        n_lines_s = grp.size()
+        n_distinct_s = grp.nunique()
+    else:
+        n_lines_s = pd.Series([], dtype="int64")
+        n_distinct_s = pd.Series([], dtype="int64")
+    idx = np.arange(n)
+    n_lines = n_lines_s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    n_distinct = n_distinct_s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    dup_line_frac = np.zeros(n, dtype=np.float64)
+    has = n_lines > 0
+    dup_line_frac[has] = 1.0 - n_distinct[has] / n_lines[has]
+
+    # --- top word-2-gram fraction ------------------------------------------
+    words = texts.str.strip().str.lower().str.split()
+    ex = words.explode().dropna()
+    if len(ex):
+        doc_idx = ex.index.to_numpy()
+        nxt = ex.groupby(level=0).shift(-1)
+        pair_mask = nxt.notna().to_numpy()
+        # positional concat (fresh default indices) — Series `+` would align
+        # on the duplicated doc index and cross-join
+        left = pd.Series(ex.to_numpy()[pair_mask])
+        right = pd.Series(nxt.to_numpy()[pair_mask])
+        pairs = pd.DataFrame(
+            {
+                "doc": doc_idx[pair_mask],
+                "bg": left.str.cat(right, sep=" ").to_numpy(),
+            }
+        )
+        counts = pairs.groupby(["doc", "bg"], sort=False).size()
+        per_doc = counts.groupby(level=0)
+        top_s = per_doc.max()
+        tot_s = per_doc.sum()
+    else:
+        top_s = pd.Series([], dtype="int64")
+        tot_s = pd.Series([], dtype="int64")
+    n_bigrams = tot_s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    top_c = top_s.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    top_frac = np.zeros(n, dtype=np.float64)
+    hasb = n_bigrams > 0
+    top_frac[hasb] = top_c[hasb] / n_bigrams[hasb]
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "dup_line_frac": pa.array(dup_line_frac, type=pa.float64()),
+            "n_bigrams": pa.array(n_bigrams, type=pa.int64()),
+            "top_2gram_frac": pa.array(top_frac, type=pa.float64()),
+        }
+    )

@@ -471,7 +471,11 @@ def test_connected_components_scale_star_and_chain(ray_session):
         }
     )
     t0 = time.monotonic()
-    out = connected_components(ray.data.from_arrow(tbl)).take_all()
+    # threshold 0 forces the distributed star rounds (the path under test —
+    # the default would route this small graph to the union-find fallback)
+    out = connected_components(
+        ray.data.from_arrow(tbl), small_graph_threshold=0
+    ).take_all()
     elapsed = time.monotonic() - t0
     comp = {r["doc_id"]: r["component"] for r in out}
     assert len(comp) == n_star + n_chain
@@ -868,3 +872,33 @@ def test_weighted_interleave_ratio_and_determinism(ray_session):
     sh2 = deterministic_shuffle(web, seed=3).take_all()
     assert [r["doc_id"] for r in sh1] == [r["doc_id"] for r in sh2]
     assert [r["doc_id"] for r in sh1] != sorted(r["doc_id"] for r in sh1)
+
+
+def test_repetition_stats_kernel():
+    """Gopher repetition signals vs hand-computed values (pure kernel, no
+    Ray needed): dup lines, dominant bigram, empty/short-doc edges."""
+    from ontocast_ray.ops.text import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "hello world\nhello world\nbye now",       # 3 lines, 2 distinct
+                    "spam spam spam spam",                     # bigram 'spam spam' x3
+                    "",                                        # empty
+                    "word",                                    # 1 word, 1 line
+                ]
+            ),
+        }
+    )
+    out = repetition_stats(batch)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_lines"] == 3 and abs(rows[1]["dup_line_frac"] - (1 - 2 / 3)) < 1e-12
+    # doc1 bigrams: hello world / world hello / world bye / bye now → top 2/5
+    assert rows[1]["n_bigrams"] == 5 and abs(rows[1]["top_2gram_frac"] - 2 / 5) < 1e-12
+    assert rows[2]["n_bigrams"] == 3 and rows[2]["top_2gram_frac"] == 1.0
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["top_2gram_frac"] == 0.0
+    assert rows[4]["n_lines"] == 1 and rows[4]["n_bigrams"] == 0

@@ -118,7 +118,15 @@ def test_connected_components_equals_union_find(ray_session, edges):
             "doc_id_b": pa.array([b for a, b in edges], type=pa.int64()),
         }
     )
+    # distributed star rounds (threshold 0 forces them) AND the driver
+    # union-find fallback must both match the reference implementation
     got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(
+            ray.data.from_arrow(tbl), small_graph_threshold=0
+        ).take_all()
+    }
+    got_local = {
         r["doc_id"]: r["component"]
         for r in connected_components(ray.data.from_arrow(tbl)).take_all()
     }
@@ -137,6 +145,7 @@ def test_connected_components_equals_union_find(ray_session, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: find(n) for n in parent}
     assert got == expected
+    assert got_local == expected
 
 
 @given(
