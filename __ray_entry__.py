@@ -360,6 +360,53 @@ def _q_repetition_stats(sf_dir: str):
     )
 
 
+def _inject_pii(batch):
+    """Deterministic PII injection (the driver's documents are clean word
+    soup, so the scrub oracle would be vacuous without it): prefix each doc
+    with an email (doc_id % 3 != 0), an IPv4 (doc_id % 2 == 0) and always a
+    phone number — every fragment a pure function of doc_id, re-built
+    identically by the SQL oracle's string concatenation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ids = batch["doc_id"].to_pandas().astype("int64")
+    txt = batch["text"].to_pandas().fillna("")
+    ids_str = ids.astype(str)
+    email = pd.Series(
+        np.where((ids % 3) != 0, "reach user" + ids_str + "@example.com ", ""),
+        index=ids.index,
+    )
+    ip = pd.Series(
+        np.where(
+            (ids % 2) == 0,
+            "from 10." + (ids % 256).astype(str) + ".0."
+            + ((ids * 7) % 256).astype(str) + " ",
+            "",
+        ),
+        index=ids.index,
+    )
+    phone = "call +1555" + (ids % 10000).astype(str).str.zfill(4) + " "
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": pa.array(email + ip + phone + txt, type=pa.string()),
+        }
+    )
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (email/IPv4/phone → placeholder tokens) with per-rule
+    match counts — pure-map, chained-regexp_replace SQL oracle."""
+    from ontocast_ray.ops.text import pii_scrub
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_inject_pii, batch_format="pyarrow")
+        .map_batches(pii_scrub, batch_format="pyarrow")
+    )
+
+
 def _q_corpus_interleave(sf_dir: str):
     """Deterministic weighted source interleave: even doc_ids as a 'web'
     source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
@@ -682,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 3: training-data export + quality surface
         "corpus_interleave": _q_corpus_interleave,
         "repetition_stats": _q_repetition_stats,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -818,8 +866,48 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _pii_scrub_sql() -> str:
+    """Chained regexp_replace oracle sharing ops/text.py's rule table, so
+    the regexes can never drift between the Ray kernel and the oracle.
+    Counts are taken on the text state each rule sees (after the previous
+    rule's replacement), exactly like pii_scrub."""
+    from ontocast_ray.ops.text import _PII_RULES
+
+    inject = (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 3 <> 0 THEN 'reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ' ELSE '' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' ELSE '' END || "
+        "'call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || "
+        "COALESCE(text, '') AS t0 FROM documents"
+    )
+    ctes = ["injected AS (" + inject + ")"]
+    count_cols: list[str] = []
+    prev = "injected"
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        lit = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            + ", ".join(count_cols)
+            + (", " if count_cols else "")
+            + f"CAST(len(regexp_extract_all(t{i}, '{lit}')) AS BIGINT) AS n_{name}, "
+            + f"regexp_replace(t{i}, '{lit}', '{repl}', 'g') AS t{i + 1} "
+            + f"FROM {prev})"
+        )
+        count_cols.append(f"n_{name}")
+        prev = f"s{i}"
+    n = len(_PII_RULES)
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT doc_id, {', '.join(count_cols)}, t{n} AS clean_text FROM {prev}"
+    )
+
+
 def _sql_oracles() -> dict[str, str]:
     return {
+        "pii_scrub": _pii_scrub_sql(),
         # independent re-derivations of the dedup end-game (see the CTE
         # docstrings above): exact shingle Jaccard, recursive closure, and
         # the filtered corpus as an anti-join against the closure

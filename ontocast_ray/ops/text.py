@@ -295,3 +295,37 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
             "top_2gram_frac": pa.array(top_frac, type=pa.float64()),
         }
     )
+
+
+# PII scrubbing rules, applied IN ORDER (each pattern counts + replaces on
+# the output of the previous rule).  Patterns are deliberately restricted to
+# the syntax subset where Python ``re`` and DuckDB's RE2 agree (no
+# backreferences / lookaround; ASCII classes only — ``\d`` differs on
+# Unicode digits between the engines, so ``[0-9]`` is spelled out).
+_PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 \-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / IPv4 addresses / international phone numbers.
+
+    Pure-map (no shuffle): one vectorized ``Series.str.count`` +
+    ``Series.str.replace`` pass per rule per batch — no per-row Python.
+    Counts are taken on the text state each rule actually sees (i.e. after
+    the previous rule's replacement), which is what the chained
+    ``regexp_replace`` SQL oracle computes too.
+
+    Columns: (doc_id, n_email, n_ip, n_phone, clean_text).
+    """
+    texts = batch[text_col].to_pandas().fillna("")
+    out: dict = {"doc_id": batch["doc_id"]}
+    for name, pat, repl in _PII_RULES:
+        out[f"n_{name}"] = pa.array(
+            texts.str.count(pat).astype("int64"), type=pa.int64()
+        )
+        texts = texts.str.replace(pat, repl, regex=True)
+    out["clean_text"] = pa.array(texts, type=pa.string())
+    return pa.table(out)

@@ -88,6 +88,9 @@ def test_all_queries_run(ray_session, contract):
         "doc_group_components",
         "events_quantiles",
         "events_watermark_window",
+        # round 3 SQL oracles
+        "repetition_stats",
+        "pii_scrub",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

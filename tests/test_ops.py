@@ -902,3 +902,33 @@ def test_repetition_stats_kernel():
     assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_frac"] == 0.0
     assert rows[3]["n_bigrams"] == 0 and rows[3]["top_2gram_frac"] == 0.0
     assert rows[4]["n_lines"] == 1 and rows[4]["n_bigrams"] == 0
+
+
+def test_pii_scrub_kernel():
+    import pyarrow as pa
+
+    from ontocast_ray.ops.text import pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "mail bob.smith+x@corp.example.org or a@b.co today",
+                "host 10.3.0.21 then call +1555 023 4442 or +15550234421",
+                None,
+                # chained-state: the email's digits must NOT count as a
+                # phone after <EMAIL> replacement; bare digit runs without
+                # a leading + are not phones
+                "x155502344219@y.com 155502344219",
+            ],
+        }
+    )
+    out = pii_scrub(t).to_pandas()
+    assert list(out.columns) == ["doc_id", "n_email", "n_ip", "n_phone", "clean_text"]
+    assert out["n_email"].tolist() == [2, 0, 0, 1]
+    assert out["n_ip"].tolist() == [0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [0, 2, 0, 0]
+    assert out["clean_text"][0] == "mail <EMAIL> or <EMAIL> today"
+    assert out["clean_text"][1] == "host <IP> then call <PHONE> or <PHONE>"
+    assert out["clean_text"][2] == ""
+    assert out["clean_text"][3] == "<EMAIL> 155502344219"
