@@ -407,6 +407,19 @@ def _q_pii_scrub(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-split training-sequence packing (capacity 64 tokens) —
+    distributed ordered prefix sum, window-function SQL oracle."""
+    from ontocast_ray.ops.packing import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        capacity=64,
+        shard_span=100,
+        n_parts=4,
+    )
+
+
 def _q_corpus_interleave(sf_dir: str):
     """Deterministic weighted source interleave: even doc_ids as a 'web'
     source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
@@ -730,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_interleave": _q_corpus_interleave,
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -908,6 +922,35 @@ def _pii_scrub_sql() -> str:
 def _sql_oracles() -> dict[str, str]:
     return {
         "pii_scrub": _pii_scrub_sql(),
+        # concat-and-split packing: the whole op is an ordered prefix sum
+        # (ops/packing.py) — in SQL that is one window function; bins and
+        # offsets follow by integer division. Tokenization mirrors
+        # token_stats (strip + split on \s+; empty/null → 0 tokens).
+        "pack_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS goff
+                FROM toks
+            )
+            SELECT doc_id,
+                   doc_id // 100 AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(goff AS BIGINT) AS global_offset,
+                   CAST(goff // 64 AS BIGINT) AS first_bin,
+                   CAST((goff + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END)
+                        // 64 AS BIGINT) AS last_bin,
+                   CAST(goff % 64 AS BIGINT) AS offset_in_bin
+            FROM cum
+        """,
         # independent re-derivations of the dedup end-game (see the CTE
         # docstrings above): exact shingle Jaccard, recursive closure, and
         # the filtered corpus as an anti-join against the closure

@@ -1,0 +1,143 @@
+"""Training-sequence packing: concat-and-split documents into fixed-size
+context windows.
+
+The standard GPT-style packing rule: imagine every document's tokens
+concatenated in ``doc_id`` order into one global stream, then split into
+bins of ``capacity`` tokens. Each document is annotated with where its
+tokens land — ``global_offset`` (exclusive prefix sum of token counts),
+``first_bin`` / ``last_bin`` and ``offset_in_bin`` — so a downstream
+export can assemble any bin by reading exactly the documents that overlap
+it. A document may span bins; nothing is padded or dropped.
+
+Execution shape (the part that must survive 100 TB):
+
+- The only global dependency is an ORDERED PREFIX SUM over token counts,
+  computed with the classic two-phase scan: per-shard token totals
+  (``shard = doc_id // shard_span``, a small C-implemented hash
+  aggregate), an exclusive scan over the tiny (shard, total) list on the
+  driver, then a broadcast of shard base offsets into a per-shard
+  vectorized kernel. The driver holds one int per shard — ``shard_span``
+  controls that (default 65 536 docs/shard → 15 M entries even at 10^12
+  docs; a two-level scan drops it to O(sqrt) if ever needed).
+- Token counts are computed ONCE: the (doc_id, shard, n_tokens) projection
+  (24 B/doc — ~2 % of a text corpus) is materialized and reused by both
+  phases, so the corpus text is tokenized in a single pass.
+- The per-shard kernel partitions on the coarse key ``shard % P`` and
+  loops shards via ONE pandas ``groupby(...).cumsum()`` C call per
+  partition — no per-row or per-shard Python.
+
+Tokenization matches ``ops.text.token_stats``'s whitespace rule
+(strip, split on ``\\s+``), so the SQL oracle is a window-function
+``SUM ... OVER (ORDER BY doc_id)`` over the same counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _token_meta_factory(id_col: str, text_col: str, shard_span: int):
+    def _meta(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        n_tok = (
+            texts.str.strip().str.split().str.len().fillna(0).astype("int64")
+        )
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "shard": pa.array(ids // np.int64(shard_span)),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    return _meta
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_span: int = 65_536,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (doc_id, shard, n_tokens, global_offset, first_bin, last_bin,
+    offset_in_bin) under concat-and-split packing at ``capacity`` tokens.
+
+    ``global_offset`` is the exclusive prefix sum of ``n_tokens`` in
+    ``doc_id`` order; bins follow from integer division. Deterministic at
+    any parallelism: every output value is a pure function of the corpus.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    meta = docs.map_batches(
+        _token_meta_factory(id_col, text_col, shard_span),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # Phase 1: per-shard token totals (small hash aggregate), exclusive
+    # scan on the driver — one int64 per shard, never corpus-sized.
+    totals = meta.groupby("shard").sum("n_tokens").take_all()
+    shards = sorted(r["shard"] for r in totals)
+    sums = {r["shard"]: r["sum(n_tokens)"] for r in totals}
+    base: dict[int, int] = {}
+    acc = 0
+    for s in shards:
+        base[s] = acc
+        acc += int(sums[s])
+    base_ref = ray.put(base)
+
+    # Phase 2: per-shard vectorized kernel over coarse partitions.
+    def add_part(batch: pa.Table) -> pa.Table:
+        shard = batch["shard"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(shard % np.int64(n_parts))
+        )
+
+    cap = np.int64(capacity)
+
+    def _pack_partition(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    c: pa.array([], type=pa.int64())
+                    for c in (
+                        "doc_id", "shard", "n_tokens", "global_offset",
+                        "first_bin", "last_bin", "offset_in_bin",
+                    )
+                }
+            )
+        df = df.sort_values("doc_id", kind="mergesort")
+        shard_base = df["shard"].map(ray.get(base_ref)).to_numpy(np.int64)
+        intra = (
+            df.groupby("shard", sort=False)["n_tokens"].cumsum().to_numpy(np.int64)
+            - df["n_tokens"].to_numpy(np.int64)
+        )
+        off = shard_base + intra
+        n = df["n_tokens"].to_numpy(np.int64)
+        first = off // cap
+        last = (off + np.maximum(n - 1, 0)) // cap
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "shard": pa.array(df["shard"].to_numpy(np.int64)),
+                "n_tokens": pa.array(n),
+                "global_offset": pa.array(off),
+                "first_bin": pa.array(first),
+                "last_bin": pa.array(last),
+                "offset_in_bin": pa.array(off % cap),
+            }
+        )
+
+    return (
+        meta.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pack_partition, batch_format="pandas")
+    )

@@ -91,6 +91,7 @@ def test_all_queries_run(ray_session, contract):
         # round 3 SQL oracles
         "repetition_stats",
         "pii_scrub",
+        "pack_sequences",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

@@ -932,3 +932,67 @@ def test_pii_scrub_kernel():
     assert out["clean_text"][1] == "host <IP> then call <PHONE> or <PHONE>"
     assert out["clean_text"][2] == ""
     assert out["clean_text"][3] == "<EMAIL> 155502344219"
+
+
+def test_pack_sequences_concat_split(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.packing import pack_sequences
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], type=pa.int64()),
+                "text": [
+                    "a b c", "", "d e f g h", "i", None, "j k",
+                    "l m n o p q r s t",
+                ],
+            }
+        )
+    )
+    out = (
+        pack_sequences(docs, capacity=4, shard_span=3, n_parts=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 0, 5, 1, 0, 2, 9]
+    # exclusive prefix sum in doc_id order
+    assert out["global_offset"].tolist() == [0, 3, 3, 8, 9, 9, 11]
+    assert out["first_bin"].tolist() == [0, 0, 0, 2, 2, 2, 2]
+    # doc 2 (5 tokens at offset 3) spans bins 0-1; doc 6 (9 at 11) spans 2-4
+    assert out["last_bin"].tolist() == [0, 0, 1, 2, 2, 2, 4]
+    assert out["offset_in_bin"].tolist() == [0, 3, 3, 0, 1, 1, 3]
+
+
+def test_pack_sequences_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = np.arange(400, dtype=np.int64)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 30, size=400)]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": texts})
+    )
+    out = (
+        pack_sequences(docs, capacity=16, shard_span=64, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = out["n_tokens"].to_numpy()
+    off = out["global_offset"].to_numpy()
+    # offsets are the exact exclusive prefix sum — no gaps, no overlap
+    assert (off == np.concatenate([[0], np.cumsum(n)[:-1]])).all()
+    assert (out["offset_in_bin"].to_numpy() == off % 16).all()
+    assert (out["first_bin"].to_numpy() == off // 16).all()
+    assert (
+        out["last_bin"].to_numpy() == (off + np.maximum(n - 1, 0)) // 16
+    ).all()
