@@ -420,6 +420,35 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_curated_packing(sf_dir: str):
+    """End-to-end curation: language filter (en) + alpha-ratio quality gate
+    + exact dedup (injected duplicates: every doc_id%10==0 doc re-appears as
+    doc_id+100000) + concat-and-split packing — one streaming pipeline, one
+    chained SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.pipelines.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _dup_shift(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        f = batch.filter(pa.array(ids % 10 == 0))
+        i = f.schema.get_field_index("doc_id")
+        return f.set_column(i, "doc_id", pc.add(f["doc_id"], 100_000))
+
+    dups = docs.map_batches(_dup_shift, batch_format="pyarrow")
+    return curate_corpus(
+        docs.union(dups),
+        lang="en",
+        min_alpha_ratio=0.82,
+        capacity=64,
+        shard_span=100,
+        n_parts=4,
+    )
+
+
 def _q_corpus_interleave(sf_dir: str):
     """Deterministic weighted source interleave: even doc_ids as a 'web'
     source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
@@ -744,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "curated_packing": _q_curated_packing,
     }
 
 
@@ -940,6 +970,64 @@ def _sql_oracles() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                        ), 0) AS goff
                 FROM toks
+            )
+            SELECT doc_id,
+                   doc_id // 100 AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(goff AS BIGINT) AS global_offset,
+                   CAST(goff // 64 AS BIGINT) AS first_bin,
+                   CAST((goff + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END)
+                        // 64 AS BIGINT) AS last_bin,
+                   CAST(goff % 64 AS BIGINT) AS offset_in_bin
+            FROM cum
+        """,
+        # chained curation oracle: the full pipeline (lang filter → alpha
+        # quality gate → exact dedup → packing) re-derived stage-for-stage
+        # in one SQL statement — lang scores mirror lang_id, alpha_ratio
+        # mirrors quality_stats, tokenization mirrors token_stats, the
+        # prefix sum mirrors pack_sequences. Duplicates are injected the
+        # same way as the Ray side (doc_id%10==0 re-appears at +100000).
+        "curated_packing": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0
+            ), scored AS (
+                SELECT doc_id, text,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('the','and','of','to','a','in','is','that','it','for','on','with','as')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_en,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','für')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_de,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('le','la','les','et','de','un','une','est','pour','dans','que','des')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_fr,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('el','la','los','las','y','de','un','una','es','por','que','con')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_es,
+                       len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+                           / greatest(length(text), 1) AS alpha_ratio
+                FROM corpus
+            ), kept AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS tok
+                FROM scored
+                WHERE s_en > 0.02 AND s_en >= greatest(s_de, s_fr, s_es)
+                  AND alpha_ratio >= 0.82
+            ), winners AS (
+                SELECT min(doc_id) AS doc_id, min(tok) AS n_tokens
+                FROM kept GROUP BY text
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS goff
+                FROM winners
             )
             SELECT doc_id,
                    doc_id // 100 AS shard,

@@ -80,8 +80,25 @@ def pack_sequences(
     meta = docs.map_batches(
         _token_meta_factory(id_col, text_col, shard_span),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    return pack_token_meta(meta, capacity=capacity, n_parts=n_parts)
 
+
+def pack_token_meta(
+    meta: "ray.data.Dataset",
+    capacity: int = 2048,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Packing over a precomputed (doc_id, shard, n_tokens) meta dataset —
+    the entry point for pipelines that already tokenized (e.g. curation
+    flows that need the counts for filtering anyway).
+
+    ``meta`` is materialized here because both phases consume it — without
+    that, the upstream tokenize/filter pipeline would execute twice. The
+    meta projection is 24 B/doc (~2 % of a text corpus), object-store
+    backed and spillable.
+    """
+    meta = meta.materialize()
     # Phase 1: per-shard token totals (small hash aggregate), exclusive
     # scan on the driver — one int64 per shard, never corpus-sized.
     totals = meta.groupby("shard").sum("n_tokens").take_all()

@@ -92,6 +92,7 @@ def test_all_queries_run(ray_session, contract):
         "repetition_stats",
         "pii_scrub",
         "pack_sequences",
+        "curated_packing",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):
