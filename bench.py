@@ -178,6 +178,15 @@ def run_lang_id() -> int:
     )
 
 
+def run_curated_packing() -> int:
+    from ontocast_ray.pipelines.curation import curate_corpus
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return curate_corpus(
+        docs, lang="en", min_alpha_ratio=0.82, capacity=2048, n_parts=64
+    ).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -269,6 +278,10 @@ def main() -> None:
     t = time.perf_counter()
     run_lang_id()
     extras["lang_id"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_curated_packing()
+    extras["curated_packing"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(
