@@ -449,6 +449,60 @@ def _q_curated_packing(sf_dir: str):
     )
 
 
+_BM25_TERMS = ["merge", "spark", "vector"]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 keyword retrieval: global top-20 docs for a 3-term query —
+    two streaming passes (tiny stats aggregate, then score+prune+sort);
+    scores match the SQL oracle bit-for-bit (see ops/relevance.py)."""
+    from ontocast_ray.ops.relevance import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        terms=_BM25_TERMS,
+        k=20,
+    )
+
+
+def _bm25_sql(terms=None, k: int = 20) -> str:
+    """BM25 oracle mirroring ops/relevance.py expression-for-expression:
+    same tokenization ([a-z]+ on lower), same Lucene idf, same left-to-right
+    term accumulation, k1=1.5 / b=0.75 chosen exactly double-representable
+    so DECIMAL literal → DOUBLE conversion is exact."""
+    terms = terms or _BM25_TERMS
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (list_contains(w, '{t}')) AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    avgdl = "(CAST(total_len AS DOUBLE) / n)"
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"len(list_filter(w, x -> x = '{t}'))"
+        parts.append(
+            f"ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * ({tf} * 2.5)"
+            f" / ({tf} + 1.5 * (0.25 + 0.75 * (len(w) / {avgdl})))"
+        )
+    score = "\n                 + ".join(parts)
+    return f"""
+        WITH words AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+            FROM documents
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(w)) AS BIGINT) AS total_len,
+                   {df_cols}
+            FROM words
+        )
+        SELECT doc_id,
+               {score} AS bm25
+        FROM words, stats
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _q_corpus_interleave(sf_dir: str):
     """Deterministic weighted source interleave: even doc_ids as a 'web'
     source (weight 2), odd as 'code' (weight 1), seed 7 — position is a
@@ -774,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "curated_packing": _q_curated_packing,
+        "bm25_top20": _q_bm25_topk,
     }
 
 
@@ -981,6 +1036,7 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(goff % 64 AS BIGINT) AS offset_in_bin
             FROM cum
         """,
+        "bm25_top20": _bm25_sql(),
         # chained curation oracle: the full pipeline (lang filter → alpha
         # quality gate → exact dedup → packing) re-derived stage-for-stage
         # in one SQL statement — lang scores mirror lang_id, alpha_ratio

@@ -93,6 +93,7 @@ def test_all_queries_run(ray_session, contract):
         "pii_scrub",
         "pack_sequences",
         "curated_packing",
+        "bm25_top20",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

@@ -996,3 +996,69 @@ def test_pack_sequences_invariants(ray_session):
     assert (
         out["last_bin"].to_numpy() == (off + np.maximum(n - 1, 0)) // 16
     ).all()
+
+
+def test_bm25_topk_micro(ray_session):
+    import math
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.relevance import bm25_topk
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": [
+                    "cat cat cat dog",   # tf(cat)=3, dl=4
+                    "cat dog dog dog",   # tf(cat)=1, dl=4
+                    "bird bird",          # tf(cat)=0
+                    "cat",                # tf(cat)=1, dl=1
+                ],
+            }
+        )
+    )
+    out = (
+        bm25_topk(docs, terms=["cat"], k=3, k1=1.5, b=0.75)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    # N=4, df=3, avgdl=11/4 → idf = ln(1 + 1.5/3.5)
+    idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * (dl / 2.75)))
+
+    # doc 3 (tf=1, dl=1) outranks doc 1 (tf=1, dl=4); doc 0 (tf=3) wins
+    assert out["doc_id"].tolist() == [0, 3, 1]
+    assert out["bm25"].tolist() == [score(3, 4), score(1, 1), score(1, 4)]
+
+
+def test_bm25_topk_parallelism_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.relevance import bm25_topk
+
+    rng = np.random.default_rng(5)
+    vocab = np.array(["cat", "dog", "bird", "fish", "tree", "rock"])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40))) for _ in range(300)]
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(300, dtype=np.int64)), "text": texts}
+    )
+    a = (
+        bm25_topk(ray.data.from_arrow(tbl), ["cat", "fish"], k=10)
+        .to_pandas().reset_index(drop=True)
+    )
+    b = (
+        bm25_topk(
+            ray.data.from_arrow(tbl).repartition(13), ["cat", "fish"], k=10
+        )
+        .to_pandas().reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
