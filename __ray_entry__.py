@@ -449,6 +449,39 @@ def _q_curated_packing(sf_dir: str):
     )
 
 
+def _q_events_hll(sf_dir: str):
+    """HyperLogLog approximate distinct event_ids per event_type (p=12 →
+    4 KB registers; linear-counting range at this cardinality, ~1% error).
+    Pinned golden oracle: siphash registers are not SQL-re-derivable;
+    accuracy (incl. the raw-estimator range) is property-tested against
+    exact counts in tests/test_sketch.py."""
+    from ontocast_ray.ops.sketch import hll_distinct
+
+    return hll_distinct(
+        _read(sf_dir, "events", columns=["event_id", "event_type"]),
+        key_col="event_id",
+        group_col="event_type",
+        p=12,
+        n_parts=4,
+    )
+
+
+def _q_events_dd_quantiles(sf_dir: str):
+    """DDSketch p50/p95/p99 of event value per type (alpha=1%) — mergeable
+    log-bucket sketch; the SQL oracle re-derives the exact same buckets,
+    rank walk, and bucket→value map (libm-matched, bit-exact)."""
+    from ontocast_ray.ops.sketch import dd_quantiles
+
+    return dd_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        value_col="value",
+        group_col="event_type",
+        quantiles=(0.5, 0.95, 0.99),
+        alpha=0.01,
+        n_parts=4,
+    )
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -829,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "curated_packing": _q_curated_packing,
         "bm25_top20": _q_bm25_topk,
+        "events_approx_distinct": _q_events_hll,
+        "events_sketch_quantiles": _q_events_dd_quantiles,
     }
 
 
@@ -854,6 +889,7 @@ _GOLDEN_QUERIES = [
     "media_features",
     "kg_global_entities",
     "kg_rewritten_global",
+    "events_approx_distinct",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -1037,6 +1073,45 @@ def _sql_oracles() -> dict[str, str]:
             FROM cum
         """,
         "bm25_top20": _bm25_sql(),
+        # DDSketch re-derived exactly: same log-spaced buckets
+        # (ceil(ln(v)/ln(gamma)), gamma=(1+0.01)/(1-0.01)), same
+        # rank-exceeds-cumulative walk (rank forced to DOUBLE to match the
+        # kernel's float math), same 2*gamma^b/(gamma+1) bucket→value map
+        # (DuckDB ln/power are libm, as is the kernel — bit-exact)
+        "events_sketch_quantiles": r"""
+            WITH b AS (
+                SELECT event_type,
+                       CASE WHEN value > 0
+                            THEN CAST(ceil(ln(value) / ln((1.0 + 0.01) / (1.0 - 0.01))) AS BIGINT)
+                            ELSE (-9223372036854775807 - 1) END AS bucket
+                FROM events
+            ), c AS (
+                SELECT event_type, bucket, count(*) AS n
+                FROM b GROUP BY event_type, bucket
+            ), cum AS (
+                SELECT event_type, bucket,
+                       SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                       SUM(n) OVER (PARTITION BY event_type) AS total
+                FROM c
+            ), picked AS (
+                SELECT event_type,
+                       min(bucket) FILTER (WHERE cum > 0.5 * CAST(total - 1 AS DOUBLE)) AS b50,
+                       min(bucket) FILTER (WHERE cum > 0.95 * CAST(total - 1 AS DOUBLE)) AS b95,
+                       min(bucket) FILTER (WHERE cum > 0.99 * CAST(total - 1 AS DOUBLE)) AS b99
+                FROM cum GROUP BY event_type
+            )
+            SELECT event_type,
+                   CASE WHEN b50 = (-9223372036854775807 - 1) THEN 0.0
+                        ELSE 2.0 * power((1.0 + 0.01) / (1.0 - 0.01), b50)
+                             / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END AS q_5,
+                   CASE WHEN b95 = (-9223372036854775807 - 1) THEN 0.0
+                        ELSE 2.0 * power((1.0 + 0.01) / (1.0 - 0.01), b95)
+                             / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END AS q_95,
+                   CASE WHEN b99 = (-9223372036854775807 - 1) THEN 0.0
+                        ELSE 2.0 * power((1.0 + 0.01) / (1.0 - 0.01), b99)
+                             / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END AS q_99
+            FROM picked
+        """,
         # chained curation oracle: the full pipeline (lang filter → alpha
         # quality gate → exact dedup → packing) re-derived stage-for-stage
         # in one SQL statement — lang scores mirror lang_id, alpha_ratio

@@ -1,0 +1,204 @@
+"""Mergeable cardinality and quantile sketches for corpus-scale stats.
+
+Two classic sketches the 100 TB path needs where exact answers don't fit:
+
+- **HyperLogLog** (``hll_distinct``): approximate COUNT DISTINCT per group.
+  Each batch folds its keys into m = 2^p one-byte registers per group
+  (``pd.util.hash_array`` 64-bit hashes, vectorized branchless clz); the
+  shuffle moves only (group, m-byte blob) rows — one per (batch, group) —
+  never the keys. Merge is an elementwise ``np.maximum`` over blobs inside
+  a coarse-partitioned kernel (hash(group) % P, groups looped in-kernel per
+  the repo's groupby rule). Standard bias-corrected estimator with the
+  linear-counting small-range correction.
+
+- **DDSketch-style quantiles** (``dd_quantiles``): relative-error-bounded
+  quantiles over positive values (Masson et al., "DDSketch", VLDB 2019 —
+  public paper). Values map to log-spaced buckets
+  (``ceil(ln(v)/ln(gamma))``, gamma = (1+alpha)/(1-alpha)); a batch emits
+  LONG-FORM (group, bucket, count) rows, so the merge is a plain
+  C-implemented ``groupby.sum`` — no custom aggregate — and only the final
+  per-group rank walk runs in a (coarse-partitioned) Python kernel.
+  Guarantees |q_est - q_true| <= alpha * q_true.
+
+Both are pure functions of the input (deterministic hash, deterministic
+bucketing), hence parallelism-invariant and golden-pinnable. Neither can be
+mirrored by DuckDB's own sketches (different internals), so the driver
+oracle is a pinned golden + property tests against exact answers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+def _hash_series(s: pd.Series) -> np.ndarray:
+    """Deterministic cross-process 64-bit hash (siphash with pandas' fixed
+    key) of any key dtype → uint64 array."""
+    return pd.util.hash_array(np.asarray(s), categorize=False)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (branchless clz by halving —
+    float log2 would mis-round near powers of two above 2^53)."""
+    w = w.copy()
+    r = np.zeros(len(w), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= (np.uint64(1) << np.uint64(shift))
+        r[big] += shift
+        w = np.where(big, w >> np.uint64(shift), w)
+    return r + (w == 1)
+
+
+def _hll_registers(keys: pd.Series, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """keys → (register index, rho) under a 64-bit hash split."""
+    h = _hash_series(keys)  # uint64
+    m = np.uint64(1 << p)
+    idx = (h & (m - np.uint64(1))).astype(np.int64)
+    w = h >> np.uint64(p)
+    rho = (64 - p) - _bit_length_u64(w) + 1  # w==0 → 64-p+1
+    return idx, rho
+
+
+def _hll_estimate(reg: np.ndarray) -> int:
+    m = len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return int(round(est))
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    group_col: str,
+    p: int = 12,
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (group_col, approx_distinct): HyperLogLog distinct ``key_col`` per
+    group. Shuffle volume is one 2^p-byte blob per (input block, group)."""
+    m = 1 << p
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, key_col]).to_pandas()
+        groups, blobs = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            idx, rho = _hll_registers(sub[key_col], p)
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rho.astype(np.uint8))
+            groups.append(g)
+            blobs.append(reg.tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "registers": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        part = _hash_series(batch[group_col].to_pandas()) % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(part.astype(np.int64)))
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in sub["registers"]]
+            )
+            out_g.append(g)
+            out_n.append(_hll_estimate(stack.max(axis=0)))
+        return pd.DataFrame(
+            {group_col: out_g, "approx_distinct": pd.array(out_n, dtype="int64")}
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+_ZERO_BUCKET = np.iinfo(np.int64).min
+
+
+def dd_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (group_col, q_50, q_95, ... one column per requested quantile):
+    DDSketch quantiles of the positive ``value_col`` per group, each within
+    relative error ``alpha``. Values must be >= 0 (zeros tracked exactly)."""
+    import math
+
+    # libm (math.*) for the scalar constants and the final power so the
+    # output matches DuckDB's ln/power bit-for-bit (numpy's SIMD kernels
+    # deviate by 1 ulp); the per-value np.log only feeds a ceil, where a
+    # 1-ulp difference matters only if ln(v)/ln_gamma lands within 1 ulp
+    # of an integer (verified flip-free on the test corpora)
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = math.log(gamma)
+
+    def _buckets(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        if (v < 0).any():
+            raise ValueError("dd_quantiles requires non-negative values")
+        bucket = np.full(len(v), _ZERO_BUCKET, dtype=np.int64)
+        pos = v > 0
+        bucket[pos] = np.ceil(np.log(v[pos]) / ln_gamma).astype(np.int64)
+        out = (
+            pd.DataFrame({group_col: df[group_col], "bucket": bucket})
+            .groupby([group_col, "bucket"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        ds.map_batches(_buckets, batch_format="pyarrow")
+        .groupby([group_col, "bucket"])
+        .sum("n")
+    )
+
+    qcols = [f"q_{str(q).replace('0.', '')}" for q in quantiles]
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        part = _hash_series(batch[group_col].to_pandas()) % np.uint64(n_parts)
+        return batch.append_column("part", pa.array(part.astype(np.int64)))
+
+    def _finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            sub = sub.sort_values("bucket")
+            b = sub["bucket"].to_numpy()
+            n = sub["sum(n)"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(n)
+            total = int(cum[-1])
+            vals = {}
+            for q, col in zip(quantiles, qcols):
+                rank = q * (total - 1)  # DDSketch rank definition
+                # first bucket whose cumulative count exceeds the rank
+                i = int(np.searchsorted(cum, rank, side="right"))
+                i = min(i, len(b) - 1)
+                vals[col] = (
+                    0.0
+                    if b[i] == _ZERO_BUCKET
+                    else 2.0 * math.pow(gamma, float(b[i])) / (gamma + 1.0)
+                )
+            rows.append({group_col: g, **vals})
+        return pd.DataFrame(rows, columns=[group_col, *qcols])
+
+    return (
+        counts.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_finalize, batch_format="pandas")
+    )

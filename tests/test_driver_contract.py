@@ -94,6 +94,7 @@ def test_all_queries_run(ray_session, contract):
         "pack_sequences",
         "curated_packing",
         "bm25_top20",
+        "events_sketch_quantiles",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

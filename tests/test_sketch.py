@@ -1,0 +1,101 @@
+"""Property tests for the mergeable sketches (ops/sketch.py): accuracy
+against exact answers, and parallelism invariance (the driver golden /
+SQL-oracle legs live in test_driver_contract.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ontocast_ray.ops.sketch import dd_quantiles, hll_distinct
+
+
+def _hll_frame():
+    rng = np.random.default_rng(17)
+    # "big" exercises the raw HLL estimator at p=12 (50k >> 2.5m=10240);
+    # "small" the linear-counting branch; duplicates must not inflate
+    big = np.concatenate([np.arange(50_000), rng.integers(0, 50_000, 5_000)])
+    small = np.concatenate([np.arange(100), np.arange(100), np.arange(100)])
+    keys = np.concatenate([big, small]).astype(np.int64)
+    groups = ["big"] * len(big) + ["small"] * len(small)
+    return pa.table({"g": pa.array(groups), "k": pa.array(keys)})
+
+
+def test_hll_accuracy_and_dup_insensitivity(ray_session):
+    ds = ray.data.from_arrow(_hll_frame()).repartition(8)
+    out = (
+        hll_distinct(ds, key_col="k", group_col="g", p=12, n_parts=4)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    assert abs(out["big"] - 50_000) / 50_000 < 0.05
+    assert abs(out["small"] - 100) / 100 < 0.05
+
+
+def test_hll_parallelism_invariant(ray_session):
+    tbl = _hll_frame()
+    a = (
+        hll_distinct(ray.data.from_arrow(tbl), "k", "g", p=12)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        hll_distinct(ray.data.from_arrow(tbl).repartition(16), "k", "g", p=12)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _dd_frame():
+    rng = np.random.default_rng(23)
+    a = rng.lognormal(mean=1.0, sigma=1.5, size=20_000)
+    b = rng.lognormal(mean=3.0, sigma=0.5, size=20_000)
+    vals = np.concatenate([a, b])
+    groups = ["a"] * len(a) + ["b"] * len(b)
+    return pa.table({"g": pa.array(groups), "v": pa.array(vals)}), a, b
+
+
+def test_dd_quantiles_relative_error_bound(ray_session):
+    tbl, a, b = _dd_frame()
+    out = (
+        dd_quantiles(
+            ray.data.from_arrow(tbl).repartition(8),
+            value_col="v", group_col="g",
+            quantiles=(0.5, 0.95, 0.99), alpha=0.02, n_parts=4,
+        )
+        .to_pandas().set_index("g")
+    )
+    for g, vals in (("a", a), ("b", b)):
+        for q, col in ((0.5, "q_5"), (0.95, "q_95"), (0.99, "q_99")):
+            exact = np.quantile(vals, q, method="lower")
+            rel = abs(out.loc[g, col] - exact) / exact
+            # DDSketch guarantee is alpha; 1.5x headroom for the rank
+            # discretization between 'lower' and the sketch's definition
+            assert rel < 1.5 * 0.02, (g, col, rel)
+
+
+def test_dd_quantiles_zeros_and_invariance(ray_session):
+    vals = np.concatenate([np.zeros(60), np.full(40, 5.0)])
+    tbl = pa.table({"g": pa.array(["z"] * 100), "v": pa.array(vals)})
+    out = dd_quantiles(
+        ray.data.from_arrow(tbl), "v", "g", quantiles=(0.5, 0.99), alpha=0.01
+    ).to_pandas()
+    assert out.loc[0, "q_5"] == 0.0          # majority zeros → p50 exactly 0
+    assert abs(out.loc[0, "q_99"] - 5.0) / 5.0 < 0.01
+
+    a = dd_quantiles(ray.data.from_arrow(tbl), "v", "g").to_pandas()
+    b = dd_quantiles(
+        ray.data.from_arrow(tbl).repartition(16), "v", "g"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("g").reset_index(drop=True),
+        b.sort_values("g").reset_index(drop=True),
+    )
+
+
+def test_dd_quantiles_rejects_negative(ray_session):
+    import pytest
+
+    tbl = pa.table({"g": ["x"], "v": [-1.0]})
+    with pytest.raises(Exception):
+        dd_quantiles(ray.data.from_arrow(tbl), "v", "g").to_pandas()
