@@ -482,6 +482,50 @@ def _q_events_dd_quantiles(sf_dir: str):
     )
 
 
+def _q_docs_source_cap(sf_dir: str):
+    """Per-source document cap (10 per source), survivors chosen as the
+    cap smallest splitmix64(seed=3, doc_id) — the C4/RefinedWeb-style
+    per-domain cap. Combiner-first: blocks are pre-capped map-side, the
+    shuffle moves O(cap × sources). Oracle ranks by the identical UBIGINT
+    mix via row_number()."""
+    from ontocast_ray.ops.curation import cap_per_group
+
+    return cap_per_group(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        group_col="source",
+        cap=10,
+        id_col="doc_id",
+        seed=3,
+        n_parts=4,
+    )
+
+
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination: the 'eval set' is the first 20 words of
+    every doc_id%50==0 document (a leaked-benchmark simulation); any
+    training doc sharing a word-3-shingle with it is flagged with its
+    distinct-overlap count. Broadcast sorted hash array + pure map over
+    the corpus — zero shuffle. Oracle re-derives with string shingles."""
+    from ontocast_ray.ops.curation import decontaminate
+    from ontocast_ray.ops.dedup import _WS
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _eval_slice(batch):
+        import pyarrow as pa
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        f = batch.filter(pa.array(ids % 50 == 0))
+        texts = [
+            " ".join(_WS.split((t or "").strip().lower())[:20])
+            for t in f["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": f["doc_id"], "text": pa.array(texts)})
+
+    eval_ds = docs.map_batches(_eval_slice, batch_format="pyarrow")
+    return decontaminate(docs, eval_ds, k=3)
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -864,6 +908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": _q_bm25_topk,
         "events_approx_distinct": _q_events_hll,
         "events_sketch_quantiles": _q_events_dd_quantiles,
+        "docs_source_cap": _q_docs_source_cap,
+        "decontam_overlap": _q_decontam,
     }
 
 
@@ -1111,6 +1157,54 @@ def _sql_oracles() -> dict[str, str]:
                         ELSE 2.0 * power((1.0 + 0.01) / (1.0 - 0.01), b99)
                              / ((1.0 + 0.01) / (1.0 - 0.01) + 1.0) END AS q_99
             FROM picked
+        """,
+        # per-source cap re-derived: rank every doc by the identical
+        # splitmix64 mix (seed=3) as a raw UBIGINT (NOT the float
+        # projection — low bits matter for the order), keep rank <= 10
+        "docs_source_cap": f"""
+            WITH {_splitmix_sql(3)},
+            zfin AS (
+                SELECT doc_id, xor(z, z >> 31) AS zk FROM s2
+            ), ranked AS (
+                SELECT d.source, d.doc_id,
+                       row_number() OVER (
+                           PARTITION BY d.source
+                           ORDER BY zf.zk, d.doc_id
+                       ) AS rn
+                FROM documents d JOIN zfin zf USING (doc_id)
+            )
+            SELECT source, doc_id FROM ranked WHERE rn <= 10
+        """,
+        # decontamination re-derived with STRING shingles (the kernel uses
+        # 64-bit rolling hashes — identical counts barring collisions, the
+        # same equivalence the exact-Jaccard oracle relies on): eval = first
+        # 20 words of doc_id%50==0 docs, overlap = distinct shared
+        # word-3-shingles per training doc
+        "decontam_overlap": r"""
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), ev AS (
+                SELECT w[1:20] AS w FROM ws WHERE doc_id % 50 = 0
+            ), evsh AS (
+                SELECT DISTINCT s FROM (
+                    SELECT unnest(
+                        CASE WHEN len(w) >= 3
+                             THEN list_transform(range(1, len(w) - 1),
+                                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                             ELSE [array_to_string(w, ' ')] END) AS s
+                    FROM ev)
+            ), tr AS (
+                SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(w) >= 3
+                             THEN list_transform(range(1, len(w) - 1),
+                                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                             ELSE [array_to_string(w, ' ')] END)) AS s
+                FROM ws
+            )
+            SELECT tr.doc_id, count(*) AS n_overlap
+            FROM tr JOIN evsh USING (s)
+            GROUP BY tr.doc_id
         """,
         # chained curation oracle: the full pipeline (lang filter → alpha
         # quality gate → exact dedup → packing) re-derived stage-for-stage

@@ -1,62 +1,131 @@
-"""End-to-end curation pipeline: lang filter → quality gate → exact dedup
-→ packing (pipelines/curation.py) — hand-checked micro corpus plus
-parallelism determinism. The sf0.01 chained SQL oracle lives in
-test_driver_contract.py / the driver gate."""
+"""Property tests for ops/curation.py: per-group caps and benchmark
+decontamination (driver-oracle legs live in test_driver_contract.py)."""
 
+import numpy as np
 import pandas as pd
-import pytest
+import pyarrow as pa
 
 import ray.data
 
-from ontocast_ray.pipelines.curation import curate_corpus
-
-DOCS = [
-    # en, high alpha, 11 tokens → kept
-    {"doc_id": 0, "text": "the cat and the dog is on the mat with it"},
-    # de → dropped by the language gate
-    {"doc_id": 1, "text": "der hund und die katze ist von dem haus"},
-    # digits only: lang unknown AND alpha 0 → dropped
-    {"doc_id": 2, "text": "1234 5678 9012 3456 7890 1234"},
-    # exact duplicate of doc 0 → collapsed to doc 0
-    {"doc_id": 3, "text": "the cat and the dog is on the mat with it"},
-    # en, 11 tokens → kept
-    {"doc_id": 4, "text": "it is that the bird and the fish for a tree"},
-]
+from ontocast_ray.ops.curation import cap_per_group, decontaminate
+from ontocast_ray.ops.dedup import _shingle_hashes
+from ontocast_ray.ops.interleave import splitmix64
 
 
-def _run(n_parts):
-    ds = ray.data.from_items(DOCS)
-    out = curate_corpus(
-        ds,
-        lang="en",
-        min_alpha_ratio=0.5,
-        capacity=8,
-        shard_span=2,
-        n_parts=n_parts,
+def _skewed_frame():
+    rng = np.random.default_rng(5)
+    groups = np.repeat(
+        [f"g{i}" for i in range(6)], [400, 200, 100, 9, 3, 1]
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
-
-
-def test_curate_corpus_micro(ray_session):
-    df = _run(2)
-    assert list(df["doc_id"]) == [0, 4]
-    assert list(df["n_tokens"]) == [11, 11]
-    assert list(df["global_offset"]) == [0, 11]
-    # capacity 8: doc 0 spans bins 0..1, doc 4 starts at offset 11 → bin 1
-    assert list(df["first_bin"]) == [0, 1]
-    assert list(df["last_bin"]) == [1, 2]
-    assert list(df["offset_in_bin"]) == [0, 3]
-    assert list(df["shard"]) == [0, 2]
-
-
-def test_curate_corpus_parallelism_invariant(ray_session):
-    a, b = _run(1), _run(4)
-    pd.testing.assert_frame_equal(a, b)
-
-
-def test_curate_corpus_all_filtered(ray_session):
-    ds = ray.data.from_items(
-        [{"doc_id": 7, "text": "der hund und die katze ist von dem haus"}]
+    ids = rng.permutation(len(groups)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(groups),
+            "payload": pa.array(ids * 2),
+        }
     )
-    out = curate_corpus(ds, capacity=8, shard_span=2, n_parts=2)
-    assert out.count() == 0
+
+
+def _expected_cap(tbl: pa.Table, cap: int, seed: int) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df["_u"] = splitmix64(df["doc_id"].to_numpy().astype(np.uint64), seed)
+    return (
+        df.sort_values(["_u", "doc_id"])
+        .groupby("source", sort=False)
+        .head(cap)
+        .drop(columns="_u")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_cap_per_group_matches_reference(ray_session):
+    tbl = _skewed_frame()
+    got = (
+        cap_per_group(
+            ray.data.from_arrow(tbl).repartition(8),
+            group_col="source", cap=10, seed=3, n_parts=4,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = _expected_cap(tbl, cap=10, seed=3)
+    # groups smaller than the cap survive whole; larger are capped at 10
+    sizes = got.groupby("source").size()
+    assert sizes[["g0", "g1", "g2"]].eq(10).all()
+    assert sizes["g3"] == 9 and sizes["g4"] == 3 and sizes["g5"] == 1
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "payload"]], exp[["doc_id", "source", "payload"]]
+    )
+
+
+def test_cap_per_group_parallelism_invariant(ray_session):
+    tbl = _skewed_frame()
+    outs = []
+    for parts in (1, 16):
+        outs.append(
+            cap_per_group(
+                ray.data.from_arrow(tbl).repartition(parts),
+                group_col="source", cap=7, seed=1, n_parts=3,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def _docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",
+                    "zeta eta theta iota",
+                    "alpha beta gamma zeta",
+                    "completely different words here now",
+                ]
+            ),
+        }
+    )
+
+
+def test_decontaminate_exact_counts(ray_session):
+    train = ray.data.from_arrow(_docs())
+    # eval corpus = doc 1's text → its 3 shingles leak
+    eval_ds = ray.data.from_arrow(
+        pa.table({"doc_id": [99], "text": ["alpha beta gamma delta epsilon"]})
+    )
+    out = (
+        decontaminate(train, eval_ds, k=3)
+        .to_pandas().set_index("doc_id")["n_overlap"]
+    )
+    # doc1 shares all 3 of its shingles; doc3 shares 'alpha beta gamma'
+    assert out.to_dict() == {1: 3, 3: 1}
+    # cross-check against the shared hash kernel directly
+    ev = set(_shingle_hashes("alpha beta gamma delta epsilon", 3).tolist())
+    d3 = set(_shingle_hashes("alpha beta gamma zeta", 3).tolist())
+    assert len(ev & d3) == 1
+
+
+def test_decontaminate_empty_eval(ray_session):
+    train = ray.data.from_arrow(_docs())
+    eval_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    )
+    assert decontaminate(train, eval_ds, k=3).count() == 0
+
+
+def test_decontaminate_parallelism_invariant(ray_session):
+    tbl = _docs()
+    ev = pa.table({"doc_id": [99], "text": ["alpha beta gamma delta epsilon"]})
+    outs = []
+    for parts in (1, 4):
+        outs.append(
+            decontaminate(
+                ray.data.from_arrow(tbl).repartition(parts),
+                ray.data.from_arrow(ev), k=3,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

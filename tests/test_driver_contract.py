@@ -95,6 +95,8 @@ def test_all_queries_run(ray_session, contract):
         "curated_packing",
         "bm25_top20",
         "events_sketch_quantiles",
+        "docs_source_cap",
+        "decontam_overlap",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):
