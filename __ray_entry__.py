@@ -526,6 +526,32 @@ def _q_decontam(sf_dir: str):
     return decontaminate(docs, eval_ds, k=3)
 
 
+def _q_boilerplate(sf_dir: str):
+    """Line-level boilerplate removal (C4-style): a disclaimer header is
+    injected on every doc and a newsletter footer on doc_id%3==0 docs, then
+    any line occurring ≥2 times across the corpus is dropped. Count pass is
+    a map-side combiner + coarse groupby; scrub is a pure map against the
+    broadcast frequent-line hash set. Oracle re-derives with string lines."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.curation import remove_boilerplate_lines
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            "disclaimer: synthetic corpus\n" + (t or "")
+            + ("\nsubscribe to our newsletter" if i % 3 == 0 else "")
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
+
+    return remove_boilerplate_lines(
+        docs.map_batches(_inject, batch_format="pyarrow"), min_count=2, n_parts=4
+    )
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -910,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sketch_quantiles": _q_events_dd_quantiles,
         "docs_source_cap": _q_docs_source_cap,
         "decontam_overlap": _q_decontam,
+        "boilerplate_scrub": _q_boilerplate,
     }
 
 
@@ -1205,6 +1232,41 @@ def _sql_oracles() -> dict[str, str]:
             SELECT tr.doc_id, count(*) AS n_overlap
             FROM tr JOIN evsh USING (s)
             GROUP BY tr.doc_id
+        """,
+        # line-level boilerplate removal re-derived with string lines (the
+        # kernel uses 64-bit line hashes — identical barring collisions):
+        # same injected header/footer, same ≥2 occurrence threshold, same
+        # in-order re-join
+        "boilerplate_scrub": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       'disclaimer: synthetic corpus' || chr(10) || text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'subscribe to our newsletter'
+                            ELSE '' END AS text
+                FROM documents
+            ), exploded AS (
+                SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
+            ), lines AS (
+                SELECT doc_id, ord, ls[ord] AS line FROM exploded
+            ), freq AS (
+                SELECT line FROM lines GROUP BY line HAVING count(*) >= 2
+            ), kept AS (
+                SELECT doc_id, ord, line FROM lines
+                WHERE line NOT IN (SELECT line FROM freq)
+            ), agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(line, chr(10) ORDER BY ord), '') AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.text, '') AS text,
+                   CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN agg a USING (doc_id)
         """,
         # chained curation oracle: the full pipeline (lang filter → alpha
         # quality gate → exact dedup → packing) re-derived stage-for-stage

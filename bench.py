@@ -187,6 +187,45 @@ def run_curated_packing() -> int:
     ).count()
 
 
+def run_hll_sketch() -> int:
+    from ontocast_ray.ops.sketch import hll_distinct
+
+    return hll_distinct(
+        _read("events", columns=["event_id", "event_type"]),
+        key_col="event_id", group_col="event_type", p=12,
+    ).count()
+
+
+def run_source_cap() -> int:
+    from ontocast_ray.ops.curation import cap_per_group
+
+    return cap_per_group(
+        _read("documents", columns=["doc_id", "source"]),
+        group_col="source", cap=100, seed=3,
+    ).count()
+
+
+def run_decontam() -> int:
+    import pyarrow as pa
+
+    from ontocast_ray.ops.curation import decontaminate
+    from ontocast_ray.ops.dedup import _WS
+
+    docs = _read("documents", columns=["doc_id", "text"])
+
+    def _eval_slice(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        f = batch.filter(pa.array(ids % 50 == 0))
+        texts = [
+            " ".join(_WS.split((t or "").strip().lower())[:20])
+            for t in f["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": f["doc_id"], "text": pa.array(texts)})
+
+    eval_ds = docs.map_batches(_eval_slice, batch_format="pyarrow")
+    return decontaminate(docs, eval_ds, k=3).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -282,6 +321,18 @@ def main() -> None:
     t = time.perf_counter()
     run_curated_packing()
     extras["curated_packing"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_hll_sketch()
+    extras["hll_distinct"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_source_cap()
+    extras["source_cap"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_decontam()
+    extras["decontam"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(

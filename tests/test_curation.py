@@ -73,6 +73,38 @@ def test_cap_per_group_parallelism_invariant(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
+def test_remove_boilerplate_lines(ray_session):
+    from ontocast_ray.ops.curation import remove_boilerplate_lines
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "HEADER\nunique one\nFOOTER",
+                    "HEADER\nunique two",
+                    "HEADER\nunique three\nFOOTER",
+                ]
+            ),
+        }
+    )
+    out = (
+        remove_boilerplate_lines(
+            ray.data.from_arrow(tbl).repartition(3), min_count=2, n_parts=2
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["unique one", "unique two", "unique three"]
+    assert out["n_removed"].tolist() == [2, 1, 2]
+
+    # threshold above every count → nothing removed
+    out2 = remove_boilerplate_lines(
+        ray.data.from_arrow(tbl), min_count=10
+    ).to_pandas().sort_values("doc_id")
+    assert out2["n_removed"].tolist() == [0, 0, 0]
+    assert out2["text"].tolist() == tbl["text"].to_pylist()
+
+
 def _docs():
     return pa.table(
         {

@@ -97,6 +97,7 @@ def test_all_queries_run(ray_session, contract):
         "events_sketch_quantiles",
         "docs_source_cap",
         "decontam_overlap",
+        "boilerplate_scrub",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):
