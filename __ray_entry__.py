@@ -552,6 +552,51 @@ def _q_boilerplate(sf_dir: str):
     )
 
 
+def _q_hash_join(sf_dir: str):
+    """Shuffle hash equi-join of the two largest tables (lineitem ⋈
+    orders) — both sides too big to broadcast at 100 TB, so this is the
+    partitioned hash-join shape: tag + union + one hash(key) shuffle +
+    per-partition vectorized merge."""
+    from ontocast_ray.ops.joins import hash_join
+
+    return hash_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_linenumber", "l_quantity"],
+        right_cols=["o_custkey", "o_totalprice"],
+        how="inner",
+        n_parts=16,
+    )
+
+
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split: u = splitmix64(seed=9, doc_id)
+    scaled to [0,1); train <0.9, val <0.95, else test. Pure map — the
+    standard leakage-free split assignment, identical on any cluster
+    size. Oracle re-derives u with the pure-SQL splitmix64 mirror."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontocast_ray.ops.interleave import splitmix64
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = splitmix64(ids, seed=9).astype(np.float64) / float(2**64)
+        split = np.where(u < 0.9, "train", np.where(u < 0.95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _assign, batch_format="pyarrow"
+    )
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -937,6 +982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": _q_docs_source_cap,
         "decontam_overlap": _q_decontam,
         "boilerplate_scrub": _q_boilerplate,
+        "lineitem_orders_join": _q_hash_join,
+        "split_assign": _q_split_assign,
     }
 
 
@@ -1232,6 +1279,21 @@ def _sql_oracles() -> dict[str, str]:
             SELECT tr.doc_id, count(*) AS n_overlap
             FROM tr JOIN evsh USING (s)
             GROUP BY tr.doc_id
+        """,
+        "lineitem_orders_join": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                   o.o_custkey, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
+        # as DOUBLE on both sides (same float64 division), same thresholds
+        "split_assign": f"""
+            WITH {_splitmix_sql(9)}
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM mixed
         """,
         # line-level boilerplate removal re-derived with string lines (the
         # kernel uses 64-bit line hashes — identical barring collisions):

@@ -167,6 +167,94 @@ def asof_join(
     return tagged.groupby("part").map_groups(kernel, batch_format="pandas")
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Shuffle hash equi-join of two LARGE datasets (fact ⋈ fact).
+
+    When neither side fits in memory a broadcast is impossible — this is
+    the textbook partitioned hash join: both sides are tagged and unioned
+    under one schema, ONE coarse ``hash(key) % n_parts`` shuffle colocates
+    each key's rows from both sides, and the per-partition kernel runs a
+    single vectorized ``pd.merge`` across all keys in the partition.
+    Duplicate keys produce the full cross product per key (SQL join
+    semantics). ``how`` ∈ {"inner", "left"}. Output columns:
+    ``[left_on] + left_cols + right_cols`` (payload names must not clash —
+    rename upstream). Skewed keys: a single hot key lands in one
+    partition; salt upstream if a key's rows exceed a worker's memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    _lsch, _rsch = left.schema(), right.schema()
+    _ltypes = dict(zip(_lsch.names, _lsch.types))
+    _rtypes = dict(zip(_rsch.names, _rsch.types))
+    lcols = [c for c in left_cols if c != left_on]
+    rcols = [c for c in right_cols if c != right_on]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {left_on: batch[left_on]}
+        for c in lcols:
+            cols[c] = batch[c]
+        for c in rcols:
+            cols[c] = pa.nulls(len(batch), type=_rtypes[c])
+        out = pa.table(cols)
+        out = out.append_column("_side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+        return out.append_column("part", pa.array(hash_partition(batch[left_on], n_parts)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {left_on: batch[right_on].cast(_ltypes[left_on])}
+        for c in lcols:
+            cols[c] = pa.nulls(len(batch), type=_ltypes[c])
+        for c in rcols:
+            cols[c] = batch[c]
+        out = pa.table(cols)
+        out = out.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))
+        return out.append_column("part", pa.array(hash_partition(batch[right_on], n_parts)))
+
+    # typed nulls in the union make pandas widen ints to float inside the
+    # kernel; cast non-null sides back (left always non-null; right side
+    # non-null for inner joins, nullable Int64 for left joins)
+    _lcast = {c: _ltypes[c].to_pandas_dtype() for c in lcols if pa.types.is_integer(_ltypes[c])}
+    _rcast = {
+        c: (_rtypes[c].to_pandas_dtype() if how == "inner" else "Int64")
+        for c in rcols
+        if pa.types.is_integer(_rtypes[c])
+    }
+    _kcast = (
+        {left_on: _ltypes[left_on].to_pandas_dtype()}
+        if pa.types.is_integer(_ltypes[left_on])
+        else {}
+    )
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["_side"] == 0][[left_on, *lcols]]
+        rhs = group[group["_side"] == 1][[left_on, *rcols]]
+        if lhs.empty:
+            return lhs.assign(**{c: rhs[c].head(0) for c in rcols})
+        lhs = lhs.astype({**_kcast, **_lcast})
+        merged = pd.merge(lhs, rhs, on=left_on, how=how)
+        if _rcast:
+            merged = merged.astype(_rcast)
+        return merged.reset_index(drop=True)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(kernel, batch_format="pandas")
+
+
 def broadcast_range_join(
     big: "ray.data.Dataset",
     intervals: list[tuple],

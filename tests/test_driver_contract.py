@@ -98,6 +98,8 @@ def test_all_queries_run(ray_session, contract):
         "docs_source_cap",
         "decontam_overlap",
         "boilerplate_scrub",
+        "lineitem_orders_join",
+        "split_assign",
     ],
 )
 def test_query_matches_oracle(ray_session, contract, name):

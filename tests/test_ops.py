@@ -661,6 +661,61 @@ def test_deterministic_sample_is_stable(ray_session):
     assert a <= bigger  # thresholds nest: 10% sample ⊂ 50% sample
 
 
+def test_hash_join_matches_pandas(ray_session):
+    """Shuffle hash join == pandas merge, incl. duplicate-key cross
+    products and unmatched rows, at any partitioning."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 50, 300)  # duplicate keys on both sides
+    rk = rng.integers(20, 70, 80)  # partial overlap → unmatched rows
+    left = pa.table(
+        {"k": pa.array(lk, type=pa.int64()),
+         "lv": pa.array(np.arange(300), type=pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array(rk, type=pa.int64()),
+         "rv": pa.array(np.arange(80) * 10, type=pa.int64())}
+    )
+    exp_inner = (
+        left.to_pandas().merge(
+            right.to_pandas().rename(columns={"rk": "k"}), on="k", how="inner"
+        )
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    for how, exp in (("inner", exp_inner), ("left", None)):
+        got = (
+            hash_join(
+                ray.data.from_arrow(left).repartition(7),
+                ray.data.from_arrow(right).repartition(3),
+                left_on="k", right_on="rk",
+                left_cols=["lv"], right_cols=["rv"],
+                how=how, n_parts=5,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        )
+        if how == "inner":
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        else:
+            expl = (
+                left.to_pandas().merge(
+                    right.to_pandas().rename(columns={"rk": "k"}), on="k", how="left"
+                )
+                .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            )
+            assert len(got) == len(expl)
+            assert got["rv"].isna().sum() == expl["rv"].isna().sum()
+            pd.testing.assert_frame_equal(
+                got.astype({"rv": "float64"}),
+                expl.astype({"rv": "float64"}),
+                check_dtype=False,
+            )
+
+
 def test_asof_join_backward(ray_session):
     """Each left row gets the latest right value at or before its ts."""
     import ray.data
