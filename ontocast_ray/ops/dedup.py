@@ -365,16 +365,95 @@ def _join_schema(id_type: pa.DataType) -> pa.Schema:
     )
 
 
+def _verify_pairs_small(
+    docs: "ray.data.Dataset",
+    pair_rows: list,
+    threshold: float,
+    shingle_k: int,
+    id_type: pa.DataType,
+):
+    """Small-candidate fast path: the pair list is already bounded (gated
+    by ``_SMALL_PAIR_LIMIT``), so the ≤2·|pairs| member-doc shingle blobs
+    fit on the driver. One pure map filters the corpus against the exact
+    broadcast id set and emits blobs; the driver joins and verifies —
+    zero shuffles vs two sort shuffles, identical output (same shingle
+    kernel, same raw-IEEE jaccard). The distributed path's per-round
+    shuffle overhead dwarfs the work at this size (same rationale as the
+    union-find fallback in ops/graph_cc.py)."""
+    import ray
+
+    seen = set()
+    cand_pairs = []
+    for r in pair_rows:
+        key = (r["doc_id_a"], r["doc_id_b"])
+        if key not in seen:
+            seen.add(key)
+            cand_pairs.append(key)
+    member_ids = {d for p in cand_pairs for d in p}
+    ids_ref = ray.put(member_ids)
+
+    def blob_rows(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = batch["doc_id"].to_pylist()
+        mask = np.fromiter((d in wanted for d in ids), dtype=bool, count=len(ids))
+        sub = batch.filter(pa.array(mask))
+        texts = sub["text"].to_pylist()
+        word_hashes, ranges, empty_mask = _word_hashes_batch(texts)
+        blobs = [
+            (np.zeros(1, dtype=np.uint64) if empty_mask[i]
+             else _fold_kgrams(word_hashes[s:e], shingle_k)).tobytes()
+            for i, (s, e) in enumerate(ranges)
+        ]
+        return pa.table(
+            {"doc_id": sub["doc_id"], "shingles": pa.array(blobs, type=pa.binary())}
+        )
+
+    by_doc = {
+        r["doc_id"]: r["shingles"]
+        for r in docs.map_batches(blob_rows, batch_format="pyarrow").take_all()
+    }
+    out_a, out_b, sims = [], [], []
+    for a, b in cand_pairs:
+        if a not in by_doc or b not in by_doc:
+            continue
+        sa = set(np.frombuffer(by_doc[a], dtype=np.uint64).tolist())
+        sb = set(np.frombuffer(by_doc[b], dtype=np.uint64).tolist())
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            sims.append(j)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id_a": pa.array(out_a, type=id_type),
+                "doc_id_b": pa.array(out_b, type=id_type),
+                "jaccard": pa.array(sims, type=pa.float64()),
+            }
+        )
+    )
+
+
+# below this many candidate pairs the two-shuffle distributed join costs
+# more than the whole verification; the fast path collects ≤ 2·limit blobs
+_SMALL_PAIR_LIMIT = 5_000
+
+
 def ngram_jaccard_verify(
     docs: "ray.data.Dataset",
     pairs: "ray.data.Dataset",
     threshold: float = 0.7,
     shingle_k: int = 5,
     n_parts: int = 64,
+    small_pair_limit: int = _SMALL_PAIR_LIMIT,
 ) -> "ray.data.Dataset":
     """Exact Jaccard check of candidate pairs, fully distributed (see module
     comment above): Bloom-pruned shingle computation + doc_id shuffle join +
-    per-bucket verification. No corpus- or pair-sized driver materialization.
+    per-bucket verification. No corpus- or pair-sized driver materialization
+    (the ``small_pair_limit`` fast path is bounded by construction; pass 0
+    to force the distributed join).
     """
     import ray
     from ontocast_ray.util import hash_u64
@@ -389,10 +468,15 @@ def ngram_jaccard_verify(
     # candidates are consumed three times (bloom, requests, join); a
     # materialized pair set lives in the object store — small next to docs
     pairs = pairs.select_columns(["doc_id_a", "doc_id_b"]).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(empty)
     _sch = pairs.schema()
     id_type = dict(zip(_sch.names, _sch.types))["doc_id_a"]
+    if n_pairs <= small_pair_limit:
+        return _verify_pairs_small(
+            docs, pairs.take_all(), threshold, shingle_k, id_type
+        )
     schema = _join_schema(id_type)
 
     bloom = _bloom_build(pairs)

@@ -255,9 +255,6 @@ def test_jaccard_verify_matches_exact_oracle(ray_session, docs_table):
         pa.table({"doc_id_a": pa.array(cand_a, type=pa.int64()),
                   "doc_id_b": pa.array(cand_b, type=pa.int64())})
     )
-    out = ngram_jaccard_verify(docs, pairs, threshold=0.3, shingle_k=3).take_all()
-    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
-
     texts = dict(zip(ids, docs_table["text"].to_pylist()))
     expected = {}
     for a, b in zip(cand_a, cand_b):
@@ -266,8 +263,16 @@ def test_jaccard_verify_matches_exact_oracle(ray_session, docs_table):
         jac = len(sa & sb) / len(sa | sb)
         if jac >= 0.3:
             expected[(a, b)] = jac  # raw IEEE division, same as the kernel
-    assert got == expected
-    assert got[(0, 1)] == 1.0  # exact dup pair
+
+    # both execution shapes — the driver-side small path (default) and the
+    # distributed shuffle join (limit=0) — must produce identical results
+    for limit in (5_000, 0):
+        out = ngram_jaccard_verify(
+            docs, pairs, threshold=0.3, shingle_k=3, small_pair_limit=limit
+        ).take_all()
+        got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
+        assert got == expected, limit
+        assert got[(0, 1)] == 1.0  # exact dup pair
 
 
 def test_jaccard_verify_empty_and_missing(ray_session, docs_table):
@@ -286,7 +291,10 @@ def test_jaccard_verify_empty_and_missing(ray_session, docs_table):
         pa.table({"doc_id_a": pa.array([0], type=pa.int64()),
                   "doc_id_b": pa.array([9999], type=pa.int64())})
     )
-    assert ngram_jaccard_verify(docs, ghost, threshold=0.0).take_all() == []
+    for limit in (5_000, 0):
+        assert ngram_jaccard_verify(
+            docs, ghost, threshold=0.0, small_pair_limit=limit
+        ).take_all() == []
 
 
 def test_bloom_filter_no_false_negatives():
