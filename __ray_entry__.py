@@ -223,6 +223,17 @@ def _q_knn(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _q_kmeans(sf_dir: str):
+    """SemDeDup-style semantic clustering: distributed Lloyd k-means
+    (per-batch partial sums, tree reduce, broadcast centroids) → final
+    (vec_id, cluster) assignment. Oracle re-derives the identical Lloyd
+    schedule in SQL (init = k smallest vec_ids, 2 updates, final assign)."""
+    from ontocast_ray.ops.clustering import kmeans_fit_predict
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_fit_predict(emb, k=8, n_iters=2)
+
+
 def _q_docs_by_source(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -984,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_scrub": _q_boilerplate,
         "lineitem_orders_join": _q_hash_join,
         "split_assign": _q_split_assign,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -1110,6 +1122,55 @@ _NEARDUP_KEEP_SQL = f"""
     SELECT node AS doc_id, min(comp) AS keep_id, node = min(comp) AS keep
     FROM reach GROUP BY node
 """
+
+
+def _kmeans_sql(k: int = 8, n_iters: int = 2) -> str:
+    """Lloyd k-means re-derived in pure SQL, mirroring ops/clustering.py:
+    init = vectors of the k smallest vec_ids; each iteration assigns by
+    list_distance (ties → lowest cluster, same as numpy argmin) then
+    averages per dim; empty clusters keep the previous centroid; the final
+    SELECT is the assignment against the last centroids."""
+
+    def assign(cte: str, cents: str) -> str:
+        return f"""{cte} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.cent) ASC,
+                                               c.cluster ASC) AS rn
+            FROM e CROSS JOIN {cents} c) WHERE rn = 1
+    )"""
+
+    parts = [
+        """e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        f"""c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent
+        FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+    )""",
+    ]
+    for i in range(n_iters):
+        parts.append(assign(f"a{i}", f"c{i}"))
+        parts.append(f"""u{i + 1} AS (
+        SELECT cluster, dim, avg(val) AS m FROM (
+            SELECT cluster, unnest(v) AS val, unnest(range(len(v))) AS dim
+            FROM a{i})
+        GROUP BY cluster, dim
+    )""")
+        parts.append(f"""c{i + 1} AS (
+        SELECT c.cluster, COALESCE(n.cent, c.cent) AS cent
+        FROM c{i} c LEFT JOIN (
+            SELECT cluster, list(m ORDER BY dim) AS cent FROM u{i + 1}
+            GROUP BY cluster) n ON c.cluster = n.cluster
+    )""")
+    parts.append(assign(f"a{n_iters}", f"c{n_iters}"))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cluster FROM a{n_iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1672,4 +1733,5 @@ def _sql_oracles() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 10
         """,
+        "kmeans_clusters": _kmeans_sql(k=8, n_iters=2),
     }

@@ -1125,3 +1125,72 @@ def test_bm25_topk_parallelism_invariant(ray_session):
     )
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert (a["bm25"].to_numpy() == b["bm25"].to_numpy()).all()
+
+
+# --- distributed k-means (ops/clustering.py) -------------------------------
+
+
+def _ref_lloyd(vecs, k, n_iters):
+    """Plain single-process Lloyd with the exact schedule the op promises:
+    init = first k rows by id, argmin ties to lowest cluster, empty
+    clusters keep the previous centroid."""
+    cents = vecs[:k].astype(np.float64).copy()
+    for _ in range(n_iters):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1)
+
+
+def test_kmeans_matches_reference_lloyd(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.clustering import kmeans_fit_predict
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 8)) * 10.0
+    blob = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(25, 8)) for c in centers]
+    ).astype(np.float64)
+    # interleave blobs so ids 0..3 (the init centroids) span all four blobs
+    order = np.argsort(np.tile(np.arange(25), 4), kind="stable")
+    vecs = blob[order]
+    labels = np.repeat(np.arange(4), 25)[order]
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": ids, "embedding": list(vecs)})
+
+    out = (
+        kmeans_fit_predict(
+            ray.data.from_arrow(tbl).repartition(7), k=4, n_iters=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    expected = _ref_lloyd(vecs, k=4, n_iters=3)
+    assert out["cluster"].to_numpy().tolist() == expected.tolist()
+    # well-separated blobs with one init point each: perfect purity
+    got = out["cluster"].to_numpy()
+    for b in range(4):
+        assert len(set(got[labels == b])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.clustering import kmeans_fit
+
+    # two far blobs but k=3: the third init centroid (a blob-A point) loses
+    # all members after iteration 1 yet must survive as a valid centroid
+    vecs = np.concatenate(
+        [np.full((5, 4), 0.0), np.full((5, 4), 100.0)]
+    ) + np.arange(10)[:, None] * 0.01
+    tbl = pa.table(
+        {"vec_id": np.arange(10, dtype=np.int64), "embedding": list(vecs)}
+    )
+    cents = kmeans_fit(ray.data.from_arrow(tbl), k=3, n_iters=4)
+    assert cents.shape == (3, 4)
+    assert np.isfinite(cents).all()
