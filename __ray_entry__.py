@@ -234,6 +234,15 @@ def _q_kmeans(sf_dir: str):
     return kmeans_fit_predict(emb, k=8, n_iters=2)
 
 
+def _q_semdedup(sf_dir: str):
+    """Full SemDeDup: k-means then within-cluster cosine near-dup keep rule
+    (drop iff a lower-id cluster member is within the cosine threshold)."""
+    from ontocast_ray.ops.clustering import semdedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, n_iters=2, threshold=0.35)
+
+
 def _q_docs_by_source(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -996,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_hash_join,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
+        "semdedup_keep": _q_semdedup,
     }
 
 
@@ -1124,12 +1134,14 @@ _NEARDUP_KEEP_SQL = f"""
 """
 
 
-def _kmeans_sql(k: int = 8, n_iters: int = 2) -> str:
+def _kmeans_sql(k: int = 8, n_iters: int = 2, final: str | None = None) -> str:
     """Lloyd k-means re-derived in pure SQL, mirroring ops/clustering.py:
     init = vectors of the k smallest vec_ids; each iteration assigns by
     list_distance (ties → lowest cluster, same as numpy argmin) then
     averages per dim; empty clusters keep the previous centroid; the final
-    SELECT is the assignment against the last centroids."""
+    SELECT (default: the assignment against the last centroids) can be
+    overridden via ``final``, which sees the CTE ``a{n_iters}``
+    (vec_id, v, cluster)."""
 
     def assign(cte: str, cents: str) -> str:
         return f"""{cte} AS (
@@ -1166,10 +1178,25 @@ def _kmeans_sql(k: int = 8, n_iters: int = 2) -> str:
             GROUP BY cluster) n ON c.cluster = n.cluster
     )""")
     parts.append(assign(f"a{n_iters}", f"c{n_iters}"))
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"\n    SELECT vec_id, cluster FROM a{n_iters}"
+    if final is None:
+        final = f"SELECT vec_id, cluster FROM a{n_iters}"
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+def _semdedup_sql(k: int = 8, n_iters: int = 2, threshold: float = 0.35) -> str:
+    """SemDeDup keep rule on top of the k-means CTE chain: a vector is
+    dropped iff a LOWER-id member of the same cluster has cosine ≥
+    threshold (order-free predicate — no sequential greedy state)."""
+    return _kmeans_sql(
+        k,
+        n_iters,
+        final=f"""SELECT a.vec_id, a.cluster,
+               NOT EXISTS (
+                   SELECT 1 FROM a{n_iters} b
+                   WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+                     AND list_cosine_similarity(b.v, a.v) >= {threshold}
+               ) AS keep
+        FROM a{n_iters} a""",
     )
 
 
@@ -1734,4 +1761,5 @@ def _sql_oracles() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "kmeans_clusters": _kmeans_sql(k=8, n_iters=2),
+        "semdedup_keep": _semdedup_sql(k=8, n_iters=2, threshold=0.35),
     }

@@ -185,3 +185,64 @@ def kmeans_fit_predict(
     """fit + assign → (id_col, cluster)."""
     cents = kmeans_fit(emb, k, n_iters, id_col, vec_col, reduce_parts)
     return kmeans_assign(emb, cents, id_col, vec_col)
+
+
+def semdedup(
+    emb: "ray.data.Dataset",
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reduce_parts: int = 16,
+    chunk: int = 512,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): k-means, then within each cluster drop
+    every vector that has a LOWER-id member with cosine ≥ threshold.
+
+    → (id_col, cluster, keep). The keep rule is order-free (a pure
+    predicate on the pair set, not a sequential greedy scan) so it is
+    parallelism-invariant and SQL-expressible. One shuffle moves each
+    vector to its cluster's reducer; within a cluster the scan is a
+    chunked matmul (peak memory ``chunk × cluster_size`` floats). The
+    per-cluster reducer bound is the documented SemDeDup contract: pick k
+    so n/k fits one worker (the paper uses k ≈ n/10⁴)."""
+    import pandas as pd
+
+    cents = kmeans_fit(emb, k, n_iters, id_col, vec_col, reduce_parts)
+    cents_ref = ray.put(cents)
+
+    def _with_cluster(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("cluster", pa.array([], type=pa.int64()))
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        assign = _assign_ids(vecs, ray.get(cents_ref))
+        return batch.append_column("cluster", pa.array(assign, type=pa.int64()))
+
+    def _cluster_keep(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(id_col, kind="stable")
+        vecs = np.asarray(list(group[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms
+        n = len(nv)
+        keep = np.ones(n, dtype=bool)
+        for lo in range(1, n, chunk):
+            hi = min(lo + chunk, n)
+            # rows lo..hi vs ALL earlier rows: any lower-id near neighbor?
+            sims = nv[lo:hi] @ nv[:hi].T
+            tril = np.tril(sims >= threshold, k=lo - 1)
+            keep[lo:hi] = ~tril.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(),
+                "cluster": group["cluster"].to_numpy(),
+                "keep": keep,
+            }
+        )
+
+    return (
+        emb.map_batches(_with_cluster, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_cluster_keep, batch_format="pandas")
+    )

@@ -1194,3 +1194,47 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     cents = kmeans_fit(ray.data.from_arrow(tbl), k=3, n_iters=4)
     assert cents.shape == (3, 4)
     assert np.isfinite(cents).all()
+
+
+def test_semdedup_matches_reference_rule(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.clustering import semdedup
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 6)).astype(np.float64)
+    # plant near-dups: rows 10/11 ~ row 3, row 20 ~ row 5
+    vecs[10] = vecs[3] + 0.01
+    vecs[11] = vecs[3] - 0.01
+    vecs[20] = vecs[5] * 1.5
+    tbl = pa.table(
+        {"vec_id": np.arange(60, dtype=np.int64), "embedding": list(vecs)}
+    )
+    # chunk=4 forces the chunked-matmul boundary logic through many windows
+    out = (
+        semdedup(
+            ray.data.from_arrow(tbl).repartition(5),
+            k=3, n_iters=2, threshold=0.9, chunk=4,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: same Lloyd (via the op's own fit, already pinned to the
+    # reference Lloyd in test_kmeans_matches_reference_lloyd), then a plain
+    # O(n^2) scan of the keep predicate
+    cluster = out["cluster"].to_numpy()
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expected = []
+    for i in range(60):
+        drop = any(
+            cluster[j] == cluster[i] and float(nv[j] @ nv[i]) >= 0.9
+            for j in range(i)
+        )
+        expected.append(not drop)
+    assert out["keep"].tolist() == expected
+    # the planted near-dups were dropped, their originals kept
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert keep[3] and not keep[10] and not keep[11]
+    assert keep[5] and not keep[20]
