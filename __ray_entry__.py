@@ -243,6 +243,44 @@ def _q_semdedup(sf_dir: str):
     return semdedup(emb, k=8, n_iters=2, threshold=0.35)
 
 
+def _q_pagerank(sf_dir: str):
+    """Integer-arithmetic PageRank over the supplier↔customer bipartite
+    graph (distinct lineitem⋈orders pairs, both directions, customers
+    offset into a disjoint id space). Floor-division spec is exact, so
+    the SQL oracle reproduces every rank bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.ops.pagerank import pagerank_int
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_suppkey"],
+        right_cols=["o_custkey"],
+        n_parts=16,
+    )
+    pairs = joined.groupby(["l_suppkey", "o_custkey"]).count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, c]),
+                "dst": pa.concat_arrays([c, s]),
+            }
+        )
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3)
+
+
 def _q_docs_by_source(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1006,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
+        "pagerank_suppliers": _q_pagerank,
     }
 
 
@@ -1197,6 +1236,64 @@ def _semdedup_sql(k: int = 8, n_iters: int = 2, threshold: float = 0.35) -> str:
                      AND list_cosine_similarity(b.v, a.v) >= {threshold}
                ) AS keep
         FROM a{n_iters} a""",
+    )
+
+
+def _pagerank_sql(
+    n_iters: int = 3, mass: int = 10**12, d_num: int = 17, d_den: int = 20
+) -> str:
+    """Integer PageRank re-derived in SQL, mirroring ops/pagerank.py's
+    floor-division spec step for step. sum(BIGINT) is HUGEINT in DuckDB —
+    every sum is cast back before division so the arithmetic width matches
+    the int64 Ray kernels."""
+    teleport = f"(({mass} - ({d_num} * {mass}) // {d_den}) // c.n)"
+    parts = [
+        """pairs AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """edges AS (
+        SELECT s AS src, c + 1000000 AS dst FROM pairs
+        UNION ALL
+        SELECT c + 1000000 AS src, s AS dst FROM pairs
+    )""",
+        """nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    )""",
+        """deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    )""",
+        """const AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)""",
+        f"""r0 AS (
+        SELECT node, CAST({mass} // c.n AS BIGINT) AS r FROM nodes, const c
+    )""",
+    ]
+    for i in range(n_iters):
+        parts.append(f"""g{i} AS (
+        SELECT r.node, r.r // d.outdeg AS give
+        FROM r{i} r JOIN deg d ON r.node = d.node
+    )""")
+        parts.append(f"""d{i} AS (
+        SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dm
+        FROM r{i} r LEFT JOIN deg d ON r.node = d.node
+        WHERE d.node IS NULL
+    )""")
+        parts.append(f"""s{i} AS (
+        SELECT e.dst AS node, CAST(sum(g.give) AS BIGINT) AS s
+        FROM edges e JOIN g{i} g ON g.node = e.src GROUP BY e.dst
+    )""")
+        parts.append(f"""r{i + 1} AS (
+        SELECT n.node,
+               CAST({teleport}
+                    + ({d_num} * (COALESCE(s.s, 0) + d.dm // c.n)) // {d_den}
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, d{i} d, const c
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, r AS rank FROM r{n_iters}"
     )
 
 
@@ -1762,4 +1859,5 @@ def _sql_oracles() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_sql(k=8, n_iters=2),
         "semdedup_keep": _semdedup_sql(k=8, n_iters=2, threshold=0.35),
+        "pagerank_suppliers": _pagerank_sql(n_iters=3),
     }

@@ -1238,3 +1238,47 @@ def test_semdedup_matches_reference_rule(ray_session):
     keep = dict(zip(out["vec_id"], out["keep"]))
     assert keep[3] and not keep[10] and not keep[11]
     assert keep[5] and not keep[20]
+
+
+def test_pagerank_int_both_paths_match_spec(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.pagerank import pagerank_int
+
+    # toy directed graph with a dangling node (3 has no out-edges)
+    src = [0, 0, 1, 2, 2]
+    dst = [1, 2, 2, 0, 3]
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    )
+
+    # single-process reference of the exact integer spec
+    M, DN, DD = 10**12, 17, 20
+    nodes = sorted(set(src) | set(dst))
+    n = len(nodes)
+    outdeg = {}
+    for s in src:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = (M - (DN * M) // DD) // n
+    r = {v: M // n for v in nodes}
+    for _ in range(3):
+        give = {u: r[u] // outdeg[u] for u in outdeg}
+        dangling = sum(r[u] for u in nodes if u not in outdeg)
+        s_acc = {v: 0 for v in nodes}
+        for a, b in zip(src, dst):
+            s_acc[b] += give[a]
+        r = {v: teleport + (DN * (s_acc[v] + dangling // n)) // DD for v in nodes}
+
+    # driver fallback (default) and distributed path (limit=0) must both
+    # reproduce the spec exactly
+    for limit in (2_000_000, 0):
+        out = {
+            row["node"]: row["rank"]
+            for row in pagerank_int(
+                edges, n_iters=3, small_edge_limit=limit
+            ).take_all()
+        }
+        assert out == r, limit
+    # dangling node still accumulates teleport + redistributed mass
+    assert r[3] > 0
