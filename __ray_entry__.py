@@ -281,6 +281,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_int(edges, n_iters=3)
 
 
+def _q_term_cooccurrence(sf_dir: str):
+    """Windowed term co-occurrence counts (PMI-style, counts only): pairs
+    (least, greatest) over every i<j ≤ i+5 within a document, map-side
+    combined, min_count ≥ 3, top 100 by (n desc, a, b)."""
+    from ontocast_ray.ops.text import term_cooccurrence
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return term_cooccurrence(docs, window=5, min_count=3, top_n=100)
+
+
 def _q_docs_by_source(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
@@ -1045,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
         "pagerank_suppliers": _q_pagerank,
+        "term_cooccurrence_top100": _q_term_cooccurrence,
     }
 
 
@@ -1860,4 +1871,26 @@ def _sql_oracles() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=8, n_iters=2),
         "semdedup_keep": _semdedup_sql(k=8, n_iters=2, threshold=0.35),
         "pagerank_suppliers": _pagerank_sql(n_iters=3),
+        "term_cooccurrence_top100": """
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(words) AS term,
+                       unnest(range(len(words))) AS pos
+                FROM w
+            ),
+            pairs AS (
+                SELECT least(t1.term, t2.term) AS term_a,
+                       greatest(t1.term, t2.term) AS term_b
+                FROM tok t1 JOIN tok t2
+                  ON t1.doc_id = t2.doc_id
+                 AND t2.pos > t1.pos AND t2.pos <= t1.pos + 5
+            )
+            SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS n_count
+            FROM pairs GROUP BY term_a, term_b
+            HAVING count(*) >= 3
+            ORDER BY n_count DESC, term_a, term_b LIMIT 100
+        """,
     }

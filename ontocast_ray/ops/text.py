@@ -329,3 +329,82 @@ def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
         texts = texts.str.replace(pat, repl, regex=True)
     out["clean_text"] = pa.array(texts, type=pa.string())
     return pa.table(out)
+
+
+def term_cooccurrence(
+    docs,
+    window: int = 5,
+    min_count: int = 2,
+    top_n: int = 100,
+):
+    """Top-N co-occurring term pairs within a token window (PMI-style
+    counting, counts only — exact integers, no floats to disagree on).
+
+    A pair is (least(wᵢ,wⱼ), greatest(wᵢ,wⱼ)) for every i<j ≤ i+window
+    WITHIN a document. The batch kernel is fully vectorized across doc
+    boundaries: all docs' tokens are flattened into one array with a
+    parallel doc-index array, and each window offset d is a single
+    shifted-compare — pairs straddling two docs are masked out by the
+    doc-index inequality, never generated row by row.
+
+    Scale shape: the kernel is a map-side COMBINER (per-batch pair
+    value_counts), so the one groupby shuffles (pair, partial_count)
+    rows — pair-vocabulary-sized, not the exploded pair stream.
+    min_count is applied AFTER the global sum (it cannot prune partials
+    without undercounting); at web scale cap the pair vocabulary
+    upstream (stopword removal / doc-frequency floor) before this op.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "term_a": pa.array([], type=pa.string()),
+            "term_b": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        if len(vals) < 2:
+            return empty
+        a_all, b_all = [], []
+        for d in range(1, window + 1):
+            if d >= len(vals):
+                break
+            same_doc = idx[:-d] == idx[d:]
+            a_all.append(vals[:-d][same_doc])
+            b_all.append(vals[d:][same_doc])
+        if not a_all:
+            return empty
+        x = np.concatenate(a_all)
+        y = np.concatenate(b_all)
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        counts = pd.DataFrame({"term_a": lo, "term_b": hi}).value_counts()
+        ix = counts.index.to_frame(index=False)
+        return pa.table(
+            {
+                "term_a": pa.array(ix["term_a"].to_numpy(), type=pa.string()),
+                "term_b": pa.array(ix["term_b"].to_numpy(), type=pa.string()),
+                "n": pa.array(counts.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n_count"))
+    )
+    def keep_min_count(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["n_count"], min_count))
+
+    filtered = agg.map_batches(keep_min_count, batch_format="pyarrow")
+    return filtered.sort(
+        ["n_count", "term_a", "term_b"], descending=[True, False, False]
+    ).limit(top_n)

@@ -1282,3 +1282,37 @@ def test_pagerank_int_both_paths_match_spec(ray_session):
         assert out == r, limit
     # dangling node still accumulates teleport + redistributed mass
     assert r[3] > 0
+
+
+def test_term_cooccurrence_window_and_boundaries(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.text import term_cooccurrence
+
+    # doc 0: "alpha beta gamma" — window 2 covers all three pairs
+    # doc 1: "beta alpha" — (alpha, beta) again, normalized order
+    # doc 2: "gamma" then doc 3 starts with "alpha": the pair (alpha, gamma)
+    #        must NOT appear across the doc boundary
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["alpha beta gamma", "beta alpha", "gamma", "alpha zeta"],
+        }
+    )
+    out = term_cooccurrence(
+        ray.data.from_arrow(tbl).repartition(3), window=2, min_count=1, top_n=10
+    ).take_all()
+    got = {(r["term_a"], r["term_b"]): r["n_count"] for r in out}
+    assert got == {
+        ("alpha", "beta"): 2,
+        ("alpha", "gamma"): 1,
+        ("beta", "gamma"): 1,
+        ("alpha", "zeta"): 1,
+    }
+
+    # min_count prunes after the global sum (the (alpha,beta) pair spans
+    # two docs that land in different blocks)
+    out2 = term_cooccurrence(
+        ray.data.from_arrow(tbl).repartition(4), window=2, min_count=2, top_n=10
+    ).take_all()
+    assert {(r["term_a"], r["term_b"]) for r in out2} == {("alpha", "beta")}
