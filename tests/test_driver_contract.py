@@ -99,6 +99,7 @@ def test_all_queries_run(ray_session, contract):
         "decontam_overlap",
         "boilerplate_scrub",
         "lineitem_orders_join",
+        "supplier_customer_pairs",
         "split_assign",
     ],
 )

@@ -724,6 +724,38 @@ def test_hash_join_matches_pandas(ray_session):
             )
 
 
+def test_distinct_on_matches_pandas(ray_session):
+    """Multi-column DISTINCT == pandas drop_duplicates, mixed int/string
+    keys, heavy duplication, at any input partitioning."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import distinct_on
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+            "b": pa.array(
+                [f"s{v}" for v in rng.integers(0, 8, n)], type=pa.string()
+            ),
+            "payload": pa.array(np.arange(n), type=pa.int64()),
+        }
+    )
+    exp = (
+        t.to_pandas()[["a", "b"]].drop_duplicates()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    for parts in (1, 5):
+        got = (
+            distinct_on(ray.data.from_arrow(t).repartition(9), ["a", "b"], n_parts=parts)
+            .to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_asof_join_backward(ray_session):
     """Each left row gets the latest right value at or before its ts."""
     import ray.data
