@@ -22,10 +22,12 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 KG_DOC_LIMIT = 500  # covers the whole documents table at sf0.001/sf0.01
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, filter=filter
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -639,6 +641,62 @@ def _q_hash_join(sf_dir: str):
     )
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per source with the
+    smallest splitmix64(seed=13, doc_id) — exact per-group uniform draw,
+    cluster-size independent. Oracle re-derives u with the pure-SQL
+    splitmix64 mirror and ranks with row_number()."""
+    from ontocast_ray.ops.text import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = stratified_sample(docs, group_col="source", n=5, seed=13)
+    return out.select_columns(["source", "doc_id", "rank"])
+
+
+def _q_semi_join(sf_dir: str):
+    """Semi join (SQL WHERE EXISTS): customers that placed at least one
+    order. Only DISTINCT right keys cross the wire (map-side dedup), then
+    one coarse hash shuffle + per-partition vectorized isin."""
+    from ontocast_ray.ops.joins import hash_join
+
+    return hash_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_nationkey", "c_mktsegment"],
+        right_cols=[],
+        how="semi",
+        n_parts=16,
+    )
+
+
+def _q_anti_join(sf_dir: str):
+    """Anti join (SQL WHERE NOT EXISTS): customers with no URGENT-priority
+    order — the standard referential-integrity / orphan scan (the right
+    side is row-filtered at the read so the anti set is non-trivial)."""
+    import pyarrow.dataset as pads
+
+    from ontocast_ray.ops.joins import hash_join
+
+    urgent = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"]),
+        urgent,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        left_cols=["c_nationkey", "c_mktsegment"],
+        right_cols=[],
+        how="anti",
+        n_parts=16,
+    )
+
+
 def _q_distinct_pairs(sf_dir: str):
     """Multi-column DISTINCT over a joined fact table (the supplier ↔
     customer relationship pairs). Ray Data's native multi-key groupby is a
@@ -1073,6 +1131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_scrub": _q_boilerplate,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
+        "customers_with_orders": _q_semi_join,
+        "customers_without_orders": _q_anti_join,
+        "stratified_sample_5per_source": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1506,6 +1567,31 @@ def _sql_oracles() -> dict[str, str]:
         "supplier_customer_pairs": """
             SELECT DISTINCT l.l_suppkey, o.o_custkey
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_nationkey, c_mktsegment
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_nationkey, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        # stratified sample re-derived: u = splitmix64(seed=13, doc_id)/2^64
+        # (bit-identical on both sides), smallest-5 per source
+        "stratified_sample_5per_source": f"""
+            WITH {_splitmix_sql(13)}
+            SELECT source, doc_id, rank FROM (
+                SELECT d.source, d.doc_id,
+                       row_number() OVER (PARTITION BY d.source
+                                          ORDER BY m.u ASC, d.doc_id ASC) AS rank
+                FROM documents d JOIN mixed m USING (doc_id)
+            ) WHERE rank <= 5
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
         # as DOUBLE on both sides (same float64 division), same thresholds

@@ -185,18 +185,24 @@ def hash_join(
     each key's rows from both sides, and the per-partition kernel runs a
     single vectorized ``pd.merge`` across all keys in the partition.
     Duplicate keys produce the full cross product per key (SQL join
-    semantics). ``how`` ∈ {"inner", "left"}. Output columns:
-    ``[left_on] + left_cols + right_cols`` (payload names must not clash —
-    rename upstream). Skewed keys: a single hot key lands in one
-    partition; salt upstream if a key's rows exceed a worker's memory.
+    semantics). ``how`` ∈ {"inner", "left", "semi", "anti"}. Output
+    columns: ``[left_on] + left_cols + right_cols`` (payload names must
+    not clash — rename upstream); for semi/anti the output is left-side
+    only (``right_cols`` must be empty) and matches SQL ``WHERE [NOT]
+    EXISTS``. Semi/anti ship only DISTINCT right keys across the wire
+    (per-batch map-side dedup — the existence check needs nothing else).
+    Skewed keys: a single hot key lands in one partition; salt upstream
+    if a key's rows exceed a worker's memory.
     """
     import numpy as np
     import pandas as pd
 
     from ontocast_ray.util import hash_partition
 
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError("semi/anti joins return left columns only")
     _lsch, _rsch = left.schema(), right.schema()
     _ltypes = dict(zip(_lsch.names, _lsch.types))
     _rtypes = dict(zip(_rsch.names, _rsch.types))
@@ -214,14 +220,19 @@ def hash_join(
         return out.append_column("part", pa.array(hash_partition(batch[left_on], n_parts)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        cols = {left_on: batch[right_on].cast(_ltypes[left_on])}
+        keys = batch[right_on].cast(_ltypes[left_on])
+        if how in ("semi", "anti"):
+            # existence check: distinct keys are all the wire needs
+            keys = keys.combine_chunks().unique()
+        cols = {left_on: keys}
+        n = len(keys)
         for c in lcols:
-            cols[c] = pa.nulls(len(batch), type=_ltypes[c])
+            cols[c] = pa.nulls(n, type=_ltypes[c])
         for c in rcols:
             cols[c] = batch[c]
         out = pa.table(cols)
-        out = out.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))
-        return out.append_column("part", pa.array(hash_partition(batch[right_on], n_parts)))
+        out = out.append_column("_side", pa.array(np.ones(n, dtype=np.int8)))
+        return out.append_column("part", pa.array(hash_partition(keys, n_parts)))
 
     # typed nulls in the union make pandas widen ints to float inside the
     # kernel; cast non-null sides back (left always non-null; right side
@@ -244,6 +255,10 @@ def hash_join(
         if lhs.empty:
             return lhs.assign(**{c: rhs[c].head(0) for c in rcols})
         lhs = lhs.astype({**_kcast, **_lcast})
+        if how in ("semi", "anti"):
+            mask = lhs[left_on].isin(rhs[left_on])
+            out = lhs[mask if how == "semi" else ~mask]
+            return out.reset_index(drop=True)
         merged = pd.merge(lhs, rhs, on=left_on, how=how)
         if _rcast:
             merged = merged.astype(_rcast)

@@ -225,6 +225,45 @@ def deterministic_sample(docs, pct: int, id_col: str = "doc_id"):
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(
+    docs,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 13,
+    n_parts: int = 64,
+):
+    """Deterministic stratified sample: the ``n`` rows per group with the
+    smallest ``splitmix64(seed, id)`` — an exact per-group uniform draw
+    with no RNG state, identical at any cluster size and resumable.
+
+    Scale shape: reuses ``topk_per_group`` (per-batch partial top-n
+    combiner → the shuffle moves at most n rows per (group, batch), never
+    the corpus). Output = input columns + ``rank`` (1-based within group,
+    by draw order); the ``u`` draw column is dropped.
+    """
+    import numpy as np
+
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.ops.rank import topk_per_group
+
+    def add_u(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = splitmix64(ids, seed=seed).astype(np.float64) / float(2**64)
+        return batch.append_column("u", pa.array(u))
+
+    ranked = topk_per_group(
+        docs.map_batches(add_u, batch_format="pyarrow"),
+        group_col=group_col,
+        order_col="u",
+        k=n,
+        tiebreak_col=id_col,
+        descending=False,
+        n_parts=n_parts,
+    )
+    return ranked.drop_columns(["u"])
+
+
 def repetition_stats(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
     the standard web-corpus quality rules): duplicate-line fraction and the

@@ -100,6 +100,9 @@ def test_all_queries_run(ray_session, contract):
         "boilerplate_scrub",
         "lineitem_orders_join",
         "supplier_customer_pairs",
+        "customers_with_orders",
+        "customers_without_orders",
+        "stratified_sample_5per_source",
         "split_assign",
     ],
 )

@@ -724,6 +724,74 @@ def test_hash_join_matches_pandas(ray_session):
             )
 
 
+def test_stratified_sample_exact_draw(ray_session):
+    """n smallest splitmix64 draws per group, invariant to partitioning."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.ops.text import stratified_sample
+
+    ids = np.arange(1000, dtype=np.int64)
+    groups = np.array([f"g{v}" for v in ids % 7], dtype=object)
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(groups)})
+    u = splitmix64(ids.astype(np.uint64), seed=13).astype(np.float64) / 2**64
+    exp = (
+        pd.DataFrame({"doc_id": ids, "source": groups, "u": u})
+        .sort_values(["u", "doc_id"])
+        .groupby("source", sort=False)
+        .head(4)
+    )
+    exp = set(exp["doc_id"])
+    for parts in (1, 8):
+        got = stratified_sample(
+            ray.data.from_arrow(t).repartition(parts), "source", 4, seed=13
+        ).to_pandas()
+        assert set(got["doc_id"]) == exp
+        assert got["rank"].between(1, 4).all()
+        assert got.groupby("source")["rank"].max().eq(4).all()
+
+
+def test_semi_anti_join_matches_pandas(ray_session):
+    """semi == WHERE EXISTS, anti == WHERE NOT EXISTS; left row
+    multiplicity preserved, no right-side duplication effects."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(5)
+    lk = rng.integers(0, 40, 200)
+    rk = rng.integers(25, 60, 90)  # partial overlap, duplicate right keys
+    left = pa.table(
+        {"k": pa.array(lk, type=pa.int64()),
+         "lv": pa.array(np.arange(200), type=pa.int64())}
+    )
+    right = pa.table({"rk": pa.array(rk, type=pa.int64())})
+    ldf, rkeys = left.to_pandas(), set(rk.tolist())
+    for how in ("semi", "anti"):
+        exp = ldf[ldf["k"].isin(rkeys) == (how == "semi")]
+        exp = exp.sort_values(["k", "lv"]).reset_index(drop=True)
+        got = (
+            hash_join(
+                ray.data.from_arrow(left).repartition(6),
+                ray.data.from_arrow(right).repartition(4),
+                left_on="k", right_on="rk",
+                left_cols=["lv"], right_cols=[],
+                how=how, n_parts=5,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError):
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            left_on="k", right_on="rk",
+            left_cols=["lv"], right_cols=["rk"], how="semi",
+        )
+
+
 def test_distinct_on_matches_pandas(ray_session):
     """Multi-column DISTINCT == pandas drop_duplicates, mixed int/string
     keys, heavy duplication, at any input partitioning."""
