@@ -200,6 +200,30 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_doc_row_numbers(sf_dir: str):
+    """Global ROW_NUMBER + exact SQL NTILE(7) over doc_id order without a
+    global sort — two-phase ordered scan (per-shard counts → driver
+    exclusive scan over the tiny shard list → broadcast base offsets)."""
+    from ontocast_ray.ops.rank import global_row_number
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return global_row_number(docs, order_col="doc_id", ntile=7, shard_span=64)
+
+
+def _q_events_rolling_max(sf_dir: str):
+    """Sliding 3-row max per user (peak detection window): SQL ``max(value)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW)``. max is order-free → bit-exact on doubles
+    across engines."""
+    from ontocast_ray.ops.windows import rolling_window_agg
+
+    return rolling_window_agg(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        k=3,
+        agg="max",
+    )
+
+
 def _query_vectors(emb, n: int = 2):
     """First n vec_ids as a query matrix — vectorized pc filter, not a
     per-row Python predicate (the filter prunes inside each batch)."""
@@ -1134,6 +1158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
         "stratified_sample_5per_source": _q_stratified_sample,
+        "events_rolling_max": _q_events_rolling_max,
+        "doc_row_numbers": _q_doc_row_numbers,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1805,6 +1831,19 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "doc_row_numbers": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) AS rn,
+                   ntile(7) OVER (ORDER BY doc_id) AS tile
+            FROM documents
+        """,
+        "events_rolling_max": """
+            SELECT user_id, event_id, ts, value,
+                   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS rolling_max
+            FROM events
         """,
         "customers_by_region": """
             SELECT r_name, count(*) AS n_customers,

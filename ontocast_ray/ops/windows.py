@@ -253,6 +253,65 @@ def with_previous_event(
     )
 
 
+def _rolling_partition_factory(
+    key_col: str, ts_col: str, id_col: str, value_col: str, k: int, agg: str
+):
+    out_col = f"rolling_{agg}"
+
+    def _kernel(group: pd.DataFrame) -> pd.DataFrame:
+        """Per-key rolling aggregate via one sort + groupby().rolling() —
+        a single C pass across every key in the partition."""
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: [], id_col: [], ts_col: [], value_col: [], out_col: []}
+            )
+        df = group.sort_values([key_col, ts_col, id_col])
+        rolled = (
+            df.groupby(key_col, sort=False)[value_col]
+            .rolling(window=k, min_periods=1)
+            .agg(agg)
+            .reset_index(level=0, drop=True)
+        )
+        df = df.assign(**{out_col: rolled})
+        return df[[key_col, id_col, ts_col, value_col, out_col]].reset_index(drop=True)
+
+    return _kernel
+
+
+def rolling_window_agg(
+    events: "ray.data.Dataset",
+    k: int = 3,
+    agg: str = "max",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Sliding row-window aggregate per key — SQL ``agg(value) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW)``. Same coarse-partitioned sort kernel as sessionize/lag;
+    the id tiebreak keeps ordering deterministic.
+
+    ``agg`` ∈ {"max", "min", "count", "sum", "mean"}. max/min/count are
+    exactly order-free (bit-identical to any SQL engine on floats);
+    sum/mean over doubles are sequential within the window on both sides
+    but can differ in the last ulp across engines — use integer values
+    when cross-engine exactness matters.
+    """
+    if agg not in ("max", "min", "count", "sum", "mean"):
+        raise ValueError(f"unsupported agg: {agg}")
+    n_parts = resolve_n_parts(events, n_parts)
+    return (
+        events.map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            _rolling_partition_factory(key_col, ts_col, id_col, value_col, k, agg),
+            batch_format="pandas",
+        )
+    )
+
+
 def sessionize(
     events: "ray.data.Dataset",
     gap_minutes: float = 30.0,

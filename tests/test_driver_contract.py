@@ -103,6 +103,8 @@ def test_all_queries_run(ray_session, contract):
         "customers_with_orders",
         "customers_without_orders",
         "stratified_sample_5per_source",
+        "events_rolling_max",
+        "doc_row_numbers",
         "split_assign",
     ],
 )

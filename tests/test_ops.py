@@ -724,6 +724,72 @@ def test_hash_join_matches_pandas(ray_session):
             )
 
 
+def test_global_row_number_and_ntile(ray_session):
+    """Contiguous 1-based row numbers over sparse unique ids; NTILE
+    matches SQL semantics (first N%k tiles get ceil(N/k) rows)."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.rank import global_row_number
+
+    rng = np.random.default_rng(2)
+    ids = np.sort(rng.choice(100_000, size=503, replace=False)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(rng.permutation(ids))})
+    got = (
+        global_row_number(
+            ray.data.from_arrow(t).repartition(6),
+            order_col="doc_id", ntile=7, shard_span=1000, n_parts=4,
+        )
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    )
+    assert got["rn"].tolist() == list(range(1, 504))
+    assert got["doc_id"].tolist() == ids.tolist()
+    # N=503, k=7 → q=71 rem=6: tiles 1..6 have 72 rows, tile 7 has 71
+    sizes = got.groupby("tile").size()
+    assert sizes.loc[1:6].eq(72).all() and sizes.loc[7] == 71
+    assert got["tile"].is_monotonic_increasing
+
+
+def test_rolling_window_agg_matches_pandas(ray_session):
+    """k-row sliding aggregate per key == pandas groupby().rolling()
+    computed serially, for max (order-free) and sum (int-exact)."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.windows import rolling_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 400
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+            "value": pa.array(rng.integers(-100, 100, n), type=pa.int64()),
+        }
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for agg in ("max", "sum"):
+        exp = df.assign(
+            **{
+                f"rolling_{agg}": df.groupby("user_id", sort=False)["value"]
+                .rolling(3, min_periods=1).agg(agg)
+                .reset_index(level=0, drop=True)
+            }
+        ).sort_values("event_id").reset_index(drop=True)
+        got = (
+            rolling_window_agg(
+                ray.data.from_arrow(t).repartition(7), k=3, agg=agg, n_parts=5
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[exp.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(ValueError):
+        rolling_window_agg(ray.data.from_arrow(t), agg="median")
+
+
 def test_stratified_sample_exact_draw(ray_session):
     """n smallest splitmix64 draws per group, invariant to partitioning."""
     import numpy as np
