@@ -200,6 +200,28 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC → lower → whitespace collapse →
+    strip) — pure map, zero shuffle. Whitespace class is explicit so
+    Python re and DuckDB RE2 agree byte-for-byte."""
+    from ontocast_ray.ops.curation import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs, text_col="text", out_col="norm_text")
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (terms ≥ 100 occurrences) via two-pass
+    Misra-Gries: bounded-memory candidate sketch per batch (no vocabulary
+    shuffle), exact re-count of the candidate set only. Guaranteed no
+    false negatives for threshold > N/(k+1); pass 2 removes false
+    positives — output is exactly the SQL HAVING answer."""
+    from ontocast_ray.ops.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters(docs, threshold=100, k=4096)
+
+
 def _q_doc_row_numbers(sf_dir: str):
     """Global ROW_NUMBER + exact SQL NTILE(7) over doc_id order without a
     global sort — two-phase ordered scan (per-shard counts → driver
@@ -1160,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_5per_source": _q_stratified_sample,
         "events_rolling_max": _q_events_rolling_max,
         "doc_row_numbers": _q_doc_row_numbers,
+        "heavy_hitter_terms": _q_heavy_hitters,
+        "normalize_text": _q_normalize_text,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1831,6 +1855,19 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "normalize_text": """
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '[ \t\n\r\f\v]+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "heavy_hitter_terms": """
+            SELECT w AS term, count(*) AS n_count
+            FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+            GROUP BY w
+            HAVING count(*) >= 100
+            ORDER BY n_count DESC, term ASC
         """,
         "doc_row_numbers": """
             SELECT doc_id,

@@ -237,3 +237,38 @@ def decontaminate(
         )
 
     return train.map_batches(_probe, batch_format="pyarrow")
+
+
+def normalize_text(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Canonical text normalization (the first stage of every web-corpus
+    pipeline): NFC unicode normalization → lowercase → collapse
+    whitespace runs to one space → strip. Pure map, zero shuffle; one
+    vectorized pandas ``.str`` chain per batch (no per-row Python).
+
+    The whitespace class is written explicitly (``[ \\t\\n\\r\\f\\v]+``)
+    so Python ``re`` and SQL RE2 agree byte-for-byte (Python's ``\\s``
+    also matches unicode spaces; RE2's does not). SQL mirror:
+    ``trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\r\\f\\v]+',
+    ' ', 'g'))``.
+    """
+    out = out_col or text_col
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        s = (
+            s.str.normalize("NFC")
+            .str.lower()
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip()
+        )
+        arr = pa.Array.from_pandas(s, type=pa.string())
+        if out in batch.column_names:
+            i = batch.column_names.index(out)
+            return batch.set_column(i, out, arr)
+        return batch.append_column(out, arr)
+
+    return docs.map_batches(_norm, batch_format="pyarrow")

@@ -202,3 +202,113 @@ def dd_quantiles(
         .groupby("part")
         .map_groups(_finalize, batch_format="pandas")
     )
+
+
+def heavy_hitters(
+    docs: "ray.data.Dataset",
+    threshold: int,
+    k: int = 4096,
+    text_col: str = "text",
+    batch_size: int | None = None,
+) -> "ray.data.Dataset":
+    """→ (term, n_count): every term occurring ≥ ``threshold`` times,
+    EXACTLY — the two-pass Misra-Gries heavy-hitters pattern (Misra &
+    Gries 1982; the SpaceSaving/MG family). The point at 100 TB: the full
+    vocabulary (trillions of distinct n-grams) is never shuffled.
+
+    - Pass 1 (bounded candidates): each batch counts its own terms, then
+      reduces to an MG(k) summary — subtract the (k+1)-th largest count
+      from all counts and keep the positive remainder (the vectorized
+      equivalence of k-counter Misra-Gries decrements). The driver merges
+      ≤ k entries per batch and keeps terms whose merged lower bound plus
+      the total undercount could reach ``threshold``. Guarantee: the
+      summed decrements are ≤ N/(k+1) (N = total tokens, counted in the
+      same pass), so for threshold > N/(k+1) the candidate set has NO
+      false negatives. The op raises if the guarantee doesn't hold —
+      raise ``k`` (driver memory stays ≤ k × n_batches entries).
+    - Pass 2 (exact re-count): candidates broadcast via ``ray.put``;
+      each batch counts ONLY candidate terms (map-side combiner), one
+      tiny groupby sums, a row filter applies ``HAVING n >= threshold``.
+
+    Tokenization matches ``ops.text.term_counts`` (lower + ``[a-z]+``),
+    so the SQL oracle is UNNEST + GROUP BY + HAVING.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ontocast_ray.ops.text import _explode_words
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        _, vals = _explode_words(words)
+        n_tok = len(vals)
+        if n_tok == 0:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "n_tokens": pa.array([], type=pa.int64())}
+            )
+        vc = pd.Series(vals).value_counts()
+        cut = int(vc.iloc[k]) if len(vc) > k else 0
+        keep = (vc - cut).iloc[: k]
+        keep = keep[keep > 0]
+        return pa.table(
+            {"term": pa.array(keep.index.to_numpy(), type=pa.string()),
+             "n": pa.array(keep.to_numpy(), type=pa.int64()),
+             # token total rides along so one pass yields both N and the MG
+             # summary; first row of each summary carries the batch total
+             "n_tokens": pa.array(
+                 [n_tok] + [0] * (len(keep) - 1), type=pa.int64()
+             )}
+        )
+
+    summaries = docs.map_batches(
+        mg_summary, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    # driver state: ≤ k entries per batch (bounded by corpus/batch_size ×
+    # k, tiny vs vocabulary) — sum the summaries + the token total
+    merged: dict[str, int] = {}
+    n_total = 0
+    for b in summaries.iter_batches(batch_format="pyarrow"):
+        n_total += int(pa.compute.sum(b["n_tokens"]).as_py() or 0)
+        for t, n in zip(b["term"].to_pylist(), b["n"].to_pylist()):
+            merged[t] = merged.get(t, 0) + n
+    max_undercount = n_total // (k + 1)
+    if threshold <= max_undercount:
+        raise ValueError(
+            f"threshold {threshold} <= N/(k+1) = {max_undercount}: "
+            "no-false-negative guarantee broken; raise k"
+        )
+    candidates = {t for t, n in merged.items() if n + max_undercount >= threshold}
+    cand_ref = ray.put(candidates)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        _, vals = _explode_words(words)
+        cand = ray.get(cand_ref)
+        if len(vals) == 0 or not cand:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        s = pd.Series(vals)
+        s = s[s.isin(cand)]
+        vc = s.value_counts()
+        return pa.table(
+            {"term": pa.array(vc.index.to_numpy(), type=pa.string()),
+             "n": pa.array(vc.to_numpy(), type=pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(exact_partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_count"))
+    )
+    def having(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["n_count"], threshold))
+
+    return agg.map_batches(having, batch_format="pyarrow").sort(
+        ["n_count", "term"], descending=[True, False]
+    )

@@ -161,3 +161,37 @@ def test_decontaminate_parallelism_invariant(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_normalize_text_kernel(ray_session):
+    """NFC + lower + explicit-class whitespace collapse + strip; NBSP is
+    NOT whitespace here (matches the RE2 oracle byte-for-byte)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.curation import normalize_text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "  Hello\t\tWORLD \n\n foo ",
+                    "Café du Parc",  # NFD e-acute; NBSP kept
+                    None,
+                ]
+            ),
+        }
+    )
+    out = (
+        normalize_text(ray.data.from_arrow(docs), out_col="norm")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["norm"].tolist() == [
+        "hello world foo",
+        "café du parc",
+        "",
+    ]
+    # in-place overwrite keeps the schema
+    out2 = normalize_text(ray.data.from_arrow(docs)).to_pandas()
+    assert list(out2.columns) == ["doc_id", "text"]

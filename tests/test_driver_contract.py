@@ -105,6 +105,8 @@ def test_all_queries_run(ray_session, contract):
         "stratified_sample_5per_source",
         "events_rolling_max",
         "doc_row_numbers",
+        "heavy_hitter_terms",
+        "normalize_text",
         "split_assign",
     ],
 )

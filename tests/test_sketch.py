@@ -99,3 +99,41 @@ def test_dd_quantiles_rejects_negative(ray_session):
     tbl = pa.table({"g": ["x"], "v": [-1.0]})
     with pytest.raises(Exception):
         dd_quantiles(ray.data.from_arrow(tbl), "v", "g").to_pandas()
+
+
+def test_heavy_hitters_exact_above_threshold(ray_session):
+    """Two-pass MG heavy hitters == exact HAVING answer, with k small
+    enough that pass 1 genuinely prunes (candidates < vocabulary)."""
+    from collections import Counter
+
+    from ontocast_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    # zipf-ish corpus: ~300 distinct words, a few dominating; words must
+    # be purely alphabetic (the tokenizer is lower + [a-z]+)
+    vocab = np.array(
+        [f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(300)],
+        dtype=object,
+    )
+    weights = 1.0 / np.arange(1, 301)
+    weights /= weights.sum()
+    docs = []
+    for _ in range(60):
+        words = rng.choice(vocab, size=200, p=weights)
+        docs.append(" ".join(words))
+    exact = Counter(w for d in docs for w in d.split())
+    threshold = 120  # N = 12000, k=128 -> N/(k+1) = 93 < 120: guarantee holds
+    exp = sorted(
+        ((w, c) for w, c in exact.items() if c >= threshold),
+        key=lambda t: (-t[1], t[0]),
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, type=pa.string())})
+    ).repartition(6)
+    got = heavy_hitters(ds, threshold=threshold, k=128).to_pandas()
+    assert list(zip(got["term"], got["n_count"])) == exp
+    # guarantee violation raises instead of silently missing terms
+    import pytest
+
+    with pytest.raises(ValueError):
+        heavy_hitters(ds, threshold=2, k=16).to_pandas()
