@@ -200,6 +200,17 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Per-document duplicated-span stats (ExactSubstr signal): distinct
+    3-word shingles per doc and how many appear in ≥1 other doc. Rolling
+    FNV gram hashes, one gram-keyed shuffle, doc-keyed sum — oracle
+    re-derives with exact string shingles + self-count."""
+    from ontocast_ray.ops.dedup import dup_span_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_stats(docs, k=3)
+
+
 def _q_normalize_text(sf_dir: str):
     """Canonical text normalization (NFC → lower → whitespace collapse →
     strip) — pure map, zero shuffle. Whitespace class is explicit so
@@ -1184,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_row_numbers": _q_doc_row_numbers,
         "heavy_hitter_terms": _q_heavy_hitters,
         "normalize_text": _q_normalize_text,
+        "dup_span_stats": _q_dup_span_stats,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1855,6 +1867,31 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # same 3-word shingle rule as the Jaccard oracle; n_docs counts
+        # (gram, doc) pairs after per-doc list_distinct = docs per gram
+        "dup_span_stats": r"""
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE [array_to_string(w, ' ')] END)) AS s
+                FROM ws
+            ), cnt AS (
+                SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+            )
+            SELECT doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared,
+                   CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS shared_frac
+            FROM sh JOIN cnt USING (s)
+            GROUP BY doc_id
         """,
         "normalize_text": """
             SELECT doc_id, text,

@@ -892,3 +892,88 @@ def embedding_dedup_candidates(
     )
     # a pair can surface from more than one band's bucket → distinct
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def dup_span_stats(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (doc_id, n_shingles, n_shared, shared_frac): per-document
+    duplicated-span signal — how much of each document's distinct k-word
+    shingle set also appears in at least one OTHER document. This is the
+    per-doc statistic behind substring-level dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): docs with
+    high ``shared_frac`` are near-copies or template spam.
+
+    Scale shape: per-doc DISTINCT shingle hashes via the rolling FNV fold
+    (no gram strings, same kernel as MinHash/decontam); ONE
+    ``hash(gram) % P`` shuffle colocates every (gram, doc) pair so the
+    per-partition kernel counts docs-per-gram and folds to per-doc
+    partials in two C groupbys; a final doc-keyed groupby sums partials.
+    Nothing vocabulary- or corpus-sized touches the driver. Counts match
+    the exact string-shingle SQL oracle barring 64-bit FNV collisions.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hashes, ranges, empty = _word_hashes_batch(batch[text_col].to_pylist())
+        gram_parts, doc_parts = [], []
+        for i, (s, e) in enumerate(ranges):
+            if empty[i]:
+                continue
+            g = _fold_kgrams(hashes[s:e], k)  # already distinct
+            gram_parts.append(g)
+            doc_parts.append(np.full(len(g), ids[i], dtype=np.int64))
+        if not gram_parts:
+            return pa.table(
+                {"gram": pa.array([], type=pa.uint64()),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int32())}
+            )
+        grams = np.concatenate(gram_parts)
+        doc_ids = np.concatenate(doc_parts)
+        return pa.table(
+            {"gram": pa.array(grams),
+             "doc_id": pa.array(doc_ids),
+             "part": pa.array((grams % np.uint64(n_parts)).astype(np.int32))}
+        )
+
+    def partition_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "n_sh": pd.Series([], dtype="int64")}
+            )
+        n_docs = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        out = (
+            df.assign(shared=(n_docs >= 2).astype(np.int64))
+            .groupby("doc_id", sort=False)
+            .agg(n=("gram", "size"), n_sh=("shared", "sum"))
+            .reset_index()
+        )
+        return out
+
+    totals = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_partials, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_shingles"), Sum("n_sh", alias_name="n_shared"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "n_shingles": pa.array(n),
+             "n_shared": pa.array(sh),
+             "shared_frac": pa.array(sh.astype(np.float64) / n.astype(np.float64))}
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")

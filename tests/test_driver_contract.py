@@ -107,6 +107,7 @@ def test_all_queries_run(ray_session, contract):
         "doc_row_numbers",
         "heavy_hitter_terms",
         "normalize_text",
+        "dup_span_stats",
         "split_assign",
     ],
 )

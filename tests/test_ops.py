@@ -1482,3 +1482,34 @@ def test_term_cooccurrence_window_and_boundaries(ray_session):
         ray.data.from_arrow(tbl).repartition(4), window=2, min_count=2, top_n=10
     ).take_all()
     assert {(r["term_a"], r["term_b"]) for r in out2} == {("alpha", "beta")}
+
+
+def test_dup_span_stats_hand_case(ray_session):
+    """Known 3-gram overlap: docs A and B share one trigram; C is unique;
+    short doc D folds to a single whole-text shingle."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import dup_span_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps",   # grams: tqb qbf bfj fjx-ish (3)
+                    "a quick brown fox here now",  # shares 'quick brown fox'
+                    "completely different words only here",
+                    "tiny doc",                     # < 3 words -> 1 shingle
+                ]
+            ),
+        }
+    )
+    got = (
+        dup_span_stats(ray.data.from_arrow(t).repartition(3), k=3, n_parts=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[1, "n_shingles"] == 3 and got.loc[1, "n_shared"] == 1
+    assert got.loc[2, "n_shingles"] == 4 and got.loc[2, "n_shared"] == 1
+    assert got.loc[3, "n_shared"] == 0
+    assert got.loc[4, "n_shingles"] == 1 and got.loc[4, "n_shared"] == 0
+    assert got.loc[2, "shared_frac"] == 0.25
