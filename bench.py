@@ -265,6 +265,20 @@ def run_cooccurrence() -> int:
     return term_cooccurrence(docs, window=5, min_count=3, top_n=100).count()
 
 
+def run_heavy_hitters() -> int:
+    from ontocast_ray.ops.sketch import heavy_hitters
+
+    docs = _read("documents", columns=["text"])
+    return heavy_hitters(docs, threshold=100, k=4096).count()
+
+
+def run_dup_spans() -> int:
+    from ontocast_ray.ops.dedup import dup_span_stats
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return dup_span_stats(docs, k=3).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -384,6 +398,14 @@ def main() -> None:
     t = time.perf_counter()
     run_cooccurrence()
     extras["term_cooccurrence"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_heavy_hitters()
+    extras["heavy_hitters"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_dup_spans()
+    extras["dup_span_stats"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(

@@ -916,8 +916,6 @@ def dup_span_stats(
     Nothing vocabulary- or corpus-sized touches the driver. Counts match
     the exact string-shingle SQL oracle barring 64-bit FNV collisions.
     """
-    from ray.data.aggregate import Sum
-
     def pairs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         hashes, ranges, empty = _word_hashes_batch(batch[text_col].to_pylist())
@@ -947,7 +945,8 @@ def dup_span_stats(
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype="int64"),
                  "n": pd.Series([], dtype="int64"),
-                 "n_sh": pd.Series([], dtype="int64")}
+                 "n_sh": pd.Series([], dtype="int64"),
+                 "part2": pd.Series([], dtype="int32")}
             )
         n_docs = df.groupby("gram", sort=False)["doc_id"].transform("size")
         out = (
@@ -956,24 +955,36 @@ def dup_span_stats(
             .agg(n=("gram", "size"), n_sh=("shared", "sum"))
             .reset_index()
         )
-        return out
+        # coarse key for the final doc-sum shuffle — Ray's native keyed
+        # aggregate is a sort-based AllToAll (measured 19 s for 167 k
+        # partial rows); the engine-wide hash%P + in-kernel groupby
+        # pattern does it in well under a second
+        return out.assign(
+            part2=(out["doc_id"].to_numpy(np.int64) % np.int64(n_parts)).astype(np.int32)
+        )
 
-    totals = (
-        docs.map_batches(pairs, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(partition_partials, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n_shingles"), Sum("n_sh", alias_name="n_shared"))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        n = batch["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sh = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def final_sum(df: "pd.DataFrame") -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_shingles": pa.array([], type=pa.int64()),
+                 "n_shared": pa.array([], type=pa.int64()),
+                 "shared_frac": pa.array([], type=pa.float64())}
+            )
+        agg = df.groupby("doc_id", sort=False)[["n", "n_sh"]].sum().reset_index()
+        n = agg["n"].to_numpy(np.int64)
+        sh = agg["n_sh"].to_numpy(np.int64)
         return pa.table(
-            {"doc_id": batch["doc_id"],
+            {"doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
              "n_shingles": pa.array(n),
              "n_shared": pa.array(sh),
              "shared_frac": pa.array(sh.astype(np.float64) / n.astype(np.float64))}
         )
 
-    return totals.map_batches(finish, batch_format="pyarrow")
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_partials, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(final_sum, batch_format="pandas")
+    )
