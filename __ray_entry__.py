@@ -200,6 +200,31 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_minmax_scale(sf_dir: str):
+    """Per-user min-max feature scaling of event values: one coarse
+    hash(user)%P shuffle colocates each user's rows; min/max + scale in
+    two C transforms per partition — no group table on the driver.
+    min/max are order-free and the IEEE division matches the SQL window
+    oracle bit-for-bit."""
+    from ontocast_ray.ops.features import group_minmax_scale
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return group_minmax_scale(events, key_col="user_id", value_col="value")
+
+
+def _q_pivot_lang_source(sf_dir: str):
+    """Long → wide count crosstab (docs per source × language): per-batch
+    crosstab combiner, then a coarse-partition sum — the shuffle carries
+    one row per (batch, source), never the documents."""
+    from ontocast_ray.ops.features import pivot_counts
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    return pivot_counts(
+        docs, row_col="source", col_col="lang",
+        categories=["de", "en", "es", "fr", "zh"],
+    )
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Per-document duplicated-span stats (ExactSubstr signal): distinct
     3-word shingles per doc and how many appear in ≥1 other doc. Rolling
@@ -1196,6 +1221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitters,
         "normalize_text": _q_normalize_text,
         "dup_span_stats": _q_dup_span_stats,
+        "events_minmax_scaled": _q_minmax_scale,
+        "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
         "semdedup_keep": _q_semdedup,
@@ -1867,6 +1894,25 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_minmax_scaled": """
+            SELECT event_id, user_id, value,
+                   CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.0
+                        ELSE (value - min(value) OVER w)
+                             / (max(value) OVER w - min(value) OVER w) END
+                       AS scaled
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "docs_lang_pivot": """
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+                   CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+                   CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+                   CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+            FROM documents
+            GROUP BY source
         """,
         # same 3-word shingle rule as the Jaccard oracle; n_docs counts
         # (gram, doc) pairs after per-doc list_distinct = docs per gram

@@ -1,0 +1,111 @@
+"""Feature-engineering ops: per-group scaling and crosstab pivots.
+
+- **group_minmax_scale**: the standard per-entity feature normalization
+  ``(v - min_g) / (max_g - min_g)``. ONE coarse ``hash(key) % P`` shuffle
+  colocates each group's rows; the per-partition kernel derives min/max
+  with two C ``groupby().transform`` calls and scales in place — no
+  group-cardinality table ever reaches the driver (at 10^9 groups a
+  broadcast two-pass would not fit; colocating costs one data shuffle and
+  holds at any group count). min/max are order-free, and IEEE subtraction/
+  division of the same operands is deterministic, so the result is
+  bit-exact against the SQL window-function oracle.
+
+- **pivot_counts**: long → wide count crosstab (rows × a FIXED small set of
+  category columns — the schema must be static, so unknown categories are
+  ignored by contract). Per-batch crosstab combiner first: the shuffle
+  moves one (row_key, k counts) row per batch per key, never the events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ontocast_ray.util import hash_partition
+
+
+def group_minmax_scale(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    out_col: str = "scaled",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ input columns + ``out_col``; constant groups (max == min) scale
+    to 0.0 (mirror the same CASE in the SQL oracle)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch[key_col], n_parts))
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["part"])
+        if not len(df):
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        g = df.groupby(key_col, sort=False)[value_col]
+        mn = g.transform("min").to_numpy(np.float64)
+        mx = g.transform("max").to_numpy(np.float64)
+        v = df[value_col].to_numpy(np.float64)
+        rng = mx - mn
+        scaled = np.where(rng > 0, (v - mn) / np.where(rng > 0, rng, 1.0), 0.0)
+        return df.assign(**{out_col: scaled}).reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_col: str,
+    col_col: str,
+    categories: list[str],
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (row_col, <one int64 count column per category>). Categories not
+    listed are dropped (static output schema — the contract for a wide
+    table)."""
+    categories = list(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({row_col: batch[row_col], col_col: batch[col_col]}).to_pandas()
+        df = df[df[col_col].isin(categories)]
+        if not len(df):
+            cols = {row_col: pa.array([], type=batch[row_col].type)}
+            cols.update({c: pa.array([], type=pa.int64()) for c in categories})
+            cols["part"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        wide = (
+            df.groupby([row_col, col_col], sort=False).size().unstack(fill_value=0)
+        )
+        for c in categories:
+            if c not in wide.columns:
+                wide[c] = 0
+        wide = wide[categories].astype("int64").reset_index()
+        wide["part"] = hash_partition(wide[row_col].to_numpy(), n_parts)
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["part"])
+        out = (
+            df.drop(columns=["part"])
+            .groupby(row_col, sort=False)[categories]
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -108,6 +108,8 @@ def test_all_queries_run(ray_session, contract):
         "heavy_hitter_terms",
         "normalize_text",
         "dup_span_stats",
+        "events_minmax_scaled",
+        "docs_lang_pivot",
         "split_assign",
     ],
 )

@@ -1513,3 +1513,60 @@ def test_dup_span_stats_hand_case(ray_session):
     assert got.loc[3, "n_shared"] == 0
     assert got.loc[4, "n_shingles"] == 1 and got.loc[4, "n_shared"] == 0
     assert got.loc[2, "shared_frac"] == 0.25
+
+
+def test_group_minmax_scale_and_pivot(ray_session):
+    """Scaling == pandas transform formula incl. constant groups;
+    pivot == crosstab with fixed category schema."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.features import group_minmax_scale, pivot_counts
+
+    rng = np.random.default_rng(9)
+    n = 500
+    keys = rng.integers(0, 20, n)
+    vals = rng.normal(size=n)
+    vals[keys == 7] = 3.25  # constant group -> scaled 0.0
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n), type=pa.int64()),
+         "user_id": pa.array(keys, type=pa.int64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+    df = t.to_pandas()
+    g = df.groupby("user_id")["value"]
+    rngs = (g.transform("max") - g.transform("min")).to_numpy()
+    exp = np.where(
+        rngs > 0,
+        (df["value"] - g.transform("min")).to_numpy() / np.where(rngs > 0, rngs, 1.0),
+        0.0,
+    )
+    got = (
+        group_minmax_scale(
+            ray.data.from_arrow(t).repartition(5), "user_id", "value", n_parts=4
+        )
+        .to_pandas().sort_values("event_id")
+    )
+    assert np.array_equal(got["scaled"].to_numpy(), exp)
+    assert got.loc[got["user_id"] == 7, "scaled"].eq(0.0).all()
+
+    cats = ["a", "b", "c"]
+    t2 = pa.table(
+        {"src": pa.array([f"s{v}" for v in rng.integers(0, 6, n)]),
+         "cat": pa.array(
+             np.array(cats + ["zz"], dtype=object)[rng.integers(0, 4, n)]
+         )}
+    )
+    d2 = t2.to_pandas()
+    exp2 = (
+        d2[d2["cat"].isin(cats)]
+        .groupby(["src", "cat"]).size().unstack(fill_value=0)
+        .reindex(columns=cats, fill_value=0).astype("int64")
+    )
+    got2 = (
+        pivot_counts(ray.data.from_arrow(t2).repartition(7), "src", "cat", cats, n_parts=3)
+        .to_pandas().set_index("src").sort_index()
+    )
+    pd.testing.assert_frame_equal(
+        got2, exp2.sort_index(), check_names=False, check_dtype=False
+    )
