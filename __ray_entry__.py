@@ -200,6 +200,60 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the supplier co-occurrence graph (suppliers
+    sharing ≥30 orders): self-join → thresholded pair counts (coarse
+    shuffle, packed keys) → degree-ordered wedge semi-join. The degree
+    orientation bounds per-node wedge work at O(√m²) — the skew defusal
+    a naive wedge join lacks."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.graph_cc import triangle_count
+    from ontocast_ray.ops.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    rhs = li.map_batches(
+        lambda b: pa.table({"o2": b["l_orderkey"], "s_b": b["l_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li, rhs, left_on="l_orderkey", right_on="o2",
+        left_cols=["l_suppkey"], right_cols=["s_b"], n_parts=16,
+    )
+    n_parts = 16
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["s_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = a < b
+        key = (a[m] << np.int64(31)) | b[m]
+        return pa.table(
+            {"key": pa.array(key),
+             "part": pa.array((key % np.int64(n_parts)).astype(np.int32))}
+        )
+
+    def thresholded(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="int64"),
+                 "v": pd.Series([], dtype="int64")}
+            )
+        vc = df["key"].value_counts()
+        keys = vc.index.to_numpy(np.int64)[vc.to_numpy() >= 30]
+        return pd.DataFrame(
+            {"u": keys >> np.int64(31), "v": keys & np.int64((1 << 31) - 1)}
+        )
+
+    edges = (
+        joined.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(thresholded, batch_format="pandas")
+    )
+    return triangle_count(edges, n_parts=16)
+
+
 def _q_minmax_scale(sf_dir: str):
     """Per-user min-max feature scaling of event values: one coarse
     hash(user)%P shuffle colocates each user's rows; min/max + scale in
@@ -1222,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "dup_span_stats": _q_dup_span_stats,
         "events_minmax_scaled": _q_minmax_scale,
+        "supplier_triangles": _q_triangles,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
@@ -1894,6 +1949,21 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # triangle count by id-order triple self-join == the degree-order
+        # wedge count (each triangle counted exactly once either way)
+        "supplier_triangles": """
+            WITH pairs AS (
+                SELECT a.l_suppkey AS u, b.l_suppkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 30
+            )
+            SELECT count(*) AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "events_minmax_scaled": """
             SELECT event_id, user_id, value,

@@ -365,3 +365,159 @@ def dedup_keep_list(
         )
 
     return comp.map_batches(mark, batch_format="pyarrow")
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ one row ``(n_triangles,)``: exact triangle count of the undirected
+    simple graph — the third classic distributed graph kernel next to
+    connected_components and pagerank_int (community/cohesion signal over
+    dedup-pair or co-occurrence graphs).
+
+    Algorithm: degree-ordered node-iterator (the MapReduce-standard
+    Suri & Vassilvitskii / Cohen shape). Every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so each node's wedge
+    work is O(out-degree²) with out-degree ≤ O(√m) — the orientation is
+    exactly what defuses the head-node skew a naive wedge join explodes
+    on. Wedges (b, c) from each source's out-neighbors are then
+    semi-joined against the oriented edge set; every match is one
+    triangle, counted exactly once.
+
+    Shuffle budget: distinct (1) + degree count (1) + two degree joins
+    (2) + wedge colocate (1) + pair semi-join (1). Driver sees only the
+    final scalar. Node ids must fit 31 bits (the wedge pair is packed
+    into one int64 join key; assert-guarded).
+    """
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    def norm(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        keep = lo != hi
+        return pa.table({"u": pa.array(lo[keep]), "v": pa.array(hi[keep])})
+
+    def _zero() -> "ray.data.Dataset":
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+        )
+
+    e = distinct_on(
+        edges.map_batches(norm, batch_format="pyarrow"), ["u", "v"], n_parts
+    ).materialize()
+    if e.count() == 0:  # empty graph: downstream groupbys lose the schema
+        return _zero()
+
+    # degrees via the coarse pattern (never a node-sized driver object)
+    def both(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [batch["u"].to_numpy(zero_copy_only=False),
+             batch["v"].to_numpy(zero_copy_only=False)]
+        )
+        return pa.table(
+            {"node": pa.array(nodes),
+             "part": pa.array((nodes % np.int64(n_parts)).astype(np.int32))}
+        )
+
+    def count_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "deg": pd.Series([], dtype="int64")}
+            )
+        vc = df["node"].value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(np.int64), "deg": vc.to_numpy(np.int64)}
+        )
+
+    deg = (
+        e.map_batches(both, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_nodes, batch_format="pandas")
+        .materialize()
+    )
+    deg_u = deg.map_batches(
+        lambda b: pa.table({"node": b["node"], "du": b["deg"]}),
+        batch_format="pyarrow",
+    )
+    deg_v = deg.map_batches(
+        lambda b: pa.table({"node": b["node"], "dv": b["deg"]}),
+        batch_format="pyarrow",
+    )
+    with_du = hash_join(
+        e, deg_u, left_on="u", right_on="node",
+        left_cols=["v"], right_cols=["du"], n_parts=n_parts,
+    )
+    with_both = hash_join(
+        with_du, deg_v, left_on="v", right_on="node",
+        left_cols=["u", "du"], right_cols=["dv"], n_parts=n_parts,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = batch["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # src ≺ dst by (degree, id) — unique total order
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        dd = np.where(u_first, dv, du)  # dst's degree, for wedge ordering
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst), "dd": pa.array(dd),
+             "part": pa.array((src % np.int64(n_parts)).astype(np.int32))}
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64")})
+        assert df["dst"].max() < (1 << 31) and df["src"].max() < (1 << 31), (
+            "triangle_count packs wedge pairs into int64: ids must fit 31 bits"
+        )
+        out = []
+        # ≺-sort once: (dd, dst) within src, then per-src upper-triangle
+        df = df.sort_values(["src", "dd", "dst"], kind="mergesort")
+        for _, grp in df.groupby("src", sort=False):
+            ns = grp["dst"].to_numpy(np.int64)
+            if len(ns) < 2:
+                continue
+            i, j = np.triu_indices(len(ns), k=1)
+            out.append(ns[i] << np.int64(31) | ns[j])
+        if not out:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"pair": np.concatenate(out)})
+
+    wedge_ds = (
+        oriented.groupby("part")
+        .map_groups(wedges, batch_format="pandas")
+        .materialize()
+    )
+    if wedge_ds.count() == 0:  # forest: no wedges, no triangles
+        return _zero()
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pair": pa.array(src << np.int64(31) | dst)})
+
+    matches = hash_join(
+        wedge_ds,
+        oriented.map_batches(pack_edges, batch_format="pyarrow"),
+        left_on="pair",
+        right_on="pair",
+        left_cols=[],
+        right_cols=[],
+        how="semi",
+        n_parts=n_parts,
+    )
+    n = matches.count()
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([n], type=pa.int64())})
+    )

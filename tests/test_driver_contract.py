@@ -110,6 +110,7 @@ def test_all_queries_run(ray_session, contract):
         "dup_span_stats",
         "events_minmax_scaled",
         "docs_lang_pivot",
+        "supplier_triangles",
         "split_assign",
     ],
 )

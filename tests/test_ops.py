@@ -1570,3 +1570,48 @@ def test_group_minmax_scale_and_pivot(ray_session):
     pd.testing.assert_frame_equal(
         got2, exp2.sort_index(), check_names=False, check_dtype=False
     )
+
+
+def test_triangle_count_matches_bruteforce(ray_session):
+    """Degree-ordered wedge count == itertools brute force on random
+    graphs, incl. duplicate/reversed input edges and the empty graph."""
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import triangle_count
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        n_nodes, n_edges = 40, 160
+        u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        v = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        # brute force on the normalized simple graph
+        eset = {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+        adj = {}
+        for a, b in eset:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = sum(
+            1
+            for a, b, c in combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        # feed duplicates + reversed orientations: op must normalize
+        t = pa.table(
+            {"u": pa.array(np.concatenate([u, v])),
+             "v": pa.array(np.concatenate([v, u]))}
+        )
+        got = (
+            triangle_count(ray.data.from_arrow(t).repartition(5), n_parts=4)
+            .to_pandas()["n_triangles"].iloc[0]
+        )
+        assert got == exp, (trial, got, exp)
+    empty = pa.table(
+        {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+    )
+    assert (
+        triangle_count(ray.data.from_arrow(empty)).to_pandas()["n_triangles"].iloc[0]
+        == 0
+    )
