@@ -200,6 +200,26 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_skew_join(sf_dir: str):
+    """Skew-aware lineitem ⋈ supplier: measured per-key frequencies split
+    the key space — keys with > 600 lineitems join map-side against
+    broadcast supplier rows (never shuffled), the rest take the
+    partitioned hash join. At sf0.01 both paths carry real rows (counts
+    span 541-663). Result is identical to a plain SQL equi-join."""
+    from ontocast_ray.ops.joins import skew_join
+
+    return skew_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_linenumber"]),
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+        left_cols=["l_orderkey", "l_linenumber"],
+        right_cols=["s_nationkey"],
+        hot_threshold=600,
+        n_parts=16,
+    )
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the supplier co-occurrence graph (suppliers
     sharing ≥30 orders): self-join → thresholded pair counts (coarse
@@ -1277,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
+        "lineitem_supplier_skew_join": _q_skew_join,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
@@ -1949,6 +1970,10 @@ def _sql_oracles() -> dict[str, str]:
                    lag(value) OVER w AS prev_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "lineitem_supplier_skew_join": """
+            SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_nationkey
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         """,
         # triangle count by id-order triple self-join == the degree-order
         # wedge count (each triangle counted exactly once either way)

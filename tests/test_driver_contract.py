@@ -111,6 +111,7 @@ def test_all_queries_run(ray_session, contract):
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",
+        "lineitem_supplier_skew_join",
         "split_assign",
     ],
 )

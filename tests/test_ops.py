@@ -1615,3 +1615,42 @@ def test_triangle_count_matches_bruteforce(ray_session):
         triangle_count(ray.data.from_arrow(empty)).to_pandas()["n_triangles"].iloc[0]
         == 0
     )
+
+
+def test_skew_join_matches_pandas(ray_session):
+    """Hot/cold split == plain pandas merge: one mega-hot key, several
+    cold keys, unmatched keys drop (inner), duplicate small-side keys
+    produce the cross product."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import skew_join
+
+    rng = np.random.default_rng(13)
+    keys = np.concatenate([np.full(500, 1), rng.integers(2, 20, 300)])
+    big = pa.table(
+        {"k": pa.array(keys, type=pa.int64()),
+         "lv": pa.array(np.arange(len(keys)), type=pa.int64())}
+    )
+    small = pa.table(
+        {"rk": pa.array([1, 2, 2, 3, 5, 99], type=pa.int64()),
+         "rv": pa.array([10, 20, 21, 30, 50, 990], type=pa.int64())}
+    )
+    exp = (
+        big.to_pandas()
+        .merge(small.to_pandas().rename(columns={"rk": "k"}), on="k", how="inner")
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    )
+    for thr in (100, 10_000):  # both paths / cold-only path
+        got = (
+            skew_join(
+                ray.data.from_arrow(big).repartition(6),
+                ray.data.from_arrow(small).repartition(2),
+                left_on="k", right_on="rk",
+                left_cols=["lv"], right_cols=["rv"],
+                hot_threshold=thr, n_parts=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
