@@ -200,6 +200,29 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_grouped_count_distinct(sf_dir: str):
+    """Exact per-type COUNT(DISTINCT user): distinct_on combiner shuffle +
+    a tiny second coarse pass — the exact companion to the HLL sketch."""
+    from ontocast_ray.ops.joins import grouped_count_distinct
+
+    events = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(
+        events, group_col="event_type", key_col="user_id", n_parts=16
+    )
+
+
+def _q_window_first_last(sf_dir: str):
+    """First/last-touch value per user per 1h tumbling window, ordered by
+    (ts, event_id) — selection not arithmetic, so doubles are bit-exact
+    vs the SQL row_number oracle."""
+    from ontocast_ray.ops.windows import window_first_last
+
+    return window_first_last(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        every="1h",
+    )
+
+
 def _q_skew_join(sf_dir: str):
     """Skew-aware lineitem ⋈ supplier: measured per-key frequencies split
     the key space — keys with > 600 lineitems join map-side against
@@ -1298,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
+        "users_per_event_type": _q_grouped_count_distinct,
+        "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
         "kmeans_clusters": _q_kmeans,
@@ -1974,6 +1999,28 @@ def _sql_oracles() -> dict[str, str]:
         "lineitem_supplier_skew_join": """
             SELECT l.l_suppkey, l.l_orderkey, l.l_linenumber, s.s_nationkey
             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        """,
+        "users_per_event_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "events_window_first_last": """
+            WITH ranked AS (
+                SELECT user_id, date_trunc('hour', ts) AS window_start, value,
+                       row_number() OVER w AS rn_a,
+                       row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                          ORDER BY ts DESC, event_id DESC) AS rn_d,
+                       count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+                           AS n_events
+                FROM events
+                WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
+                             ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT user_id, window_start,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+                   CAST(max(n_events) AS BIGINT) AS n_events
+            FROM ranked GROUP BY user_id, window_start
         """,
         # triangle count by id-order triple self-join == the degree-order
         # wedge count (each triangle counted exactly once either way)

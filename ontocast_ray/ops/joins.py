@@ -310,6 +310,51 @@ def distinct_on(
     )
 
 
+def grouped_count_distinct(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (group_col, n_distinct): EXACT per-group COUNT(DISTINCT key) —
+    the companion to the approximate ``hll_distinct``. Composition:
+    ``distinct_on`` (map-side combiner + one coarse shuffle) already
+    colocates equal (group, key) rows, so the counts shuffle is a tiny
+    second pass over one-row-per-distinct-pair data, also coarse-keyed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    pairs = distinct_on(ds, [group_col, key_col], n_parts=n_parts)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df[group_col].value_counts()
+        out = pd.DataFrame(
+            {group_col: vc.index.to_numpy(), "n": vc.to_numpy().astype(np.int64)}
+        )
+        out["part"] = hash_partition(out[group_col].to_numpy(), n_parts)
+        return out
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {group_col: df[group_col].head(0),
+                 "n_distinct": pd.Series([], dtype="int64")}
+            )
+        s = df.groupby(group_col, sort=False)["n"].sum()
+        return pd.DataFrame(
+            {group_col: s.index.to_numpy(), "n_distinct": s.to_numpy(np.int64)}
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def broadcast_range_join(
     big: "ray.data.Dataset",
     intervals: list[tuple],

@@ -253,6 +253,48 @@ def with_previous_event(
     )
 
 
+def window_first_last(
+    events: "ray.data.Dataset",
+    every: str = "1h",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """→ (key, window_start, first_value, last_value, n_events): first-
+    and last-touch value per key per tumbling window, ordered by
+    (ts, id) — the attribution-window primitive. Selection, not
+    arithmetic, so float values are bit-exact vs the SQL row_number
+    oracle. Same coarse-partitioned sort kernel as sessionize."""
+    import pandas as pd
+
+    n_parts = resolve_n_parts(events, n_parts)
+
+    def kernel(group: "pd.DataFrame") -> "pd.DataFrame":
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: [], "window_start": [], "first_value": [],
+                 "last_value": [], "n_events": []}
+            )
+        df = group.sort_values([key_col, "window_start", ts_col, id_col])
+        g = df.groupby([key_col, "window_start"], sort=True)
+        agg = g[value_col].agg(["first", "last", "size"]).reset_index()
+        return agg.rename(
+            columns={"first": "first_value", "last": "last_value", "size": "n_events"}
+        ).astype({"n_events": "int64"})
+
+    return (
+        events.map_batches(
+            lambda b: add_tumbling_window(b, ts_col=ts_col, every=every),
+            batch_format="pyarrow",
+        )
+        .map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def _rolling_partition_factory(
     key_col: str, ts_col: str, id_col: str, value_col: str, k: int, agg: str
 ):

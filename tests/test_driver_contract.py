@@ -112,6 +112,8 @@ def test_all_queries_run(ray_session, contract):
         "docs_lang_pivot",
         "supplier_triangles",
         "lineitem_supplier_skew_join",
+        "users_per_event_type",
+        "events_window_first_last",
         "split_assign",
     ],
 )

@@ -1654,3 +1654,53 @@ def test_skew_join_matches_pandas(ray_session):
             .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_count_distinct_and_window_first_last(ray_session):
+    """Exact COUNT(DISTINCT) == pandas nunique; first/last touch ==
+    pandas sort+groupby first/last."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import grouped_count_distinct
+    from ontocast_ray.ops.windows import window_first_last
+
+    rng = np.random.default_rng(3)
+    n = 600
+    t = pa.table(
+        {"event_type": pa.array([f"t{v}" for v in rng.integers(0, 4, n)]),
+         "user_id": pa.array(rng.integers(0, 30, n), type=pa.int64())}
+    )
+    exp = t.to_pandas().groupby("event_type")["user_id"].nunique()
+    got = (
+        grouped_count_distinct(
+            ray.data.from_arrow(t).repartition(5), "event_type", "user_id", n_parts=3
+        )
+        .to_pandas().set_index("event_type")["n_distinct"].sort_index()
+    )
+    pd.testing.assert_series_equal(
+        got, exp.sort_index(), check_names=False, check_dtype=False
+    )
+
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 600, n), "min")
+    ev = pa.table(
+        {"event_id": pa.array(np.arange(n), type=pa.int64()),
+         "user_id": pa.array(rng.integers(0, 10, n), type=pa.int64()),
+         "ts": pa.array(ts),
+         "value": pa.array(rng.normal(size=n))}
+    )
+    df = ev.to_pandas()
+    df["window_start"] = df["ts"].dt.floor("1h")
+    g = df.sort_values(["user_id", "window_start", "ts", "event_id"]).groupby(
+        ["user_id", "window_start"]
+    )
+    expw = g["value"].agg(["first", "last", "size"]).reset_index()
+    gotw = (
+        window_first_last(ray.data.from_arrow(ev).repartition(6), every="1h", n_parts=4)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    assert len(gotw) == len(expw)
+    assert np.array_equal(gotw["first_value"].to_numpy(), expw["first"].to_numpy())
+    assert np.array_equal(gotw["last_value"].to_numpy(), expw["last"].to_numpy())
+    assert np.array_equal(gotw["n_events"].to_numpy(), expw["size"].to_numpy())
