@@ -200,6 +200,16 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (source, lang) counts with 'ALL' sentinel levels —
+    each batch emits all rollup levels from its already-aggregated
+    partials (raw rows never fan out), one coarse shuffle sums."""
+    from ontocast_ray.ops.features import rollup_counts
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    return rollup_counts(docs, ["source", "lang"], n_parts=8)
+
+
 def _q_grouped_count_distinct(sf_dir: str):
     """Exact per-type COUNT(DISTINCT user): distinct_on combiner shuffle +
     a tiny second coarse pass — the exact companion to the HLL sketch."""
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
         "users_per_event_type": _q_grouped_count_distinct,
+        "docs_rollup_counts": _q_rollup,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2003,6 +2014,13 @@ def _sql_oracles() -> dict[str, str]:
         "users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        # rollup NULL markers → 'ALL' sentinel (no genuine NULLs in data)
+        "docs_rollup_counts": """
+            SELECT coalesce(source, 'ALL') AS source,
+                   coalesce(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY ROLLUP (source, lang)
         """,
         "events_window_first_last": """
             WITH ranked AS (

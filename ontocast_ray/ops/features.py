@@ -109,3 +109,63 @@ def pivot_counts(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def rollup_counts(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    sentinel: str = "ALL",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ cols + ``n``: counts at every GROUP BY ROLLUP level of the
+    (string) hierarchy ``cols`` — (c1..ck), (c1..ck-1), …, grand total.
+    Rolled-up cells carry ``sentinel`` instead of SQL's NULL (static
+    string schema; mirror with COALESCE in the oracle).
+
+    Shape: each batch aggregates its FULL-level counts once, derives every
+    coarser level from those partials (k extra tiny groupbys over
+    already-aggregated rows), and ships k+1 small count tables; ONE coarse
+    shuffle sums. The raw rows never fan out k+1× — the classic rollup
+    combiner.
+    """
+    cols = list(cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = pd.DataFrame({c: pd.Series([], dtype="object") for c in cols})
+            out["n"] = pd.Series([], dtype="int64")
+            out["part"] = pd.Series([], dtype="int32")
+            return out
+        base = df.groupby(cols, sort=False).size().reset_index(name="n")
+        levels = [base]
+        for k in range(len(cols) - 1, -1, -1):
+            prefix = cols[:k]
+            if prefix:
+                lvl = base.groupby(prefix, sort=False)["n"].sum().reset_index()
+            else:
+                lvl = pd.DataFrame({"n": [int(base["n"].sum())]})
+            for c in cols[k:]:
+                lvl[c] = sentinel
+            levels.append(lvl[cols + ["n"]])
+        out = pd.concat(levels, ignore_index=True)
+        key = out[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x1f" + out[c].astype(str)
+        out["part"] = hash_partition(key.to_numpy(), n_parts)
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["part"])
+        return (
+            df.drop(columns=["part"])
+            .groupby(cols, sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )

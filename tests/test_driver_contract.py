@@ -114,6 +114,7 @@ def test_all_queries_run(ray_session, contract):
         "lineitem_supplier_skew_join",
         "users_per_event_type",
         "events_window_first_last",
+        "docs_rollup_counts",
         "split_assign",
     ],
 )

@@ -1704,3 +1704,31 @@ def test_grouped_count_distinct_and_window_first_last(ray_session):
     assert np.array_equal(gotw["first_value"].to_numpy(), expw["first"].to_numpy())
     assert np.array_equal(gotw["last_value"].to_numpy(), expw["last"].to_numpy())
     assert np.array_equal(gotw["n_events"].to_numpy(), expw["size"].to_numpy())
+
+
+def test_rollup_counts_matches_pandas(ray_session):
+    """All rollup levels sum correctly at any partitioning."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.features import rollup_counts
+
+    rng = np.random.default_rng(4)
+    n = 400
+    t = pa.table(
+        {"a": pa.array([f"a{v}" for v in rng.integers(0, 3, n)]),
+         "b": pa.array([f"b{v}" for v in rng.integers(0, 4, n)])}
+    )
+    df = t.to_pandas()
+    full = df.groupby(["a", "b"]).size()
+    got = (
+        rollup_counts(ray.data.from_arrow(t).repartition(7), ["a", "b"], n_parts=3)
+        .to_pandas().set_index(["a", "b"])["n"]
+    )
+    for (a, b), c in full.items():
+        assert got.loc[(a, b)] == c
+    lvl1 = df.groupby("a").size()
+    for a, c in lvl1.items():
+        assert got.loc[(a, "ALL")] == c
+    assert got.loc[("ALL", "ALL")] == n
+    assert len(got) == len(full) + len(lvl1) + 1
