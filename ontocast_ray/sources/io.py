@@ -111,3 +111,70 @@ def commit_shard(out_dir: str, shard: int, stats: dict) -> str:
 
 def shard_out_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"part={shard}")
+
+
+def write_bucketed(
+    ds,
+    out_dir: str,
+    key_col: str,
+    n_buckets: int = 16,
+    sort_within: bool = True,
+    min_rows_per_file: int = 50_000,
+) -> dict:
+    """Hash-bucketed sink: ``out_dir/bucket=NN/*.parquet`` where every row
+    of bucket NN satisfies ``hash(key) % n_buckets == NN``, sorted by key
+    within the bucket when ``sort_within``. The payoff at scale: two
+    tables bucketed the same way co-locate join keys per directory (a
+    bucket join reads one directory pair at a time, no shuffle), and a
+    failed run re-runs only buckets missing a manifest entry (same
+    commit-after-data protocol as the sharded KG sink above).
+
+    Returns the manifest dict {bucket: n_rows} (also persisted under
+    ``_manifest/``). One groupby shuffle; bucket sort + row counting run
+    inside the per-bucket kernel, never on the driver.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pa.array(hash_partition(batch[key_col], n_buckets))
+        )
+
+    def bucket_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if sort_within and len(df):
+            df = df.sort_values(key_col, kind="mergesort")
+        return df.reset_index(drop=True)
+
+    bucketed = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_kernel, batch_format="pandas")
+        .materialize()
+    )
+    bucketed.write_parquet(
+        out_dir,
+        partition_cols=["bucket"],
+        min_rows_per_file=min_rows_per_file,
+    )
+    # per-bucket lineage: counts are a tiny aggregate over the materialized
+    # dataset (never the rows themselves)
+    counts: dict[int, int] = {}
+    for b in bucketed.select_columns(["bucket"]).iter_batches(batch_format="pandas"):
+        for k, v in b["bucket"].value_counts().items():
+            counts[int(k)] = counts.get(int(k), 0) + int(v)
+    for b, n in sorted(counts.items()):
+        commit_shard(out_dir, b, {"rows": n, "key_col": key_col})
+    return counts
+
+
+def read_bucket(out_dir: str, bucket: int, columns: list | None = None):
+    """Read ONE bucket directory of a ``write_bucketed`` layout — the
+    pruned-read half of a bucket join."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(out_dir, f"bucket={bucket}"), columns=columns
+    )

@@ -192,3 +192,34 @@ def test_read_documents_lance_dispatch(ray_session, tmp_path):
         read_documents(str(fake_lance))
     with pytest.raises(NotImplementedError, match="pylance"):
         write_documents(ds, str(tmp_path / "out"), fmt="lance")
+
+
+def test_write_bucketed_roundtrip(ray_session, tmp_path):
+    """Bucket invariant (hash(key)%B == dir), within-bucket sort, full
+    roundtrip, manifests committed per bucket, pruned single-bucket read."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.sources.io import committed_shards, read_bucket, write_bucketed
+    from ontocast_ray.util import hash_partition
+
+    rng = np.random.default_rng(6)
+    n = 2000
+    t = pa.table(
+        {"user_id": pa.array(rng.integers(0, 97, n), type=pa.int64()),
+         "v": pa.array(np.arange(n), type=pa.int64())}
+    )
+    out = str(tmp_path / "bucketed")
+    counts = write_bucketed(
+        ray.data.from_arrow(t).repartition(6), out, "user_id",
+        n_buckets=8, min_rows_per_file=10_000,
+    )
+    assert sum(counts.values()) == n
+    assert committed_shards(out) == set(counts)
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == n and set(back["v"]) == set(range(n))
+    one = read_bucket(out, 3).to_pandas()
+    assert len(one) == counts.get(3, 0)
+    assert (hash_partition(one["user_id"].to_numpy(), 8) == 3).all()
+    assert one["user_id"].is_monotonic_increasing
