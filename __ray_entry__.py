@@ -200,6 +200,28 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_bucket_join(sf_dir: str):
+    """Write orders and customer co-bucketed by custkey (shuffle paid once
+    at write), then join them with ZERO shuffle — one task per bucket
+    directory pair, column-pruned pyarrow reads, vectorized merge. The
+    read-side payoff of the bucketed sink."""
+    from ontocast_ray.ops.joins import bucket_join
+    from ontocast_ray.sources.io import write_bucketed
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ldir = _index_scratch(sf_dir, "bucket_orders")
+    rdir = _index_scratch(sf_dir, "bucket_customer")
+    write_bucketed(orders, ldir, "o_custkey", n_buckets=8)
+    write_bucketed(cust, rdir, "c_custkey", n_buckets=8)
+    return bucket_join(
+        ldir, rdir,
+        key_col="o_custkey", right_key_col="c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_nationkey"],
+        n_buckets=8,
+    )
+
+
 def _q_rollup(sf_dir: str):
     """GROUP BY ROLLUP (source, lang) counts with 'ALL' sentinel levels —
     each batch emits all rollup levels from its already-aggregated
@@ -1333,6 +1355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_supplier_skew_join": _q_skew_join,
         "users_per_event_type": _q_grouped_count_distinct,
         "docs_rollup_counts": _q_rollup,
+        "orders_customer_bucket_join": _q_bucket_join,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2014,6 +2037,10 @@ def _sql_oracles() -> dict[str, str]:
         "users_per_event_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "orders_customer_bucket_join": """
+            SELECT o.o_custkey, o.o_orderkey, c.c_nationkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         # rollup NULL markers → 'ALL' sentinel (no genuine NULLs in data)
         "docs_rollup_counts": """

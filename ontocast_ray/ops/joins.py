@@ -513,3 +513,54 @@ def skew_join(
     if not hot:
         return cold_out
     return cold_out.union(hot_out)
+
+
+def bucket_join(
+    left_dir: str,
+    right_dir: str,
+    key_col: str,
+    right_key_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int,
+) -> "ray.data.Dataset":
+    """ZERO-shuffle inner join of two ``write_bucketed`` layouts bucketed
+    the same way (same hash, same ``n_buckets``) — the classic Hive/Spark
+    bucketed join. Equal keys already live in the same ``bucket=NN``
+    directory pair, so the join is one task per bucket: read the pair
+    (column-pruned pyarrow reads), one vectorized merge, stream out. This
+    is the read-side payoff the bucketed sink exists for: the shuffle was
+    paid ONCE at write time and every subsequent join of any two
+    co-bucketed tables is free.
+
+    Output columns: ``[key_col] + left_cols + right_cols``.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    ids = ray.data.from_items([{"bucket": b} for b in range(n_buckets)])
+    lcols = [c for c in left_cols if c != key_col]
+    rcols = [c for c in right_cols if c != right_key_col]
+
+    def join_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        frames = []
+        for b in batch["bucket"]:
+            ldir = os.path.join(left_dir, f"bucket={int(b)}")
+            rdir = os.path.join(right_dir, f"bucket={int(b)}")
+            if not (os.path.isdir(ldir) and os.path.isdir(rdir)):
+                continue  # empty bucket on either side → no matches
+            lhs = pq.read_table(ldir, columns=[key_col, *lcols]).to_pandas()
+            rhs = pq.read_table(rdir, columns=[right_key_col, *rcols]).to_pandas()
+            frames.append(
+                lhs.merge(
+                    rhs.rename(columns={right_key_col: key_col}),
+                    on=key_col, how="inner",
+                )
+            )
+        if not frames:
+            return pd.DataFrame(columns=[key_col, *lcols, *rcols])
+        return pd.concat(frames, ignore_index=True)
+
+    return ids.map_batches(join_bucket, batch_format="pandas", batch_size=1)

@@ -115,6 +115,7 @@ def test_all_queries_run(ray_session, contract):
         "users_per_event_type",
         "events_window_first_last",
         "docs_rollup_counts",
+        "orders_customer_bucket_join",
         "split_assign",
     ],
 )
