@@ -200,6 +200,16 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_event_sequences(sf_dir: str):
+    """Per-user event-type journey in strict (ts, event_id) order — SQL
+    string_agg ORDER BY mirror; byte-exact strings."""
+    from ontocast_ray.ops.windows import event_sequences
+
+    return event_sequences(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    )
+
+
 def _q_bucket_join(sf_dir: str):
     """Write orders and customer co-bucketed by custkey (shuffle paid once
     at write), then join them with ZERO shuffle — one task per bucket
@@ -1356,6 +1366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type": _q_grouped_count_distinct,
         "docs_rollup_counts": _q_rollup,
         "orders_customer_bucket_join": _q_bucket_join,
+        "user_event_sequences": _q_event_sequences,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2041,6 +2052,12 @@ def _sql_oracles() -> dict[str, str]:
         "orders_customer_bucket_join": """
             SELECT o.o_custkey, o.o_orderkey, c.c_nationkey
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "user_event_sequences": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+            FROM events GROUP BY user_id
         """,
         # rollup NULL markers → 'ALL' sentinel (no genuine NULLs in data)
         "docs_rollup_counts": """

@@ -253,6 +253,48 @@ def with_previous_event(
     )
 
 
+def event_sequences(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+    sep: str = ",",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """→ (key, n_events, sequence): each key's values concatenated in
+    strict (ts, id) order — the user-journey / behavioral-sequence
+    primitive (SQL ``string_agg(v, sep ORDER BY ts, id)``). Same coarse
+    colocate-by-key shape as sessionize; the concatenation is one pandas
+    ``groupby().agg(join)`` C-string pass per partition.
+
+    Per-key output is a single row whose size is the key's history — the
+    same per-key-fits-reducer caveat as group_quantiles; cap upstream
+    (e.g. a tumbling window key) when histories are unbounded.
+    """
+    import pandas as pd
+
+    n_parts = resolve_n_parts(events, n_parts)
+
+    def kernel(group: "pd.DataFrame") -> "pd.DataFrame":
+        if group.empty:
+            return pd.DataFrame(
+                {key_col: [], "n_events": pd.Series([], dtype="int64"),
+                 "sequence": pd.Series([], dtype="object")}
+            )
+        df = group.sort_values([key_col, ts_col, id_col])
+        g = df.groupby(key_col, sort=True)[value_col]
+        out = g.agg(lambda s: sep.join(s.astype(str))).reset_index(name="sequence")
+        out.insert(1, "n_events", g.size().to_numpy())
+        return out
+
+    return (
+        events.map_batches(_add_part_factory(key_col, n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 def window_first_last(
     events: "ray.data.Dataset",
     every: str = "1h",

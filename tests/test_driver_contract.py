@@ -116,6 +116,7 @@ def test_all_queries_run(ray_session, contract):
         "events_window_first_last",
         "docs_rollup_counts",
         "orders_customer_bucket_join",
+        "user_event_sequences",
         "split_assign",
     ],
 )
