@@ -200,6 +200,17 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_json_field(sf_dir: str):
+    """Extract the integer 'k' property from the events JSON props column
+    — one vectorized C regex per batch (flat-JSON fast path), zero
+    shuffle. Oracle uses DuckDB's real JSON parser: identical on flat
+    payloads by construction."""
+    from ontocast_ray.ops.features import json_int_field
+
+    events = _read(sf_dir, "events", columns=["event_id", "props"])
+    return json_int_field(events, col="props", field="k", out_col="k")
+
+
 def _q_event_sequences(sf_dir: str):
     """Per-user event-type journey in strict (ts, event_id) order — SQL
     string_agg ORDER BY mirror; byte-exact strings."""
@@ -1367,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup_counts": _q_rollup,
         "orders_customer_bucket_join": _q_bucket_join,
         "user_event_sequences": _q_event_sequences,
+        "events_json_field": _q_json_field,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2058,6 +2070,11 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
             FROM events GROUP BY user_id
+        """,
+        "events_json_field": """
+            SELECT event_id, props,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         # rollup NULL markers → 'ALL' sentinel (no genuine NULLs in data)
         "docs_rollup_counts": """

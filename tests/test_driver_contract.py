@@ -117,6 +117,7 @@ def test_all_queries_run(ray_session, contract):
         "docs_rollup_counts",
         "orders_customer_bucket_join",
         "user_event_sequences",
+        "events_json_field",
         "split_assign",
     ],
 )

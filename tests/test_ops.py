@@ -1732,3 +1732,25 @@ def test_rollup_counts_matches_pandas(ray_session):
         assert got.loc[(a, "ALL")] == c
     assert got.loc[("ALL", "ALL")] == n
     assert len(got) == len(full) + len(lvl1) + 1
+
+
+def test_json_int_field_extraction(ray_session):
+    """Flat-JSON regex fast path == a real JSON parse: negatives, spacing
+    variants, missing field -> null."""
+    import json
+
+    import ray.data
+
+    from ontocast_ray.ops.features import json_int_field
+
+    payloads = ['{"k": 7}', '{"k":-12, "z": 1}', '{"z": 5}', '{ "k" : 900 }']
+    t = pa.table(
+        {"event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+         "props": pa.array(payloads)}
+    )
+    got = (
+        json_int_field(ray.data.from_arrow(t), "props", "k")
+        .to_pandas().sort_values("event_id")
+    )
+    exp = [json.loads(p).get("k") for p in payloads]
+    assert [None if pd.isna(v) else int(v) for v in got["k"]] == exp
