@@ -200,6 +200,15 @@ def _q_events_with_lag(sf_dir: str):
     )
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-user outlier flags |v - median| > 3·MAD — selection +
+    one midpoint average, bit-exact vs the SQL median window oracle."""
+    from ontocast_ray.ops.features import mad_outliers
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return mad_outliers(events, key_col="user_id", value_col="value", k=3.0)
+
+
 def _q_json_field(sf_dir: str):
     """Extract the integer 'k' property from the events JSON props column
     — one vectorized C regex per batch (flat-JSON fast path), zero
@@ -1379,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_bucket_join": _q_bucket_join,
         "user_event_sequences": _q_event_sequences,
         "events_json_field": _q_json_field,
+        "events_mad_outliers": _q_mad_outliers,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2075,6 +2085,20 @@ def _sql_oracles() -> dict[str, str]:
             SELECT event_id, props,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "events_mad_outliers": """
+            WITH m AS (
+                SELECT event_id, user_id, value,
+                       median(value) OVER (PARTITION BY user_id) AS med
+                FROM events
+            ), m2 AS (
+                SELECT *, median(abs(value - med))
+                              OVER (PARTITION BY user_id) AS mad
+                FROM m
+            )
+            SELECT event_id, user_id, value, med, mad,
+                   abs(value - med) > 3.0 * mad AS is_outlier
+            FROM m2
         """,
         # rollup NULL markers → 'ALL' sentinel (no genuine NULLs in data)
         "docs_rollup_counts": """

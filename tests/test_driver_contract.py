@@ -118,6 +118,7 @@ def test_all_queries_run(ray_session, contract):
         "orders_customer_bucket_join",
         "user_event_sequences",
         "events_json_field",
+        "events_mad_outliers",
         "split_assign",
     ],
 )

@@ -1754,3 +1754,37 @@ def test_json_int_field_extraction(ray_session):
     )
     exp = [json.loads(p).get("k") for p in payloads]
     assert [None if pd.isna(v) else int(v) for v in got["k"]] == exp
+
+
+def test_mad_outliers_flags(ray_session):
+    """MAD flag == serial pandas formula; injected spikes are caught,
+    normal points are not."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.features import mad_outliers
+
+    rng = np.random.default_rng(8)
+    n = 300
+    keys = rng.integers(0, 6, n)
+    vals = rng.normal(0, 1, n)
+    vals[:6] = 1000.0  # spikes in assorted groups
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n), type=pa.int64()),
+         "user_id": pa.array(keys, type=pa.int64()),
+         "value": pa.array(vals, type=pa.float64())}
+    )
+    df = t.to_pandas()
+    g = df.groupby("user_id")["value"]
+    med = g.transform("median")
+    dev = (df["value"] - med).abs()
+    mad = dev.groupby(df["user_id"]).transform("median")
+    exp = (dev > 3.0 * mad).to_numpy()
+    got = (
+        mad_outliers(
+            ray.data.from_arrow(t).repartition(5), "user_id", "value", n_parts=4
+        )
+        .to_pandas().sort_values("event_id")
+    )
+    assert np.array_equal(got["is_outlier"].to_numpy(), exp)
+    assert got.set_index("event_id").loc[:5, "is_outlier"].all()
