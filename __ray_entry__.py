@@ -1086,8 +1086,12 @@ def _q_media_features(sf_dir: str):
 
     from ontocast_ray.ops.multimodal import extract_media_features, synth_media_table
 
+    # raw = REAL pixel decode for the image rows (uncompressed uint8
+    # H×W×3 buffers): channel means + luminance histogram actually
+    # computed; audio/video still flow through the deterministic fake
+    # (their codecs aren't in this container)
     media = ray.data.from_arrow(synth_media_table(n=64))
-    out = extract_media_features(media, decoder="fake")
+    out = extract_media_features(media, decoder="raw")
 
     def digest(batch: pa.Table) -> pa.Table:
         # project the list<float> feature to a scalar l2 digest: value-hash

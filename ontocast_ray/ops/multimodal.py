@@ -2,15 +2,18 @@
 
 Media arrives as opaque ``binary`` columns with typed metadata (the engine's
 span model carries only ``media_ref``; this module is the stage that would
-dereference and process payloads). The decode kernels themselves are STUBS —
-the image/audio libraries are not in this container — but the Ray-side
-plumbing is real and tested: schema, actor-pool signature, batch sizing,
-output layout.
+dereference and process payloads). Three backends per stage:
 
-``decoder="fake"`` produces deterministic feature vectors derived from the
-payload bytes (so downstream stages and tests have real data to flow);
-``decoder="real"`` raises NotImplementedError at the exact point a library
-call (PIL/librosa/av) would go.
+- ``"raw"`` — a REAL decode path, fully executable here: image payloads are
+  uncompressed ``uint8 H×W×3`` buffers (the layout a decode fleet hands to
+  a train-side pipeline); resize is a vectorized nearest-neighbor index
+  take and features are real pixel statistics (channel means + a luminance
+  histogram). Pure numpy, no library needed.
+- ``"fake"`` — deterministic pseudo-outputs derived from payload bytes
+  (plumbing/goldens for arbitrary payloads).
+- ``"real"`` — raises NotImplementedError at the exact point the codec
+  library call (PIL/librosa/av) would go; JPEG/PNG/Opus decode is the ONLY
+  part this container cannot execute.
 """
 
 from __future__ import annotations
@@ -45,17 +48,24 @@ FEATURES_SCHEMA = pa.schema(
 
 
 def synth_media_table(n: int = 64, seed: int = 9) -> pa.Table:
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic fake media table for tests/benches. Image payloads
+    are GENUINE raw uint8 H×W×3 buffers (consistent with their metadata
+    dims) so the ``raw`` backend exercises real pixel math."""
     rng = np.random.RandomState(seed)
     refs, kinds, payloads, widths, heights, durations = [], [], [], [], [], []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = rng.bytes(256 + int(rng.randint(0, 512)))
         refs.append(f"media://synth/{i}")
         kinds.append(kind)
-        payloads.append(payload)
-        widths.append(int(rng.randint(16, 512)) if kind != "audio" else 0)
-        heights.append(int(rng.randint(16, 512)) if kind != "audio" else 0)
+        if kind == "image":
+            w, h = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            payloads.append(rng.bytes(w * h * 3))
+            widths.append(w)
+            heights.append(h)
+        else:
+            payloads.append(rng.bytes(256 + int(rng.randint(0, 512))))
+            widths.append(int(rng.randint(16, 512)) if kind == "video" else 0)
+            heights.append(int(rng.randint(16, 512)) if kind == "video" else 0)
         durations.append(int(rng.randint(100, 10_000)) if kind != "image" else 0)
     return pa.table(
         {
@@ -78,8 +88,10 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 32):
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "raw", "real"):
             raise ValueError(decoder)
+        if decoder == "raw" and feature_dim < 4:
+            raise ValueError("raw features need feature_dim >= 4")
         self.decoder = decoder
         self.feature_dim = feature_dim
         # model-load slot: in a real deployment the vision/audio model loads
@@ -97,16 +109,45 @@ class MediaFeatureExtractor:
         rng = np.random.RandomState(zlib.crc32(h) & 0x7FFFFFFF)
         return rng.normal(size=self.feature_dim).astype(np.float32)
 
+    def _decode_raw_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        """REAL pixel features from an uncompressed uint8 H×W×3 buffer:
+        per-channel means (3) + a luminance histogram (feature_dim - 3).
+        Pure numpy — this path actually executes in this container."""
+        img = np.frombuffer(payload, dtype=np.uint8)
+        if w <= 0 or h <= 0 or img.size != w * h * 3:
+            raise ValueError(
+                f"raw image payload is {img.size} B, metadata says {w}x{h}x3"
+            )
+        img = img.reshape(h, w, 3).astype(np.float32) / 255.0
+        means = img.mean(axis=(0, 1))
+        lum = img.mean(axis=2).ravel()
+        hist, _ = np.histogram(lum, bins=self.feature_dim - 3, range=(0.0, 1.0))
+        return np.concatenate(
+            [means, hist.astype(np.float32) / lum.size]
+        ).astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        widths = (
+            batch["width"].to_pylist()
+            if "width" in batch.column_names else [0] * len(refs)
+        )
+        heights = (
+            batch["height"].to_pylist()
+            if "height" in batch.column_names else [0] * len(refs)
+        )
         feats, shas = [], []
-        for kind, payload in zip(kinds, payloads):
+        for kind, payload, w, hgt in zip(kinds, payloads, widths, heights):
             payload = payload or b""
             if self.decoder == "real":
                 vec = self._decode_real(kind, payload)
+            elif self.decoder == "raw" and kind == "image":
+                vec = self._decode_raw_image(payload, int(w or 0), int(hgt or 0))
             else:
+                # raw mode covers uncompressed image arrays; other kinds
+                # still need a codec → deterministic fake keeps them flowing
                 vec = self._decode_fake(kind, payload)
             feats.append(vec.tolist())
             shas.append(hashlib.sha256(payload).hexdigest()[:16])
@@ -149,7 +190,7 @@ class ImageResizer:
     """
 
     def __init__(self, target_w: int = 64, target_h: int = 64, backend: str = "fake"):
-        if backend not in ("fake", "real"):
+        if backend not in ("fake", "raw", "real"):
             raise ValueError(backend)
         self.target_w = target_w
         self.target_h = target_h
@@ -166,6 +207,21 @@ class ImageResizer:
         h = hashlib.blake2b(payload, digest_size=32).digest()
         return (h * (size // 32 + 1))[:size]
 
+    def _resize_raw(self, payload: bytes, w: int, h: int) -> bytes:
+        """REAL nearest-neighbor resize of an uncompressed uint8 H×W×3
+        buffer — two integer index grids + one fancy-index take (the same
+        sampling rule PIL's NEAREST uses: src = dst * src_dim // dst_dim).
+        Pure numpy, actually executes here."""
+        img = np.frombuffer(payload, dtype=np.uint8)
+        if w <= 0 or h <= 0 or img.size != w * h * 3:
+            raise ValueError(
+                f"raw image payload is {img.size} B, metadata says {w}x{h}x3"
+            )
+        img = img.reshape(h, w, 3)
+        yi = (np.arange(self.target_h) * h) // self.target_h
+        xi = (np.arange(self.target_w) * w) // self.target_w
+        return img[yi][:, xi].tobytes()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -178,8 +234,13 @@ class ImageResizer:
                 out_w.append(w)
                 out_h.append(hgt)
                 continue
-            fn = self._resize_real if self.backend == "real" else self._resize_fake
-            out_payloads.append(fn(payload or b""))
+            if self.backend == "raw":
+                out_payloads.append(
+                    self._resize_raw(payload or b"", int(w or 0), int(hgt or 0))
+                )
+            else:
+                fn = self._resize_real if self.backend == "real" else self._resize_fake
+                out_payloads.append(fn(payload or b""))
             out_w.append(self.target_w)
             out_h.append(self.target_h)
         return pa.table(

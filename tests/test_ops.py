@@ -1788,3 +1788,53 @@ def test_mad_outliers_flags(ray_session):
     )
     assert np.array_equal(got["is_outlier"].to_numpy(), exp)
     assert got.set_index("event_id").loc[:5, "is_outlier"].all()
+
+
+def test_multimodal_raw_backend_real_pixels(ray_session):
+    """The raw backend does REAL pixel math: constant image stays constant
+    through resize; checkerboard kron-expands; features = actual channel
+    means + luminance histogram."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import (
+        extract_media_features,
+        resize_images,
+    )
+
+    const = np.full((6, 4, 3), [10, 200, 30], dtype=np.uint8)
+    checker = np.kron(
+        np.array([[0, 1], [1, 0]], dtype=np.uint8), np.ones((1, 1), dtype=np.uint8)
+    )
+    checker_img = (np.stack([checker] * 3, axis=-1) * 255).astype(np.uint8)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["m1", "m2"]),
+            "kind": pa.array(["image", "image"]),
+            "payload": pa.array(
+                [const.tobytes(), checker_img.tobytes()], type=pa.binary()
+            ),
+            "width": pa.array([4, 2], type=pa.int32()),
+            "height": pa.array([6, 2], type=pa.int32()),
+            "duration_ms": pa.array([0, 0], type=pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    resized = {
+        r["media_ref"]: r
+        for r in resize_images(ds, target_w=4, target_h=4, backend="raw").take_all()
+    }
+    out1 = np.frombuffer(resized["m1"]["payload"], dtype=np.uint8).reshape(4, 4, 3)
+    assert (out1 == [10, 200, 30]).all()
+    out2 = np.frombuffer(resized["m2"]["payload"], dtype=np.uint8).reshape(4, 4, 3)
+    exp2 = np.kron(checker, np.ones((2, 2), dtype=np.uint8))
+    assert (out2[:, :, 0] == exp2 * 255).all()
+
+    feats = {
+        r["media_ref"]: np.asarray(r["feature"])
+        for r in extract_media_features(ds, decoder="raw", feature_dim=11).take_all()
+    }
+    exp_means = np.array([10, 200, 30], dtype=np.float32) / 255.0
+    assert np.allclose(feats["m1"][:3], exp_means, atol=1e-6)
+    assert np.isclose(feats["m1"][3:].sum(), 1.0)  # histogram sums to 1
+    assert np.isclose(feats["m2"][:3], 0.5, atol=1e-6).all()  # half 0 half 255
