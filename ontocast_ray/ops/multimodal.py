@@ -62,10 +62,16 @@ def synth_media_table(n: int = 64, seed: int = 9) -> pa.Table:
             payloads.append(rng.bytes(w * h * 3))
             widths.append(w)
             heights.append(h)
+        elif kind == "audio":
+            # genuine little-endian int16 PCM (even byte count) so the
+            # raw backend exercises real DSP math
+            payloads.append(rng.bytes(2 * (128 + int(rng.randint(0, 256)))))
+            widths.append(0)
+            heights.append(0)
         else:
             payloads.append(rng.bytes(256 + int(rng.randint(0, 512))))
-            widths.append(int(rng.randint(16, 512)) if kind == "video" else 0)
-            heights.append(int(rng.randint(16, 512)) if kind == "video" else 0)
+            widths.append(int(rng.randint(16, 512)))
+            heights.append(int(rng.randint(16, 512)))
         durations.append(int(rng.randint(100, 10_000)) if kind != "image" else 0)
     return pa.table(
         {
@@ -126,6 +132,23 @@ class MediaFeatureExtractor:
             [means, hist.astype(np.float32) / lum.size]
         ).astype(np.float32)
 
+    def _decode_raw_audio(self, payload: bytes) -> np.ndarray:
+        """REAL DSP stats from an uncompressed little-endian int16 PCM
+        buffer: RMS, zero-crossing rate, peak (3) + an |amplitude|
+        histogram (feature_dim - 3). Pure numpy."""
+        if len(payload) % 2:
+            raise ValueError("raw PCM payload must be int16-aligned")
+        x = np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
+        if x.size == 0:
+            return np.zeros(self.feature_dim, dtype=np.float32)
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(x[1:] * x[:-1] < 0)) if x.size > 1 else 0.0
+        peak = float(np.abs(x).max())
+        hist, _ = np.histogram(np.abs(x), bins=self.feature_dim - 3, range=(0.0, 1.0))
+        return np.concatenate(
+            [[rms, zcr, peak], hist.astype(np.float32) / x.size]
+        ).astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
         kinds = batch["kind"].to_pylist()
@@ -145,9 +168,11 @@ class MediaFeatureExtractor:
                 vec = self._decode_real(kind, payload)
             elif self.decoder == "raw" and kind == "image":
                 vec = self._decode_raw_image(payload, int(w or 0), int(hgt or 0))
+            elif self.decoder == "raw" and kind == "audio":
+                vec = self._decode_raw_audio(payload)
             else:
-                # raw mode covers uncompressed image arrays; other kinds
-                # still need a codec → deterministic fake keeps them flowing
+                # raw mode covers uncompressed image/PCM arrays; video
+                # still needs a codec → deterministic fake keeps it flowing
                 vec = self._decode_fake(kind, payload)
             feats.append(vec.tolist())
             shas.append(hashlib.sha256(payload).hexdigest()[:16])

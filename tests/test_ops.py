@@ -1838,3 +1838,33 @@ def test_multimodal_raw_backend_real_pixels(ray_session):
     assert np.allclose(feats["m1"][:3], exp_means, atol=1e-6)
     assert np.isclose(feats["m1"][3:].sum(), 1.0)  # histogram sums to 1
     assert np.isclose(feats["m2"][:3], 0.5, atol=1e-6).all()  # half 0 half 255
+
+
+def test_multimodal_raw_audio_dsp(ray_session):
+    """Raw PCM features are real DSP: a ±A square wave has rms == A,
+    zcr == 1, peak == A."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import extract_media_features
+
+    amp = 16384  # 0.5 in float scale
+    wave = np.tile(np.array([amp, -amp], dtype="<i2"), 256)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["a1"]),
+            "kind": pa.array(["audio"]),
+            "payload": pa.array([wave.tobytes()], type=pa.binary()),
+            "width": pa.array([0], type=pa.int32()),
+            "height": pa.array([0], type=pa.int32()),
+            "duration_ms": pa.array([100], type=pa.int32()),
+        }
+    )
+    (row,) = extract_media_features(
+        ray.data.from_arrow(t), decoder="raw", feature_dim=11
+    ).take_all()
+    f = np.asarray(row["feature"])
+    assert np.isclose(f[0], 0.5, atol=1e-5)   # rms
+    assert np.isclose(f[1], 1.0)               # zcr: every sample flips sign
+    assert np.isclose(f[2], 0.5, atol=1e-5)   # peak
+    assert np.isclose(f[3:].sum(), 1.0)        # |amp| histogram sums to 1
