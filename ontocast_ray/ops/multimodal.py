@@ -69,9 +69,12 @@ def synth_media_table(n: int = 64, seed: int = 9) -> pa.Table:
             widths.append(0)
             heights.append(0)
         else:
-            payloads.append(rng.bytes(256 + int(rng.randint(0, 512))))
-            widths.append(int(rng.randint(16, 512)))
-            heights.append(int(rng.randint(16, 512)))
+            # genuine raw video: k concatenated uint8 H×W×3 frames
+            w, h = int(rng.randint(4, 12)), int(rng.randint(4, 12))
+            k = int(rng.randint(4, 9))
+            payloads.append(rng.bytes(k * w * h * 3))
+            widths.append(w)
+            heights.append(h)
         durations.append(int(rng.randint(100, 10_000)) if kind != "image" else 0)
     return pa.table(
         {
@@ -290,7 +293,7 @@ class FrameSampler:
     """
 
     def __init__(self, n_frames: int = 4, backend: str = "fake"):
-        if backend not in ("fake", "real"):
+        if backend not in ("fake", "raw", "real"):
             raise ValueError(backend)
         self.n_frames = n_frames
         self.backend = backend
@@ -306,23 +309,55 @@ class FrameSampler:
             payload + ts_ms.to_bytes(8, "little"), digest_size=64
         ).digest()
 
+    @staticmethod
+    def _frame_raw(payload: bytes, ts_ms: int, dur: int, w: int, h: int) -> bytes:
+        """REAL frame extraction from a raw video payload (k concatenated
+        uint8 H×W×3 frames): the timestamp maps to a frame index and the
+        frame is one byte slice — the seek+decode of the uncompressed
+        world. Pure slicing, actually executes here."""
+        fsz = w * h * 3
+        if fsz <= 0 or len(payload) % fsz:
+            raise ValueError(
+                f"raw video payload ({len(payload)} B) is not a whole number "
+                f"of {w}x{h}x3 frames"
+            )
+        k = len(payload) // fsz
+        idx = min(k - 1, (ts_ms * k) // max(dur, 1))
+        return payload[idx * fsz:(idx + 1) * fsz]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs, kinds = batch["media_ref"].to_pylist(), batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
         durations = batch["duration_ms"].to_pylist()
+        widths = (
+            batch["width"].to_pylist()
+            if "width" in batch.column_names else [0] * len(refs)
+        )
+        heights = (
+            batch["height"].to_pylist()
+            if "height" in batch.column_names else [0] * len(refs)
+        )
         o_ref, o_idx, o_ts, o_frame = [], [], [], []
-        fn = self._frame_real if self.backend == "real" else self._frame_fake
-        for ref, kind, payload, dur in zip(refs, kinds, payloads, durations):
+        for ref, kind, payload, dur, w, hgt in zip(
+            refs, kinds, payloads, durations, widths, heights
+        ):
             if kind != "video":
                 continue
             dur = max(int(dur or 0), 1)
+            payload = payload or b""
             for i in range(self.n_frames):
                 # evenly spaced, centered: (i + 0.5) / n of the duration
                 ts = int(dur * (2 * i + 1) // (2 * self.n_frames))
+                if self.backend == "raw":
+                    frame = self._frame_raw(payload, ts, dur, int(w or 0), int(hgt or 0))
+                elif self.backend == "real":
+                    frame = self._frame_real(payload, ts)
+                else:
+                    frame = self._frame_fake(payload, ts)
                 o_ref.append(ref)
                 o_idx.append(i)
                 o_ts.append(ts)
-                o_frame.append(fn(payload or b"", ts))
+                o_frame.append(frame)
         return pa.table(
             {
                 "media_ref": pa.array(o_ref, type=pa.string()),

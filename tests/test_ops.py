@@ -1868,3 +1868,35 @@ def test_multimodal_raw_audio_dsp(ray_session):
     assert np.isclose(f[1], 1.0)               # zcr: every sample flips sign
     assert np.isclose(f[2], 0.5, atol=1e-5)   # peak
     assert np.isclose(f[3:].sum(), 1.0)        # |amp| histogram sums to 1
+
+
+def test_multimodal_raw_video_frame_slicing(ray_session):
+    """Raw frame sampling returns the exact byte slice of the addressed
+    frame: 4 distinct constant frames, 4 samples -> each sampled frame is
+    the right constant."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import sample_frames
+
+    w, h, k = 3, 2, 4
+    frames = [np.full((h, w, 3), 50 * (i + 1), dtype=np.uint8) for i in range(k)]
+    payload = b"".join(f.tobytes() for f in frames)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["v1"]),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([payload], type=pa.binary()),
+            "width": pa.array([w], type=pa.int32()),
+            "height": pa.array([h], type=pa.int32()),
+            "duration_ms": pa.array([1000], type=pa.int32()),
+        }
+    )
+    rows = sorted(
+        sample_frames(ray.data.from_arrow(t), n_frames=4, backend="raw").take_all(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["ts_ms"] for r in rows] == [125, 375, 625, 875]
+    for i, r in enumerate(rows):
+        arr = np.frombuffer(r["frame"], dtype=np.uint8)
+        assert (arr == 50 * (i + 1)).all()
