@@ -37,7 +37,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
 
@@ -57,7 +58,8 @@ def main(argv=None) -> int:
     )
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
-    ray.shutdown()
+    if owns_session:  # don't tear down a caller-owned (test/driver) session
+        ray.shutdown()
     return 0
 
 

@@ -160,3 +160,25 @@ def test_cli_plot_graph(tmp_path):
     # second run replaces, not duplicates
     main(["plot-graph", "--output", str(out), "--update-md", str(md)])
     assert md.read_text().count("### Agent graph") == 1
+
+
+def test_curation_job_entry(ray_session, tmp_path, capsys):
+    """jobs/curation_job.py main(): curate → bucketed sink with manifests,
+    JSON summary on stdout; driver-owned ray session is reused (no init)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import curation_job
+
+    out = str(tmp_path / "curated")
+    rc = curation_job.main(
+        ["--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--buckets", "4"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_kept"] > 0 and stats["buckets"] <= 4
+    from ontocast_ray.sources.io import committed_shards
+
+    assert len(committed_shards(out)) == stats["buckets"]
