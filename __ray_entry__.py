@@ -262,6 +262,34 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_interval_count(sf_dir: str):
+    """Attribution window count: for each purchase, how many clicks by the
+    same user in the preceding 30 minutes (inclusive bounds). Union-tag +
+    one hash(key) shuffle; the range count is a difference of two
+    vectorized cumulative as-of lookups — no per-key Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import interval_count_join
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def of_type(t):
+        return lambda b: b.filter(
+            pc.equal(b["event_type"], pa.scalar(t))
+        ).drop_columns(["event_type"])
+
+    purchases = events.map_batches(of_type("purchase"), batch_format="pyarrow")
+    clicks = events.map_batches(of_type("click"), batch_format="pyarrow")
+    return interval_count_join(
+        purchases, clicks,
+        key_col="user_id", ts_col="ts", left_id_col="event_id",
+        window="30min", out_col="n_prior_clicks", n_parts=16,
+    )
+
+
 def _q_grouped_count_distinct(sf_dir: str):
     """Exact per-type COUNT(DISTINCT user): distinct_on combiner shuffle +
     a tiny second coarse pass — the exact companion to the HLL sketch."""
@@ -1393,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_event_sequences,
         "events_json_field": _q_json_field,
         "events_mad_outliers": _q_mad_outliers,
+        "purchase_click_window_counts": _q_interval_count,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2089,6 +2118,15 @@ def _sql_oracles() -> dict[str, str]:
             SELECT event_id, props,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "purchase_click_window_counts": """
+            SELECT p.user_id, p.ts, p.event_id,
+                   CAST(count(c.event_id) AS BIGINT) AS n_prior_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+            GROUP BY p.user_id, p.ts, p.event_id
         """,
         "events_mad_outliers": """
             WITH m AS (

@@ -564,3 +564,94 @@ def bucket_join(
         return pd.concat(frames, ignore_index=True)
 
     return ids.map_batches(join_bucket, batch_format="pandas", batch_size=1)
+
+
+def interval_count_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    left_id_col: str,
+    window,
+    out_col: str = "n_in_window",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ left rows + ``out_col``: for every left row, the COUNT of right
+    rows with the same key and ``right.ts ∈ [left.ts - window, left.ts]``
+    — the bounded interval join behind attribution counts ("clicks in the
+    30 min before each purchase"). The as-of join answers *nearest one*;
+    this answers *how many in the window*.
+
+    Shape: union-tag + ONE coarse hash(key) shuffle (the asof_join
+    pattern), then a per-partition kernel that never loops keys: right
+    rows get a per-key running count, and TWO vectorized
+    ``pd.merge_asof``-s (at ``ts`` inclusive, at ``ts - window``
+    exclusive) turn the range count into a difference of two cumulative
+    lookups. Output: (key, ts, left_id, out_col).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {key_col: batch[key_col], ts_col: batch[ts_col],
+             left_id_col: batch[left_id_col]}
+        )
+        out = out.append_column("_side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+        return out.append_column(
+            "part", pa.array(hash_partition(batch[key_col], n_parts))
+        )
+
+    _lid_type = None
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {key_col: batch[key_col], ts_col: batch[ts_col],
+             left_id_col: pa.nulls(len(batch), type=_lid_type)}
+        )
+        out = out.append_column("_side", pa.array(np.ones(len(batch), dtype=np.int8)))
+        return out.append_column(
+            "part", pa.array(hash_partition(batch[key_col], n_parts))
+        )
+
+    _lsch = left.schema()
+    _lid_type = dict(zip(_lsch.names, _lsch.types))[left_id_col]
+    w = pd.Timedelta(window) if isinstance(window, str) else window
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        # Timedelta arithmetic upcasts datetime64[us] to [ns]; normalize so
+        # the two merge_asof key dtypes always agree
+        if str(group[ts_col].dtype).startswith("datetime64"):
+            group = group.assign(**{ts_col: group[ts_col].astype("datetime64[ns]")})
+        lhs = group[group["_side"] == 0][[key_col, ts_col, left_id_col]]
+        rhs = group[group["_side"] == 1][[key_col, ts_col]]
+        if lhs.empty:
+            out = lhs.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        lhs = lhs.astype({left_id_col: _lid_type.to_pandas_dtype()})
+        if rhs.empty:
+            return lhs.assign(**{out_col: np.int64(0)}).reset_index(drop=True)
+        rhs = rhs.sort_values([key_col, ts_col], kind="mergesort")
+        rhs = rhs.assign(_cc=rhs.groupby(key_col, sort=False).cumcount() + 1)
+        rhs = rhs.sort_values(ts_col, kind="mergesort")[[key_col, ts_col, "_cc"]]
+        lhs_s = lhs.sort_values(ts_col, kind="mergesort")
+        hi = pd.merge_asof(
+            lhs_s, rhs, on=ts_col, by=key_col,
+            direction="backward", allow_exact_matches=True,
+        )["_cc"].fillna(0).to_numpy(np.int64)
+        lo_frame = lhs_s.assign(_lo=lhs_s[ts_col] - w)
+        lo = pd.merge_asof(
+            lo_frame.sort_values("_lo", kind="mergesort"),
+            rhs.rename(columns={ts_col: "_lo"}),
+            on="_lo", by=key_col,
+            direction="backward", allow_exact_matches=False,
+        ).sort_values(ts_col, kind="mergesort")["_cc"].fillna(0).to_numpy(np.int64)
+        return lhs_s.assign(**{out_col: hi - lo}).reset_index(drop=True)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(kernel, batch_format="pandas")

@@ -117,6 +117,7 @@ _SQL_GATED = [
         "user_event_sequences",
         "events_json_field",
         "events_mad_outliers",
+        "purchase_click_window_counts",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",

@@ -1900,3 +1900,46 @@ def test_multimodal_raw_video_frame_slicing(ray_session):
     for i, r in enumerate(rows):
         arr = np.frombuffer(r["frame"], dtype=np.uint8)
         assert (arr == 50 * (i + 1)).all()
+
+
+def test_interval_count_join_matches_bruteforce(ray_session):
+    """Window count == O(n^2) brute force: inclusive bounds, per-key
+    isolation, zero-match keys, duplicate timestamps."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.joins import interval_count_join
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-03-01")
+    nl, nr = 120, 400
+    lk = rng.integers(0, 8, nl)
+    lts = base + pd.to_timedelta(rng.integers(0, 5000, nl), "s")
+    rk = rng.integers(0, 10, nr)  # some right keys never on the left
+    rts = base + pd.to_timedelta(rng.integers(0, 5000, nr), "s")
+    left = pa.table(
+        {"user_id": pa.array(lk, type=pa.int64()), "ts": pa.array(lts),
+         "event_id": pa.array(np.arange(nl), type=pa.int64())}
+    )
+    right = pa.table(
+        {"user_id": pa.array(rk, type=pa.int64()), "ts": pa.array(rts)}
+    )
+    w = pd.Timedelta("120s")
+    exp = {
+        int(i): int(
+            ((rk == k) & (rts >= t - w) & (rts <= t)).sum()
+        )
+        for i, k, t in zip(np.arange(nl), lk, lts)
+    }
+    got = (
+        interval_count_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(3),
+            key_col="user_id", ts_col="ts", left_id_col="event_id",
+            window="120s", n_parts=4,
+        )
+        .to_pandas().set_index("event_id")["n_in_window"]
+    )
+    assert len(got) == nl
+    for i, c in exp.items():
+        assert got.loc[i] == c, i
