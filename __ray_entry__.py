@@ -262,6 +262,17 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_top_terms_per_source(sf_dir: str):
+    """Per-source vocabulary profile: 5 most frequent terms per source
+    (count desc, term asc). Combiner-first (group,term) counts + one
+    coarse shuffle, then the top-k selector."""
+    from ontocast_ray.ops.text import top_terms_per_group
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    out = top_terms_per_group(docs, group_col="source", k=5, n_parts=16)
+    return out.select_columns(["source", "term", "n_count", "rank"])
+
+
 def _q_interval_count(sf_dir: str):
     """Attribution window count: for each purchase, how many clicks by the
     same user in the preceding 30 minutes (inclusive bounds). Union-tag +
@@ -452,7 +463,9 @@ def _q_doc_row_numbers(sf_dir: str):
     from ontocast_ray.ops.rank import global_row_number
 
     docs = _read(sf_dir, "documents", columns=["doc_id"])
-    return global_row_number(docs, order_col="doc_id", ntile=7, shard_span=64)
+    return global_row_number(
+        docs, order_col="doc_id", ntile=7, percent_rank=True, shard_span=64
+    )
 
 
 def _q_events_rolling_max(sf_dir: str):
@@ -1422,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_field": _q_json_field,
         "events_mad_outliers": _q_mad_outliers,
         "purchase_click_window_counts": _q_interval_count,
+        "top_terms_per_source": _q_top_terms_per_source,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2119,6 +2133,16 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
+        "top_terms_per_source": """
+            SELECT source, term, n_count, rank FROM (
+                SELECT source, w AS term, CAST(count(*) AS BIGINT) AS n_count,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, w ASC) AS rank
+                FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+                GROUP BY source, w
+            ) WHERE rank <= 5
+        """,
         "purchase_click_window_counts": """
             SELECT p.user_id, p.ts, p.event_id,
                    CAST(count(c.event_id) AS BIGINT) AS n_prior_clicks
@@ -2242,7 +2266,8 @@ def _sql_oracles() -> dict[str, str]:
         "doc_row_numbers": """
             SELECT doc_id,
                    row_number() OVER (ORDER BY doc_id) AS rn,
-                   ntile(7) OVER (ORDER BY doc_id) AS tile
+                   ntile(7) OVER (ORDER BY doc_id) AS tile,
+                   percent_rank() OVER (ORDER BY doc_id) AS pct_rank
             FROM documents
         """,
         "events_rolling_max": """

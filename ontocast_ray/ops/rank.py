@@ -20,12 +20,15 @@ def global_row_number(
     ds: "ray.data.Dataset",
     order_col: str = "doc_id",
     ntile: int | None = None,
+    percent_rank: bool = False,
     shard_span: int = 65_536,
     n_parts: int = 64,
 ) -> "ray.data.Dataset":
-    """→ (order_col, rn[, tile]): contiguous 1-based global row numbers
-    ordered by a UNIQUE int64 column — SQL ``ROW_NUMBER() OVER (ORDER BY
-    col)`` — without a global sort.
+    """→ (order_col, rn[, tile][, pct_rank]): contiguous 1-based global row
+    numbers ordered by a UNIQUE int64 column — SQL ``ROW_NUMBER() OVER
+    (ORDER BY col)`` — without a global sort. ``percent_rank=True`` adds
+    SQL ``PERCENT_RANK()`` = (rn-1)/(N-1): one exact IEEE division of the
+    same integers on both engines, hence bit-exact.
 
     Scale shape (the two-phase ordered scan from ops/packing.py): per-shard
     row counts (``shard = order_col // shard_span``, a small hash
@@ -71,6 +74,8 @@ def global_row_number(
                     "rn": pa.array([], type=pa.int64())}
             if ntile is not None:
                 cols["tile"] = pa.array([], type=pa.int64())
+            if percent_rank:
+                cols["pct_rank"] = pa.array([], type=pa.float64())
             return pa.table(cols)
         df = df.sort_values(order_col, kind="mergesort")
         shard_base = df["shard"].map(ray.get(base_ref)).to_numpy(np.int64)
@@ -89,6 +94,9 @@ def global_row_number(
                     rem + (rn0 - boundary) // q + 1,
                 )
             cols["tile"] = pa.array(tile.astype(np.int64))
+        if percent_rank:
+            denom = float(total - 1) if total > 1 else 1.0
+            cols["pct_rank"] = pa.array((rn - 1).astype(np.float64) / denom)
         return pa.table(cols)
 
     return (

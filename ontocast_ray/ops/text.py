@@ -447,3 +447,64 @@ def term_cooccurrence(
     return filtered.sort(
         ["n_count", "term_a", "term_b"], descending=[True, False, False]
     ).limit(top_n)
+
+
+def top_terms_per_group(
+    docs,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """→ (group, term, n_count, rank): the k most frequent terms per group
+    (per-domain vocabulary profile — the corpus-drift signal between
+    sources). Combiner-first: each batch counts its own (group, term)
+    pairs, ONE coarse hash(group⊕term) shuffle sums exact counts, then
+    ``topk_per_group`` selects k per group moving at most k rows per
+    (group, block). Tokenization = lower + [a-z]+ (the term_counts rule),
+    rank order = (count desc, term asc)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontocast_ray.ops.rank import topk_per_group
+    from ontocast_ray.util import hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {group_col: batch[group_col], text_col: batch[text_col]}
+        ).to_pandas()
+        words = df[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        long = df[[group_col]].join(words.rename("term")).explode("term")
+        long = long.dropna(subset=["term"])
+        if not len(long):
+            return pa.table(
+                {group_col: pa.array([], type=batch[group_col].type),
+                 "term": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int32())}
+            )
+        counts = (
+            long.groupby([group_col, "term"], sort=False).size().reset_index(name="n")
+        )
+        h = hash_u64(counts[group_col].to_numpy()) ^ hash_u64(counts["term"].to_numpy())
+        counts["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return pa.Table.from_pandas(counts, preserve_index=False)
+
+    def merge(df):
+        if not len(df):
+            return df.drop(columns=["part"]).rename(columns={"n": "n_count"})
+        out = (
+            df.groupby([group_col, "term"], sort=False)["n"].sum()
+            .reset_index(name="n_count")
+        )
+        return out
+
+    counted = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return topk_per_group(
+        counted, group_col=group_col, order_col="n_count", k=k,
+        tiebreak_col="term", descending=True, n_parts=n_parts,
+    )

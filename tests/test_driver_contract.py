@@ -118,6 +118,7 @@ _SQL_GATED = [
         "events_json_field",
         "events_mad_outliers",
         "purchase_click_window_counts",
+        "top_terms_per_source",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
