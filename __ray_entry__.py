@@ -262,6 +262,15 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_negative_samples(sf_dir: str):
+    """3 deterministic contrastive negatives per doc (dense 0..N-1 ids):
+    pure map, zero shuffle, splitmix64 draws mirrored exactly in SQL."""
+    from ontocast_ray.ops.interleave import negative_samples
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return negative_samples(docs, k=3, seed=100)
+
+
 def _q_top_terms_per_source(sf_dir: str):
     """Per-source vocabulary profile: 5 most frequent terms per source
     (count desc, term asc). Combiner-first (group,term) counts + one
@@ -1436,6 +1445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": _q_mad_outliers,
         "purchase_click_window_counts": _q_interval_count,
         "top_terms_per_source": _q_top_terms_per_source,
+        "contrastive_negatives": _q_negative_samples,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -1512,7 +1522,9 @@ _JACCARD_PAIRS_SQL = r"""
 # 64-bit wrapping multiply via 32-bit constant halves inside HUGEINT (a full
 # 64×64 product overflows INT128), xor-shift on UBIGINT. Bit-exact vs the
 # numpy kernel — verified in tests and by the corpus_interleave hash match.
-def _splitmix_sql(seed: int) -> str:
+def _splitmix_sql(seed: int, sfx: str = "") -> str:
+    # sfx renames the CTEs (s0{sfx}…mixed{sfx}) so several seeds can
+    # coexist in one WITH clause (e.g. the k negative-sample draws)
     T = "18446744073709551616"  # 2^64
     gamma = 0x9E3779B97F4A7C15
     m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
@@ -1527,20 +1539,38 @@ def _splitmix_sql(seed: int) -> str:
         )
 
     return f"""
-        s0 AS (
+        s0{sfx} AS (
             SELECT doc_id,
                    CAST((CAST(doc_id AS HUGEINT) + {add}) % {T} AS UBIGINT) AS z
             FROM documents
-        ), s1 AS (
-            SELECT doc_id, {mul_mod("xor(z, z >> 30)", m1)} AS z FROM s0
-        ), s2 AS (
-            SELECT doc_id, {mul_mod("xor(z, z >> 27)", m2)} AS z FROM s1
-        ), mixed AS (
+        ), s1{sfx} AS (
+            SELECT doc_id, {mul_mod("xor(z, z >> 30)", m1)} AS z FROM s0{sfx}
+        ), s2{sfx} AS (
+            SELECT doc_id, {mul_mod("xor(z, z >> 27)", m2)} AS z FROM s1{sfx}
+        ), mixed{sfx} AS (
             SELECT doc_id,
                    CAST(xor(z, z >> 31) AS DOUBLE) / {T}.0 AS u
-            FROM s2
+            FROM s2{sfx}
         )"""
 
+
+# k=3 negative draws: one suffixed splitmix chain per seed, identical
+# double multiply + floor on both engines; self-hits move to (neg+1) % N
+_NEG_SQL = (
+    "WITH "
+    + ", ".join(_splitmix_sql(100 + j, f"_n{j}").strip() for j in range(3))
+    + ", nn AS (SELECT count(*) AS n FROM documents) "
+    + " UNION ALL ".join(
+        f"""
+        SELECT m.doc_id, {j} AS neg_idx,
+               CASE WHEN CAST(floor(m.u * nn.n) AS BIGINT) = m.doc_id
+                    THEN (CAST(floor(m.u * nn.n) AS BIGINT) + 1) % nn.n
+                    ELSE CAST(floor(m.u * nn.n) AS BIGINT) END AS neg_id
+        FROM mixed_n{j} m, nn
+        """
+        for j in range(3)
+    )
+)
 
 _INTERLEAVE_SQL = f"""
     WITH {_splitmix_sql(7)}
@@ -2133,6 +2163,7 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
+        "contrastive_negatives": _NEG_SQL,
         "top_terms_per_source": """
             SELECT source, term, n_count, rank FROM (
                 SELECT source, w AS term, CAST(count(*) AS BIGINT) AS n_count,

@@ -93,3 +93,49 @@ def weighted_interleave(
         tagged.append(ds.map_batches(add, batch_format="pyarrow"))
     merged = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
     return merged.sort("position")
+
+
+def negative_samples(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    seed: int = 100,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """→ (doc_id, neg_idx, neg_id): ``k`` deterministic contrastive
+    negatives per document over a DENSE 0..N-1 id space — the negative-pair
+    generator for contrastive/embedding training. Draw j is
+    ``floor(splitmix64(seed + j, id) / 2⁶⁴ · N)``, with self-hits moved to
+    ``(neg + 1) % N``. Pure map, zero shuffle, no RNG state — identical at
+    any cluster size, resumable, and SQL-mirrorable (same IEEE double
+    multiply + floor on both engines). Requires dense ids (use
+    global_row_number first on sparse corpora).
+    """
+    import pyarrow as pa
+
+    if n_docs is None:
+        # parquet-backed inputs answer this from file metadata
+        n_docs = docs.count()
+    n = np.int64(n_docs)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_j, out_neg = [], [], []
+        for j in range(k):
+            u = splitmix64(ids.astype(np.uint64), seed=seed + j).astype(
+                np.float64
+            ) / float(2**64)
+            neg = np.floor(u * float(n)).astype(np.int64)
+            neg = np.where(neg == ids, (neg + 1) % n, neg)
+            out_id.append(ids)
+            out_j.append(np.full(len(ids), j, dtype=np.int64))
+            out_neg.append(neg)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "neg_idx": pa.array(np.concatenate(out_j)),
+                "neg_id": pa.array(np.concatenate(out_neg)),
+            }
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")

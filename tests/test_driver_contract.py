@@ -119,6 +119,7 @@ _SQL_GATED = [
         "events_mad_outliers",
         "purchase_click_window_counts",
         "top_terms_per_source",
+        "contrastive_negatives",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",

@@ -1943,3 +1943,30 @@ def test_interval_count_join_matches_bruteforce(ray_session):
     assert len(got) == nl
     for i, c in exp.items():
         assert got.loc[i] == c, i
+
+
+def test_negative_samples_properties(ray_session):
+    """k draws per doc, never self, in [0, N), deterministic across
+    partitionings."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.interleave import negative_samples
+
+    n = 200
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64())})
+    outs = []
+    for parts in (1, 6):
+        df = (
+            negative_samples(
+                ray.data.from_arrow(t).repartition(parts), k=3, seed=100, n_docs=n
+            )
+            .to_pandas().sort_values(["doc_id", "neg_idx"]).reset_index(drop=True)
+        )
+        assert len(df) == 3 * n
+        assert (df["neg_id"] != df["doc_id"]).all()
+        assert df["neg_id"].between(0, n - 1).all()
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # draws are spread out, not degenerate
+    assert outs[0]["neg_id"].nunique() > n // 2
