@@ -262,6 +262,32 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_funnel_users(sf_dir: str):
+    """Ordered funnel: users whose (ts, event_id)-ordered journey contains
+    view → … → click → … → purchase. Composes event_sequences (one coarse
+    shuffle) with a vectorized regex over the journey strings — byte-
+    identical inputs on both engines, so LIKE and re agree exactly."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.windows import event_sequences
+
+    seqs = event_sequences(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    )
+
+    def funnel(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch["sequence"].to_pandas()
+        hit = s.str.contains("view.*click.*purchase", regex=True).fillna(False)
+        out = pa.table(
+            {"user_id": batch["user_id"], "n_events": batch["n_events"]}
+        )
+        return out.filter(pa.Array.from_pandas(hit))
+
+    return seqs.map_batches(funnel, batch_format="pyarrow")
+
+
 def _q_negative_samples(sf_dir: str):
     """3 deterministic contrastive negatives per doc (dense 0..N-1 ids):
     pure map, zero shuffle, splitmix64 draws mirrored exactly in SQL."""
@@ -1446,6 +1472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_window_counts": _q_interval_count,
         "top_terms_per_source": _q_top_terms_per_source,
         "contrastive_negatives": _q_negative_samples,
+        "funnel_view_click_purchase": _q_funnel_users,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2164,6 +2191,13 @@ def _sql_oracles() -> dict[str, str]:
             FROM events
         """,
         "contrastive_negatives": _NEG_SQL,
+        "funnel_view_click_purchase": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING string_agg(event_type, ',' ORDER BY ts, event_id)
+                   LIKE '%view%click%purchase%'
+        """,
         "top_terms_per_source": """
             SELECT source, term, n_count, rank FROM (
                 SELECT source, w AS term, CAST(count(*) AS BIGINT) AS n_count,

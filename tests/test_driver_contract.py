@@ -120,6 +120,7 @@ _SQL_GATED = [
         "purchase_click_window_counts",
         "top_terms_per_source",
         "contrastive_negatives",
+        "funnel_view_click_purchase",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
