@@ -267,20 +267,17 @@ def heavy_hitters(
         mg_summary, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
     # driver state: ≤ k entries per batch (bounded by corpus/batch_size ×
-    # k, tiny vs vocabulary) — sum the summaries + the token total
-    merged: dict[str, int] = {}
-    n_total = 0
-    for b in summaries.iter_batches(batch_format="pyarrow"):
-        n_total += int(pa.compute.sum(b["n_tokens"]).as_py() or 0)
-        for t, n in zip(b["term"].to_pylist(), b["n"].to_pylist()):
-            merged[t] = merged.get(t, 0) + n
+    # k, tiny vs vocabulary) — one vectorized groupby-sum merge
+    sdf = summaries.to_pandas()
+    n_total = int(sdf["n_tokens"].sum())
+    merged = sdf.groupby("term", sort=False)["n"].sum()
     max_undercount = n_total // (k + 1)
     if threshold <= max_undercount:
         raise ValueError(
             f"threshold {threshold} <= N/(k+1) = {max_undercount}: "
             "no-false-negative guarantee broken; raise k"
         )
-    candidates = {t for t, n in merged.items() if n + max_undercount >= threshold}
+    candidates = set(merged.index[merged + max_undercount >= threshold])
     cand_ref = ray.put(candidates)
 
     def exact_partial(batch: pa.Table) -> pa.Table:
