@@ -262,6 +262,19 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_hourly_distinct_users(sf_dir: str):
+    """Distinct users per tumbling hour — pure-map window key + the exact
+    grouped COUNT DISTINCT (distinct_on combiner shuffle + tiny sum)."""
+    from ontocast_ray.ops.joins import grouped_count_distinct
+    from ontocast_ray.ops.windows import add_tumbling_window
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    windowed = events.map_batches(add_tumbling_window, batch_format="pyarrow")
+    return grouped_count_distinct(
+        windowed, group_col="window_start", key_col="user_id", n_parts=16
+    )
+
+
 def _q_funnel_users(sf_dir: str):
     """Ordered funnel: users whose (ts, event_id)-ordered journey contains
     view → … → click → … → purchase. Composes event_sequences (one coarse
@@ -1473,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_source": _q_top_terms_per_source,
         "contrastive_negatives": _q_negative_samples,
         "funnel_view_click_purchase": _q_funnel_users,
+        "hourly_distinct_users": _q_hourly_distinct_users,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2191,6 +2205,11 @@ def _sql_oracles() -> dict[str, str]:
             FROM events
         """,
         "contrastive_negatives": _NEG_SQL,
+        "hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY date_trunc('hour', ts)
+        """,
         "funnel_view_click_purchase": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
             FROM events

@@ -121,6 +121,7 @@ _SQL_GATED = [
         "top_terms_per_source",
         "contrastive_negatives",
         "funnel_view_click_purchase",
+        "hourly_distinct_users",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
