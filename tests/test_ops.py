@@ -1598,16 +1598,21 @@ def test_triangle_count_matches_bruteforce(ray_session):
             for a, b, c in combinations(sorted(adj), 3)
             if b in adj[a] and c in adj[a] and c in adj[b]
         )
-        # feed duplicates + reversed orientations: op must normalize
+        # feed duplicates + reversed orientations: op must normalize;
+        # both the driver fast path and the distributed path must agree
         t = pa.table(
             {"u": pa.array(np.concatenate([u, v])),
              "v": pa.array(np.concatenate([v, u]))}
         )
-        got = (
-            triangle_count(ray.data.from_arrow(t).repartition(5), n_parts=4)
-            .to_pandas()["n_triangles"].iloc[0]
-        )
-        assert got == exp, (trial, got, exp)
+        for limit in (2_000_000, 0):
+            got = (
+                triangle_count(
+                    ray.data.from_arrow(t).repartition(5), n_parts=4,
+                    small_edge_limit=limit,
+                )
+                .to_pandas()["n_triangles"].iloc[0]
+            )
+            assert got == exp, (trial, limit, got, exp)
     empty = pa.table(
         {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
     )
