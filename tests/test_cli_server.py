@@ -182,3 +182,31 @@ def test_curation_job_entry(ray_session, tmp_path, capsys):
     from ontocast_ray.sources.io import committed_shards
 
     assert len(committed_shards(out)) == stats["buckets"]
+
+
+def test_kg_job_entry(ray_session, tmp_path, capsys):
+    """jobs/kg_job.py main(): spans parquet → resumable sharded KG run,
+    JSON summary; reuses the caller-owned ray session."""
+    import json
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from ontocast_ray.corpus import generate_corpus
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import kg_job
+
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(generate_corpus(n_docs=10, seed=3), docs_path)
+    out = str(tmp_path / "kg_out")
+    rc = kg_job.main(
+        ["--docs", docs_path, "--out", out, "--shards", "2",
+         "--min-chunk-size", "200", "--max-chunk-size", "2000"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["shards_run"] == 2 and stats.get("triples", 1) >= 0
+    import ray.data
+
+    assert ray.data.read_parquet(out).count() > 0
