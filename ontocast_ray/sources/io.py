@@ -51,6 +51,16 @@ def read_documents(path: str, columns: list | None = None):
                 "installed; install `pylance` or convert to parquet"
             ) from exc
         return ray.data.read_lance(path, columns=columns)
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz", ".ndjson")):
+        # web corpora usually arrive as (gzipped) JSONL; Ray's JSON reader
+        # streams it block-wise — project client-side (no pushdown in JSON)
+        ds = ray.data.read_json(
+            path,
+            arrow_open_stream_args=(
+                {"compression": "gzip"} if path.endswith(".gz") else None
+            ),
+        )
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns)
 
 

@@ -223,3 +223,25 @@ def test_write_bucketed_roundtrip(ray_session, tmp_path):
     assert len(one) == counts.get(3, 0)
     assert (hash_partition(one["user_id"].to_numpy(), 8) == 3).all()
     assert one["user_id"].is_monotonic_increasing
+
+
+def test_read_documents_jsonl(ray_session, tmp_path):
+    """JSONL (plain + gzipped) corpus inputs stream through read_documents
+    with client-side column projection."""
+    import gzip
+    import json
+
+    from ontocast_ray.sources.io import read_documents
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "extra": i * 2} for i in range(20)]
+    plain = tmp_path / "docs.jsonl"
+    plain.write_text("\n".join(json.dumps(r) for r in rows))
+    gz = tmp_path / "docs.jsonl.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+
+    for p in (str(plain), str(gz)):
+        ds = read_documents(p, columns=["doc_id", "text"])
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(df.columns) == ["doc_id", "text"]
+        assert len(df) == 20 and df["text"].iloc[3] == "doc 3"
