@@ -51,6 +51,20 @@ def read_documents(path: str, columns: list | None = None):
                 "installed; install `pylance` or convert to parquet"
             ) from exc
         return ray.data.read_lance(path, columns=columns)
+    if path.endswith((".csv", ".csv.gz", ".tsv")):
+        import pyarrow.csv as pacsv
+
+        parse_opts = (
+            pacsv.ParseOptions(delimiter="\t") if path.endswith(".tsv") else None
+        )
+        ds = ray.data.read_csv(
+            path,
+            arrow_open_stream_args=(
+                {"compression": "gzip"} if path.endswith(".gz") else None
+            ),
+            **({"parse_options": parse_opts} if parse_opts else {}),
+        )
+        return ds.select_columns(columns) if columns else ds
     if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz", ".ndjson")):
         # web corpora usually arrive as (gzipped) JSONL; Ray's JSON reader
         # streams it block-wise — project client-side (no pushdown in JSON)

@@ -245,3 +245,15 @@ def test_read_documents_jsonl(ray_session, tmp_path):
         df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert list(df.columns) == ["doc_id", "text"]
         assert len(df) == 20 and df["text"].iloc[3] == "doc 3"
+
+
+def test_read_documents_csv_tsv(ray_session, tmp_path):
+    from ontocast_ray.sources.io import read_documents
+
+    csv = tmp_path / "docs.csv"
+    csv.write_text("doc_id,text\n1,alpha\n2,beta\n")
+    tsv = tmp_path / "docs.tsv"
+    tsv.write_text("doc_id\ttext\n1\talpha\n2\tbeta\n")
+    for p in (str(csv), str(tsv)):
+        df = read_documents(p).to_pandas().sort_values("doc_id")
+        assert df["text"].tolist() == ["alpha", "beta"]
