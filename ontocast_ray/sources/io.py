@@ -90,6 +90,8 @@ def write_documents(ds, path: str, fmt: str = "parquet", **kwargs):
                 "fmt='lance' requires the pylance wheel; use fmt='parquet'"
             ) from exc
         return ds.write_lance(path, **kwargs)
+    if fmt == "jsonl":
+        return ds.write_json(path, **kwargs)
     if fmt != "parquet":
         raise ValueError(f"unknown format {fmt!r}")
     return ds.write_parquet(path, **kwargs)

@@ -257,3 +257,18 @@ def test_read_documents_csv_tsv(ray_session, tmp_path):
     for p in (str(csv), str(tsv)):
         df = read_documents(p).to_pandas().sort_values("doc_id")
         assert df["text"].tolist() == ["alpha", "beta"]
+
+
+def test_write_documents_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from ontocast_ray.sources.io import write_documents
+
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["a", "b"])})
+    out = str(tmp_path / "jsonl_out")
+    write_documents(ray.data.from_arrow(t), out, fmt="jsonl")
+    back = ray.data.read_json(out).to_pandas().sort_values("doc_id")
+    assert back["text"].tolist() == ["a", "b"]
