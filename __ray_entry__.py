@@ -50,6 +50,7 @@ def _kg_docs(sf_dir: str, limit: int = KG_DOC_LIMIT):
 
 
 def _q_kg_triples(sf_dir: str):
+    """Flagship KG pipeline: spans -> chunk -> extract -> validate -> canonicalize; per-doc triples (golden; anchored by reference fixture replay P/R=1.0)."""
     from ontocast_ray.pipelines.kg import build_kg_pipeline
 
     return build_kg_pipeline(
@@ -62,6 +63,7 @@ def _q_kg_triples(sf_dir: str):
 
 
 def _q_kg_chunks(sf_dir: str):
+    """Span-aware semantic chunking of the interleaved docs (golden; span-sequence equality tested)."""
     from ontocast_ray.stages.assemble import assemble_spans
     from ontocast_ray.stages.chunking import ChunkDocuments
 
@@ -77,6 +79,7 @@ def _q_kg_chunks(sf_dir: str):
 
 
 def _q_kg_aggregated_facts(sf_dir: str):
+    """Per-doc aggregation/disambiguation output of the KG pipeline (golden; 22-triple/1-component reference golden)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -92,12 +95,14 @@ def _q_kg_aggregated_facts(sf_dir: str):
 
 
 def _q_exact_dedup(sf_dir: str):
+    """Exact dedup: sha inside map_batches (text never shuffles), one groupby keeping min doc_id + copy count."""
     from ontocast_ray.ops.dedup import exact_dedup
 
     return exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _q_token_stats(sf_dir: str):
+    """Whitespace + BPE-ish token counts per doc - pure vectorized map."""
     from ontocast_ray.ops.text import token_stats
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -106,6 +111,7 @@ def _q_token_stats(sf_dir: str):
 
 
 def _q_quality_stats(sf_dir: str):
+    """Length/punct/alpha/stopword quality ratios - raw int/int IEEE divisions matching SQL bit-for-bit."""
     from ontocast_ray.ops.text import quality_stats
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -114,6 +120,7 @@ def _q_quality_stats(sf_dir: str):
 
 
 def _q_lang_dist(sf_dir: str):
+    """Documents per declared language - single small groupby."""
     from ray.data.aggregate import Count, Sum
 
     docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
@@ -123,6 +130,7 @@ def _q_lang_dist(sf_dir: str):
 
 
 def _q_events_by_type(sf_dir: str):
+    """Events per type - canonical pre-aggregate groupby."""
     from ray.data.aggregate import Count, Max, Min
 
     events = _read(sf_dir, "events", columns=["event_type", "value"])
@@ -166,6 +174,7 @@ def _q_customers_by_region(sf_dir: str):
 
 
 def _q_events_windowed(sf_dir: str):
+    """Tumbling 1h window aggregates per user - pure-map window key + one groupby."""
     import pyarrow as pa
 
     from ontocast_ray.ops.windows import tumbling_window
@@ -184,6 +193,7 @@ def _q_events_windowed(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min) - coarse colocate-by-user kernel, vectorized across keys."""
     from ontocast_ray.ops.windows import sessionize
 
     return sessionize(
@@ -193,6 +203,7 @@ def _q_events_sessions(sf_dir: str):
 
 
 def _q_events_with_lag(sf_dir: str):
+    """Per-key lag (previous event ts/value) - one coarse shuffle, groupby().shift kernel."""
     from ontocast_ray.ops.windows import with_previous_event
 
     return with_previous_event(
@@ -548,6 +559,7 @@ def _query_vectors(emb, n: int = 2):
 
 
 def _q_knn(sf_dir: str):
+    """Brute-force cosine top-10 - broadcast query matrix, per-batch partial top-k."""
     from ontocast_ray.ops.similarity import knn_bruteforce
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -624,6 +636,7 @@ def _q_term_cooccurrence(sf_dir: str):
 
 
 def _q_docs_by_source(sf_dir: str):
+    """Documents + char stats per source - small groupby."""
     from ray.data.aggregate import Count, Max, Min
 
     docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
@@ -635,11 +648,13 @@ def _q_docs_by_source(sf_dir: str):
 
 
 def _q_top_docs_by_len(sf_dir: str):
+    """Global top-20 docs by length - distributed sort + limit."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return docs.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
 
 
 def _q_events_by_user(sf_dir: str):
+    """Per-user event counts and integer value sums."""
     from ray.data.aggregate import Count, Max, Min
 
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
@@ -655,6 +670,7 @@ def _q_events_by_user(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidates verified by exact shingle Jaccard (live SQL oracle at the driver's sf0.01 gate)."""
     from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -663,12 +679,14 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
+    """64-bit SimHash signatures (vectorized bit votes; golden)."""
     from ontocast_ray.ops.dedup import simhash_signatures
 
     return simhash_signatures(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via banded hyperplane LSH buckets (golden)."""
     import pyarrow as pa
 
     from ontocast_ray.ops.dedup import embedding_dedup_candidates
@@ -688,6 +706,7 @@ def _q_embedding_dedup(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
+    """Stopword-ratio language ID with en,de,fr,es tie priority - SQL-mirrored exactly."""
     from ontocast_ray.ops.text import LangId
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -696,6 +715,7 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (rolling 4-gram min-sampling; golden)."""
     from ontocast_ray.ops.text import fingerprint
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -729,6 +749,7 @@ def _q_knn_pq(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF ANN over a cluster-partitioned parquet layout - probed partitions only (golden)."""
     from ontocast_ray.ops.similarity import knn_ivf
 
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1153,6 +1174,7 @@ def _q_corpus_interleave(sf_dir: str):
 
 
 def _q_global_entities(sf_dir: str):
+    """Cross-document entity merge: salted two-phase metadata groupby (golden)."""
     from ontocast_ray.pipelines.crossdoc import global_entity_table
 
     return global_entity_table(_q_kg_triples(sf_dir)).select_columns(
@@ -1161,6 +1183,7 @@ def _q_global_entities(sf_dir: str):
 
 
 def _q_kg_rewritten_global(sf_dir: str):
+    """Pure-map triple rewrite onto global entity URIs (golden)."""
     from ontocast_ray.pipelines.crossdoc import rewrite_to_global
 
     return _q_kg_triples(sf_dir).map_batches(
@@ -1169,6 +1192,7 @@ def _q_kg_rewritten_global(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Multimodal feature extraction - REAL raw decode for image/PCM rows (golden; l2 digest projection)."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -1268,6 +1292,7 @@ def _q_neardup_filtered(sf_dir: str):
 
 
 def _q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) windows - each row fans out to its windows map-side, one groupby."""
     import pyarrow as pa
 
     from ontocast_ray.ops.windows import hopping_window
@@ -1341,6 +1366,7 @@ def _q_events_watermark(sf_dir: str):
 
 
 def _q_events_quantiles(sf_dir: str):
+    """Exact per-user quantiles (disc rule) - per-key-fits-reducer caveat documented; DDSketch is the scale path."""
     from ontocast_ray.ops.windows import group_quantiles
 
     return group_quantiles(
@@ -1373,12 +1399,14 @@ def _q_events_asof(sf_dir: str):
 
 
 def _q_term_counts(sf_dir: str):
+    """Global top-50 term frequencies - map-side combiner, vocabulary-sized shuffle."""
     from ontocast_ray.ops.text import term_counts
 
     return term_counts(_read(sf_dir, "documents", columns=["text"]), top_n=50)
 
 
 def _q_doc_sample(sf_dir: str):
+    """Deterministic 10% modular-hash sample - pure map, no RNG state."""
     from ontocast_ray.ops.text import deterministic_sample
 
     return deterministic_sample(
@@ -1387,6 +1415,7 @@ def _q_doc_sample(sf_dir: str):
 
 
 def _q_top_docs_per_source(sf_dir: str):
+    """Per-group top-3 by length - partial top-k combiner, shuffle moves <= k rows per (group, batch)."""
     from ontocast_ray.ops.rank import topk_per_group
 
     docs = _read(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
