@@ -237,9 +237,11 @@ class ImageResizer:
 
     def _resize_raw(self, payload: bytes, w: int, h: int) -> bytes:
         """REAL nearest-neighbor resize of an uncompressed uint8 H×W×3
-        buffer — two integer index grids + one fancy-index take (the same
-        sampling rule PIL's NEAREST uses: src = dst * src_dim // dst_dim).
-        Pure numpy, actually executes here."""
+        buffer — two integer index grids + one fancy-index take, using the
+        left-aligned sampling rule ``src = dst * src_dim // dst_dim``
+        (deterministic and exact; PIL's NEAREST samples pixel centers, so
+        outputs can differ by one source pixel at boundaries). Pure numpy,
+        actually executes here."""
         img = np.frombuffer(payload, dtype=np.uint8)
         if w <= 0 or h <= 0 or img.size != w * h * 3:
             raise ValueError(
