@@ -155,19 +155,37 @@ def write_bucketed(
     failed run re-runs only buckets missing a manifest entry (same
     commit-after-data protocol as the sharded KG sink above).
 
-    Returns the manifest dict {bucket: n_rows} (also persisted under
-    ``_manifest/``). One groupby shuffle; bucket sort + row counting run
-    inside the per-bucket kernel, never on the driver.
+    Resume: buckets already holding a commit marker are SKIPPED on re-run
+    (rows filtered map-side before the shuffle), so a partially-failed run
+    re-executes only the missing buckets — same idempotence contract as
+    the sharded KG sink. Returns the manifest dict {bucket: n_rows}
+    including previously-committed buckets. One groupby shuffle; bucket
+    sort + row counting run inside the per-bucket kernel, never on the
+    driver.
     """
+    import json
+
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
 
     from ontocast_ray.util import hash_partition
 
+    done = committed_shards(out_dir)
+    prior: dict[int, int] = {}
+    for b in sorted(done):
+        with open(os.path.join(manifest_dir(out_dir), f"{b}.json"), encoding="utf-8") as fh:
+            prior[b] = int(json.load(fh).get("rows", 0))
+    if len(done) >= n_buckets:
+        return prior
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "bucket", pa.array(hash_partition(batch[key_col], n_buckets))
-        )
+        buckets = hash_partition(batch[key_col], n_buckets)
+        out = batch.append_column("bucket", pa.array(buckets))
+        if done:  # resume: committed buckets never cross the shuffle
+            keep = ~np.isin(buckets, list(done))
+            out = out.filter(pa.array(keep))
+        return out
 
     def bucket_kernel(df: "pd.DataFrame") -> "pd.DataFrame":
         if sort_within and len(df):
@@ -180,19 +198,21 @@ def write_bucketed(
         .map_groups(bucket_kernel, batch_format="pandas")
         .materialize()
     )
-    bucketed.write_parquet(
-        out_dir,
-        partition_cols=["bucket"],
-        min_rows_per_file=min_rows_per_file,
-    )
+    if bucketed.count() > 0:
+        bucketed.write_parquet(
+            out_dir,
+            partition_cols=["bucket"],
+            min_rows_per_file=min_rows_per_file,
+        )
     # per-bucket lineage: counts are a tiny aggregate over the materialized
-    # dataset (never the rows themselves)
+    # dataset (never the rows themselves); commit markers AFTER the data
     counts: dict[int, int] = {}
     for b in bucketed.select_columns(["bucket"]).iter_batches(batch_format="pandas"):
         for k, v in b["bucket"].value_counts().items():
             counts[int(k)] = counts.get(int(k), 0) + int(v)
     for b, n in sorted(counts.items()):
         commit_shard(out_dir, b, {"rows": n, "key_col": key_col})
+    counts.update(prior)
     return counts
 
 

@@ -224,6 +224,30 @@ def test_write_bucketed_roundtrip(ray_session, tmp_path):
     assert (hash_partition(one["user_id"].to_numpy(), 8) == 3).all()
     assert one["user_id"].is_monotonic_increasing
 
+    # idempotent resume: a full re-run skips every committed bucket and
+    # writes NOTHING new (no duplicate rows), returning the same manifest
+    counts2 = write_bucketed(
+        ray.data.from_arrow(t).repartition(6), out, "user_id",
+        n_buckets=8, min_rows_per_file=10_000,
+    )
+    assert counts2 == counts
+    assert len(ray.data.read_parquet(out).to_pandas()) == n
+
+    # partial resume: drop one bucket's marker -> only that bucket re-runs
+    import os
+
+    os.remove(os.path.join(out, "_manifest", "3.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "bucket=3"))
+    counts3 = write_bucketed(
+        ray.data.from_arrow(t).repartition(6), out, "user_id",
+        n_buckets=8, min_rows_per_file=10_000,
+    )
+    assert counts3 == counts
+    back2 = ray.data.read_parquet(out).to_pandas()
+    assert len(back2) == n and set(back2["v"]) == set(range(n))
+
 
 def test_read_documents_jsonl(ray_session, tmp_path):
     """JSONL (plain + gzipped) corpus inputs stream through read_documents
