@@ -273,6 +273,18 @@ def _q_rollup(sf_dir: str):
     return rollup_counts(docs, ["source", "lang"], n_parts=8)
 
 
+def _q_rebalance_sample(sf_dir: str):
+    """Language rebalancing: downsample English to 20%, Chinese to 50%,
+    keep the tail — per-group Bernoulli at group rates via splitmix
+    draws; pure map, mirrored by one SQL CASE over the same draws."""
+    from ontocast_ray.ops.interleave import rebalance_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return rebalance_sample(
+        docs, rate_col="lang", rates={"en": 0.2, "zh": 0.5}, seed=21
+    )
+
+
 def _q_hourly_distinct_users(sf_dir: str):
     """Distinct users per tumbling hour — pure-map window key + the exact
     grouped COUNT DISTINCT (distinct_on combiner shuffle + tiny sum)."""
@@ -1516,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_negatives": _q_negative_samples,
         "funnel_view_click_purchase": _q_funnel_users,
         "hourly_distinct_users": _q_hourly_distinct_users,
+        "lang_rebalanced_docs": _q_rebalance_sample,
         "events_window_first_last": _q_window_first_last,
         "docs_lang_pivot": _q_pivot_lang_source,
         "split_assign": _q_split_assign,
@@ -2234,6 +2247,14 @@ def _sql_oracles() -> dict[str, str]:
             FROM events
         """,
         "contrastive_negatives": _NEG_SQL,
+        "lang_rebalanced_docs": f"""
+            WITH {_splitmix_sql(21)}
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN mixed m USING (doc_id)
+            WHERE m.u < CASE d.lang WHEN 'en' THEN 0.2
+                                    WHEN 'zh' THEN 0.5
+                                    ELSE 1.0 END
+        """,
         "hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -139,3 +139,35 @@ def negative_samples(
         )
 
     return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def rebalance_sample(
+    docs: "ray.data.Dataset",
+    rate_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 21,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-group Bernoulli downsampling at group-specific rates — the
+    language/source REBALANCING step of multilingual corpus prep (e.g.
+    keep 10 % of English, all of the tail languages). A row survives iff
+    ``splitmix64(seed, id)/2⁶⁴ < rates[group]`` — pure map, zero shuffle,
+    no RNG state: identical at any cluster size, resumable, and the
+    SQL mirror is one CASE expression over the same draws.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = splitmix64(ids, seed=seed).astype(np.float64) / float(2**64)
+        r = (
+            pd.Series(batch[rate_col].to_pandas())
+            .map(rates)
+            .fillna(default_rate)
+            .to_numpy(np.float64)
+        )
+        return batch.filter(pa.array(u < r))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

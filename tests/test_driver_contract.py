@@ -122,6 +122,7 @@ _SQL_GATED = [
         "contrastive_negatives",
         "funnel_view_click_purchase",
         "hourly_distinct_users",
+        "lang_rebalanced_docs",
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",

@@ -1975,3 +1975,34 @@ def test_negative_samples_properties(ray_session):
     pd.testing.assert_frame_equal(outs[0], outs[1])
     # draws are spread out, not degenerate
     assert outs[0]["neg_id"].nunique() > n // 2
+
+
+def test_rebalance_sample_rates(ray_session):
+    """Group-specific survival rates hold (±5% at n=4000), default rate
+    keeps everything, deterministic across partitionings."""
+    import numpy as np
+    import ray.data
+
+    from ontocast_ray.ops.interleave import rebalance_sample
+
+    n = 4000
+    langs = np.array(["en", "zh", "fr"], dtype=object)[
+        np.arange(n) % 3
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "lang": pa.array(langs)})
+    kept = []
+    for parts in (1, 7):
+        df = (
+            rebalance_sample(
+                ray.data.from_arrow(t).repartition(parts),
+                "lang", {"en": 0.25, "zh": 0.5}, seed=21,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        kept.append(df)
+    pd.testing.assert_frame_equal(kept[0], kept[1])
+    frac = kept[0].groupby("lang").size() / pd.Series(langs).value_counts()
+    assert abs(frac["en"] - 0.25) < 0.05
+    assert abs(frac["zh"] - 0.5) < 0.05
+    assert frac["fr"] == 1.0
