@@ -206,3 +206,63 @@ def test_asof_join_matches_duckdb(ray_session, left_rows, right_rows):
             gc = gc.astype("datetime64[us]")
         neq = (oc != gc) & ~(oc.isna() & gc.isna())
         assert int(neq.sum()) == 0, (c, g[neq].head(), o[neq].head())
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=120, unique=True),
+    st.integers(1, 9),
+)
+@settings(max_examples=5, deadline=None)  # each example runs a Ray pipeline
+def test_global_row_number_matches_sorted_rank(ray_session, ids, k):
+    """rn == 1-based position in sorted order; NTILE sizes follow SQL
+    (first N%k tiles get ceil(N/k)) on arbitrary unique id sets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.rank import global_row_number
+
+    arr = np.array(ids, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(arr)})
+    got = (
+        global_row_number(
+            ray.data.from_arrow(t).repartition(3),
+            order_col="doc_id", ntile=k, shard_span=97, n_parts=4,
+        )
+        .to_pandas().sort_values("rn")
+    )
+    assert got["doc_id"].tolist() == sorted(ids)
+    assert got["rn"].tolist() == list(range(1, len(ids) + 1))
+    n = len(ids)
+    q, rem = divmod(n, k)
+    sizes = got.groupby("tile").size().sort_index()
+    expected_sizes = [q + 1] * rem + [q] * (k - rem) if q else [1] * n
+    expected_sizes = [s for s in expected_sizes if s > 0]
+    assert sizes.tolist() == expected_sizes
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),
+        min_size=1, max_size=200,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_distinct_on_equals_pandas_property(ray_session, rows):
+    """distinct_on == drop_duplicates on arbitrary two-column int frames."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.joins import distinct_on
+
+    t = pa.table(
+        {"a": pa.array([r[0] for r in rows], type=pa.int64()),
+         "b": pa.array([r[1] for r in rows], type=pa.int64())}
+    )
+    exp = t.to_pandas().drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    got = (
+        distinct_on(ray.data.from_arrow(t).repartition(4), ["a", "b"], n_parts=3)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
