@@ -1638,7 +1638,9 @@ def _splitmix_sql(seed: int, sfx: str = "") -> str:
 
 
 # k=3 negative draws: one suffixed splitmix chain per seed, identical
-# double multiply + floor on both engines; self-hits move to (neg+1) % N
+# double multiply + floor on both engines; an unconditional % N guards the
+# u=1.0 rounding edge (draws within ~2^11 of 2^64) so neg stays in 0..N-1;
+# self-hits then move to (neg+1) % N — mirrors ops/interleave.py exactly
 _NEG_SQL = (
     "WITH "
     + ", ".join(_splitmix_sql(100 + j, f"_n{j}").strip() for j in range(3))
@@ -1646,9 +1648,9 @@ _NEG_SQL = (
     + " UNION ALL ".join(
         f"""
         SELECT m.doc_id, {j} AS neg_idx,
-               CASE WHEN CAST(floor(m.u * nn.n) AS BIGINT) = m.doc_id
-                    THEN (CAST(floor(m.u * nn.n) AS BIGINT) + 1) % nn.n
-                    ELSE CAST(floor(m.u * nn.n) AS BIGINT) END AS neg_id
+               CASE WHEN CAST(floor(m.u * nn.n) AS BIGINT) % nn.n = m.doc_id
+                    THEN (CAST(floor(m.u * nn.n) AS BIGINT) % nn.n + 1) % nn.n
+                    ELSE CAST(floor(m.u * nn.n) AS BIGINT) % nn.n END AS neg_id
         FROM mixed_n{j} m, nn
         """
         for j in range(3)

@@ -263,7 +263,12 @@ def normalize_text(
             s.str.normalize("NFC")
             .str.lower()
             .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
-            .str.strip()
+            # explicit ASCII strip class: pandas .str.strip() with no arg
+            # strips ALL unicode whitespace (NBSP,  , …) while the SQL
+            # mirror's trim() strips only spaces — the collapse above has
+            # already reduced edge whitespace to single spaces, so a
+            # space-only strip keeps Python and DuckDB byte-identical
+            .str.strip(" ")
         )
         arr = pa.Array.from_pandas(s, type=pa.string())
         if out in batch.column_names:

@@ -126,6 +126,11 @@ def negative_samples(
                 np.float64
             ) / float(2**64)
             neg = np.floor(u * float(n)).astype(np.int64)
+            # draws within ~2^11 of 2^64 round to u=1.0 in float64 and
+            # would yield neg == N (out of the dense 0..N-1 range); the
+            # unconditional % n keeps both the range contract and the SQL
+            # mirror (which applies the same mod) aligned
+            neg = neg % n
             neg = np.where(neg == ids, (neg + 1) % n, neg)
             out_id.append(ids)
             out_j.append(np.full(len(ids), j, dtype=np.int64))

@@ -253,6 +253,17 @@ def heavy_hitters(
         cut = int(vc.iloc[k]) if len(vc) > k else 0
         keep = (vc - cut).iloc[: k]
         keep = keep[keep > 0]
+        if keep.empty:
+            # flat distribution: every term decremented to zero. The batch's
+            # token total must still reach the merge (it feeds the N/(k+1)
+            # undercount bound), so emit one sentinel row; term "" never
+            # matches the [a-z]+ tokenizer so it can't collide or become a
+            # candidate (n=0 < any threshold contribution).
+            return pa.table(
+                {"term": pa.array([""], type=pa.string()),
+                 "n": pa.array([0], type=pa.int64()),
+                 "n_tokens": pa.array([n_tok], type=pa.int64())}
+            )
         return pa.table(
             {"term": pa.array(keep.index.to_numpy(), type=pa.string()),
              "n": pa.array(keep.to_numpy(), type=pa.int64()),

@@ -51,11 +51,13 @@ def read_documents(path: str, columns: list | None = None):
                 "installed; install `pylance` or convert to parquet"
             ) from exc
         return ray.data.read_lance(path, columns=columns)
-    if path.endswith((".csv", ".csv.gz", ".tsv")):
+    if path.endswith((".csv", ".csv.gz", ".tsv", ".tsv.gz")):
         import pyarrow.csv as pacsv
 
         parse_opts = (
-            pacsv.ParseOptions(delimiter="\t") if path.endswith(".tsv") else None
+            pacsv.ParseOptions(delimiter="\t")
+            if path.endswith((".tsv", ".tsv.gz"))
+            else None
         )
         ds = ray.data.read_csv(
             path,
@@ -158,12 +160,16 @@ def write_bucketed(
     Resume: buckets already holding a commit marker are SKIPPED on re-run
     (rows filtered map-side before the shuffle), so a partially-failed run
     re-executes only the missing buckets — same idempotence contract as
-    the sharded KG sink. Returns the manifest dict {bucket: n_rows}
-    including previously-committed buckets. One groupby shuffle; bucket
-    sort + row counting run inside the per-bucket kernel, never on the
-    driver.
+    the sharded KG sink. Uncommitted ``bucket=NN`` directories (a crash
+    between write_parquet and commit_shard leaves orphan files) are
+    removed before re-writing, so resume is file-idempotent: re-runs never
+    append duplicate rows to a half-written bucket. Returns the manifest
+    dict {bucket: n_rows} including previously-committed buckets. One
+    groupby shuffle; bucket sort + row counting run inside the per-bucket
+    kernel, never on the driver.
     """
     import json
+    import shutil
 
     import numpy as np
     import pandas as pd
@@ -172,6 +178,17 @@ def write_bucketed(
     from ontocast_ray.util import hash_partition
 
     done = committed_shards(out_dir)
+    # file-idempotence: purge orphan data from buckets that never committed
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if not name.startswith("bucket="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b not in done:
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     prior: dict[int, int] = {}
     for b in sorted(done):
         with open(os.path.join(manifest_dir(out_dir), f"{b}.json"), encoding="utf-8") as fh:

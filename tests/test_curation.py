@@ -195,3 +195,12 @@ def test_normalize_text_kernel(ray_session):
     # in-place overwrite keeps the schema
     out2 = normalize_text(ray.data.from_arrow(docs)).to_pandas()
     assert list(out2.columns) == ["doc_id", "text"]
+    # leading/trailing NON-ASCII whitespace survives (DuckDB trim() strips
+    # only spaces; pandas' bare .str.strip() would eat NBSP too —
+    # regression guard for the byte-for-byte oracle claim)
+    edge = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": pa.array([" padded with nbsp "])}
+    )
+    out3 = normalize_text(ray.data.from_arrow(edge), out_col="norm").to_pandas()
+    assert out3["norm"].tolist() == [" padded with nbsp "]

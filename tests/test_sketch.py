@@ -137,3 +137,31 @@ def test_heavy_hitters_exact_above_threshold(ray_session):
 
     with pytest.raises(ValueError):
         heavy_hitters(ds, threshold=2, k=16).to_pandas()
+
+
+def test_heavy_hitters_flat_batch_empty_mg_summary(ray_session):
+    """A batch with > k distinct terms all at equal count decrements every
+    MG counter to zero — the summary is empty but the batch token total
+    must still feed the N/(k+1) bound (regression: pyarrow column-length
+    crash + silently lost token mass)."""
+    from collections import Counter
+
+    from ontocast_ray.ops.sketch import heavy_hitters
+
+    # one flat batch: 40 distinct words (> k=8), each exactly 5 times
+    flat_words = [f"fl{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(40)]
+    flat_doc = " ".join(w for w in flat_words for _ in range(5))
+    # one skewed batch providing genuine heavy hitters
+    skew_doc = " ".join(["hot"] * 50 + ["warm"] * 30 + flat_words)
+    exact = Counter((flat_doc + " " + skew_doc).split())
+    # N = 200 + 120 = 320 tokens, k=8 -> N/(k+1) = 35 < threshold 40
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([flat_doc, skew_doc], type=pa.string())})
+    ).repartition(2)
+    got = heavy_hitters(ds, threshold=40, k=8, batch_size=1).to_pandas()
+    exp = sorted(
+        ((w, c) for w, c in exact.items() if c >= 40),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert list(zip(got["term"], got["n_count"])) == exp
+    assert "hot" in set(got["term"])

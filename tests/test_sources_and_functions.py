@@ -248,6 +248,21 @@ def test_write_bucketed_roundtrip(ray_session, tmp_path):
     back2 = ray.data.read_parquet(out).to_pandas()
     assert len(back2) == n and set(back2["v"]) == set(range(n))
 
+    # crash-orphan resume: a bucket whose data was (partially) written but
+    # never committed must be purged before re-write — re-running must NOT
+    # duplicate its rows (file-idempotence contract)
+    os.remove(os.path.join(out, "_manifest", "5.json"))
+    # bucket=5 dir still holds its full data (simulates crash after
+    # write_parquet, before commit_shard)
+    assert os.path.isdir(os.path.join(out, "bucket=5"))
+    counts4 = write_bucketed(
+        ray.data.from_arrow(t).repartition(6), out, "user_id",
+        n_buckets=8, min_rows_per_file=10_000,
+    )
+    assert counts4 == counts
+    back3 = ray.data.read_parquet(out).to_pandas()
+    assert len(back3) == n and set(back3["v"]) == set(range(n))
+
 
 def test_read_documents_jsonl(ray_session, tmp_path):
     """JSONL (plain + gzipped) corpus inputs stream through read_documents
@@ -278,7 +293,12 @@ def test_read_documents_csv_tsv(ray_session, tmp_path):
     csv.write_text("doc_id,text\n1,alpha\n2,beta\n")
     tsv = tmp_path / "docs.tsv"
     tsv.write_text("doc_id\ttext\n1\talpha\n2\tbeta\n")
-    for p in (str(csv), str(tsv)):
+    import gzip
+
+    tsv_gz = tmp_path / "docs.tsv.gz"
+    with gzip.open(tsv_gz, "wt") as fh:
+        fh.write("doc_id\ttext\n1\talpha\n2\tbeta\n")
+    for p in (str(csv), str(tsv), str(tsv_gz)):
         df = read_documents(p).to_pandas().sort_values("doc_id")
         assert df["text"].tolist() == ["alpha", "beta"]
 
