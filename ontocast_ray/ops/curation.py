@@ -121,25 +121,45 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int = 16,
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """C4-style line-level dedup: drop every line occurring ≥ ``min_count``
     times across the corpus (boilerplate headers/footers/nav), keeping the
     remaining lines of each document in order.
 
-    → (id_col, text_col cleaned, n_removed). Two passes over the corpus:
+    → (id_col, text_col cleaned, n_removed). Count pass first: each block
+    emits its local (line_hash, n) counts (map-side combiner — one row per
+    distinct line per block, never per occurrence); a coarse-partitioned
+    sum keeps hashes with total ≥ min_count. Then one of two EXACT scrub
+    paths, chosen by the frequent-set size (a cheap ``count()``, never the
+    rows):
 
-    1. **Count**: each block emits its local (line_hash, n) counts (map-side
-       combiner — one row per distinct line per block, never per
-       occurrence), a coarse-partitioned sum keeps hashes with total ≥
-       min_count. The frequent set is collected to the driver and
-       broadcast: boilerplate is by definition high-count/low-distinct, so
-       the set is small relative to the corpus (at extreme scale swap the
-       exact set for a Bloom bitmap — the ``ngram_jaccard_verify`` pattern
-       — at the cost of a false-positive line-drop rate).
-    2. **Scrub**: pure map — split, hash (same ``pd.util.hash_array`` as
-       the count pass), drop lines whose hash is in the broadcast sorted
-       array, re-join with ``\\n``.
+    - **Broadcast fast path** (≤ ``broadcast_limit`` frequent hashes): the
+      set is collected once, ``ray.put``, and a pure map drops matching
+      lines — zero extra shuffles. Boilerplate is usually high-count /
+      low-distinct so this is the common case.
+    - **Bounded scale path** (web corpora at min_count=2, where "lines
+      appearing ≥2×" is O(corpus distinct lines) — far too big to
+      broadcast): driver memory stays bounded by a fixed-size Bloom bitmap
+      (per-block partial bitmaps OR-ed, the ``ngram_jaccard_verify``
+      pattern). Lines that MISS the bitmap are provably infrequent and
+      never leave their block; bitmap HITS become candidate rows
+      (line_hash, doc_id, line_idx — never text) that meet the frequent
+      hashes in an exact ``line_hash % P`` shuffle semi-join, so Bloom
+      false positives are filtered and the output is byte-identical to
+      the broadcast path. Confirmed-bad (doc_id, line_idx) rows then meet
+      the documents in one ``hash(doc_id) % P`` shuffle and the kernel
+      drops exactly those line positions. 3 coarse shuffles total; no
+      driver-side collection anywhere.
     """
+    import ray.data as rd
+
+    from ontocast_ray.ops.dedup import (
+        _BLOOM_BITS,
+        _bloom_build_cols,
+        _bloom_contains,
+    )
+    from ontocast_ray.util import hash_partition
 
     def _count(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -161,40 +181,188 @@ def remove_boilerplate_lines(
     def _freq(df: pd.DataFrame) -> pd.DataFrame:
         agg = df.groupby("line_hash", sort=False)["n"].sum()
         agg = agg[agg >= min_count]
-        return pd.DataFrame({"line_hash": agg.index.to_numpy(dtype=np.uint64)})
+        h = agg.index.to_numpy(dtype=np.uint64)
+        return pd.DataFrame(
+            {"line_hash": h,
+             "part": (h % np.uint64(n_parts)).astype(np.int64)}
+        )
 
-    freq_rows = (
+    frequent = (
         docs.map_batches(_count, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_freq, batch_format="pandas")
-        .take_all()
+        .materialize()
     )
-    freq = np.sort(np.array([r["line_hash"] for r in freq_rows], dtype=np.uint64))
-    freq_ref = ray.put(freq)
 
-    def _scrub(batch: pa.Table) -> pa.Table:
-        bad = ray.get(freq_ref)
-        ids = batch[id_col]
-        out_text, out_removed = [], []
-        for t in batch[text_col].to_pylist():
-            lines = (t or "").split("\n")
-            if len(bad):
-                h = pd.util.hash_array(np.asarray(lines, dtype=object), categorize=False)
-                pos = np.minimum(np.searchsorted(bad, h), len(bad) - 1)
-                keep = bad[pos] != h
-            else:
-                keep = np.ones(len(lines), dtype=bool)
-            out_text.append("\n".join([ln for ln, k in zip(lines, keep) if k]))
-            out_removed.append(int((~keep).sum()))
+    if frequent.count() <= broadcast_limit:
+        freq = np.sort(
+            np.array(
+                [r["line_hash"] for r in frequent.take_all()], dtype=np.uint64
+            )
+        )
+        freq_ref = ray.put(freq)
+
+        def _scrub(batch: pa.Table) -> pa.Table:
+            bad = ray.get(freq_ref)
+            ids = batch[id_col]
+            out_text, out_removed = [], []
+            for t in batch[text_col].to_pylist():
+                lines = (t or "").split("\n")
+                if len(bad):
+                    h = pd.util.hash_array(
+                        np.asarray(lines, dtype=object), categorize=False
+                    )
+                    pos = np.minimum(np.searchsorted(bad, h), len(bad) - 1)
+                    keep = bad[pos] != h
+                else:
+                    keep = np.ones(len(lines), dtype=bool)
+                out_text.append("\n".join([ln for ln, k in zip(lines, keep) if k]))
+                out_removed.append(int((~keep).sum()))
+            return pa.table(
+                {
+                    id_col: ids,
+                    text_col: pa.array(out_text, type=pa.string()),
+                    "n_removed": pa.array(np.asarray(out_removed, dtype=np.int64)),
+                }
+            )
+
+        return docs.map_batches(_scrub, batch_format="pyarrow")
+
+    # ---- bounded scale path: Bloom prune + exact shuffle semi-join ----
+    id_type = docs.schema().base_schema.field(id_col).type
+    bloom = _bloom_build_cols(frequent, ["line_hash"], _BLOOM_BITS)
+    bloom_ref = ray.put(bloom)
+
+    def _freq_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         return pa.table(
             {
-                id_col: ids,
-                text_col: pa.array(out_text, type=pa.string()),
-                "n_removed": pa.array(np.asarray(out_removed, dtype=np.int64)),
+                "part": batch["part"].cast(pa.int64()),
+                "src": pa.array(np.zeros(n, dtype=np.int8)),
+                "line_hash": batch["line_hash"],
+                id_col: pa.nulls(n, type=id_type),
+                "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
             }
         )
 
-    return docs.map_batches(_scrub, batch_format="pyarrow")
+    def _cand_rows(batch: pa.Table) -> pa.Table:
+        blm = ray.get(bloom_ref)
+        ids = batch[id_col].to_pylist()
+        out_h, out_id, out_idx = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            lines = (t or "").split("\n")
+            h = pd.util.hash_array(
+                np.asarray(lines, dtype=object), categorize=False
+            )
+            hit = _bloom_contains(blm, h, _BLOOM_BITS)
+            if hit.any():
+                idx = np.nonzero(hit)[0]
+                out_h.append(h[idx])
+                out_id.extend([ids[i]] * len(idx))
+                out_idx.append(idx.astype(np.int64))
+        h_all = (
+            np.concatenate(out_h) if out_h else np.zeros(0, dtype=np.uint64)
+        )
+        idx_all = (
+            np.concatenate(out_idx) if out_idx else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h_all % np.uint64(n_parts)).astype(np.int64)
+                ),
+                "src": pa.array(np.ones(len(h_all), dtype=np.int8)),
+                "line_hash": pa.array(h_all),
+                id_col: pa.array(out_id, type=id_type),
+                "line_idx": pa.array(idx_all),
+            }
+        )
+
+    tagged = frequent.map_batches(_freq_rows, batch_format="pyarrow").union(
+        docs.map_batches(_cand_rows, batch_format="pyarrow")
+    )
+
+    def _confirm(t: pa.Table) -> pa.Table:
+        # arrow-native (NOT pandas): the union's null ids on frequent rows
+        # would coerce an int64 id column to float64 in pandas, corrupting
+        # large ids — arrow keeps the null slots typed
+        import pyarrow.compute as pc
+
+        freq_h = t.filter(pc.equal(t["src"], 0))["line_hash"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        cand = t.filter(pc.equal(t["src"], 1))
+        if len(cand) == 0 or len(freq_h) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=id_type),
+                 "line_idx": pa.array([], type=pa.int64())}
+            )
+        fs = np.sort(freq_h)
+        h = cand["line_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.minimum(np.searchsorted(fs, h), len(fs) - 1)
+        bad = cand.filter(pa.array(fs[pos] == h))
+        return pa.table(
+            {id_col: bad[id_col].combine_chunks()
+             if isinstance(bad[id_col], pa.ChunkedArray) else bad[id_col],
+             "line_idx": bad["line_idx"].cast(pa.int64())}
+        )
+
+    bad_rows = tagged.groupby("part").map_groups(_confirm, batch_format="pyarrow")
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table(
+            {
+                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+                "src": pa.array(np.zeros(n, dtype=np.int8)),
+                id_col: ids,
+                text_col: batch[text_col].cast(pa.string()),
+                "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def _bad_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table(
+            {
+                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+                "src": pa.array(np.ones(n, dtype=np.int8)),
+                id_col: ids,
+                text_col: pa.nulls(n, type=pa.string()),
+                "line_idx": batch["line_idx"].cast(pa.int64()),
+            }
+        )
+
+    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        bad_rows.map_batches(_bad_tagged, batch_format="pyarrow")
+    )
+
+    def _scrub_group(df: pd.DataFrame) -> pd.DataFrame:
+        bad_by_doc = (
+            df[df["src"] == 1].groupby(id_col, sort=False)["line_idx"].agg(set)
+        )
+        d = df[df["src"] == 0]
+        out_text, out_removed = [], []
+        for doc_id, t in zip(d[id_col], d[text_col]):
+            lines = (t or "").split("\n")
+            bad_idx = bad_by_doc.get(doc_id, ())
+            out_text.append(
+                "\n".join(ln for i, ln in enumerate(lines) if i not in bad_idx)
+            )
+            out_removed.append(len(bad_idx))
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(),
+                text_col: out_text,
+                "n_removed": np.asarray(out_removed, dtype=np.int64),
+            }
+        )
+
+    return joined.groupby("dpart").map_groups(
+        _scrub_group, batch_format="pandas"
+    )
 
 
 def decontaminate(

@@ -105,6 +105,46 @@ def test_remove_boilerplate_lines(ray_session):
     assert out2["text"].tolist() == tbl["text"].to_pylist()
 
 
+def test_remove_boilerplate_scale_path_matches_broadcast(ray_session):
+    """min_count=2 worst case (EVERY line duplicated → the frequent set is
+    O(corpus distinct lines), the 100 TB broadcast killer): broadcast_limit=0
+    forces the Bloom-pruned shuffle-semi-join path; driver memory is bounded
+    by the fixed-size bitmap and the output is byte-identical to the
+    broadcast path."""
+    import numpy as np
+
+    from ontocast_ray.ops.curation import remove_boilerplate_lines
+
+    rng = np.random.default_rng(11)
+    # 120 docs; every doc repeats a pool of shared lines (all frequent at
+    # min_count=2) plus one unique line — mimics nav/footer boilerplate
+    pool = [f"shared line number {i}" for i in range(200)]
+    docs, ids = [], []
+    for d in range(120):
+        picks = rng.choice(pool, size=5, replace=False).tolist()
+        # duplicate each pooled line across ≥2 docs by construction (200
+        # pool lines, 600 draws) and add one unique line per doc
+        docs.append("\n".join(picks[:2] + [f"only in doc {d}"] + picks[2:]))
+        ids.append(d)
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = lambda: ray.data.from_arrow(tbl).repartition(7)  # noqa: E731
+
+    fast = (
+        remove_boilerplate_lines(ds(), min_count=2, n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    scale = (
+        remove_boilerplate_lines(ds(), min_count=2, n_parts=4, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, scale)
+    # a pool line drawn at least twice is scrubbed; unique lines survive
+    assert all(f"only in doc {d}" in t for d, t in zip(scale["doc_id"], scale["text"]))
+    # sanity: boilerplate was actually removed somewhere
+    assert scale["n_removed"].sum() > 0
+
+
 def _docs():
     return pa.table(
         {
