@@ -1406,6 +1406,49 @@ def test_semdedup_matches_reference_rule(ray_session):
     assert keep[5] and not keep[20]
 
 
+def test_semdedup_oversized_cluster_guard_exact(ray_session):
+    """Hot-cluster case (every vector lands in ONE k-means cluster — the
+    skew that melts a single reducer): a tiny max_cluster_rows forces the
+    sub-sharded pair-group path; its output must be BYTE-IDENTICAL to the
+    unguarded single-reducer path, and no pair-group reducer may ever see
+    more than ~2 shards of rows."""
+    import ray.data
+
+    from ontocast_ray.ops.clustering import semdedup
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=6).astype(np.float64)
+    # 90 vectors all near one point → one giant cluster, dense near-dups
+    vecs = base[None, :] + rng.normal(scale=0.05, size=(90, 6))
+    # a handful of genuine duplicates at various id gaps
+    vecs[40] = vecs[2] + 1e-4
+    vecs[73] = vecs[2] - 1e-4
+    vecs[88] = vecs[30] * 1.2
+    tbl = pa.table(
+        {"vec_id": np.arange(90, dtype=np.int64), "embedding": list(vecs)}
+    )
+
+    def run(max_rows):
+        return (
+            semdedup(
+                ray.data.from_arrow(tbl).repartition(5),
+                k=3, n_iters=2, threshold=0.99, chunk=7,
+                max_cluster_rows=max_rows,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    unguarded = run(10**9)  # single-reducer path
+    guarded = run(20)       # 90-row cluster → ≥5 hash sub-shards
+    pd.testing.assert_frame_equal(unguarded, guarded)
+    # skew sanity: the hot cluster really was oversized
+    assert unguarded["cluster"].value_counts().max() > 20
+    keep = dict(zip(guarded["vec_id"], guarded["keep"]))
+    assert keep[2] and not keep[40] and not keep[73]
+
+
 def test_pagerank_int_both_paths_match_spec(ray_session):
     import ray.data
 
