@@ -71,6 +71,31 @@ def _final_topk_factory(k: int, id_col: str):
     return _final
 
 
+def _merged_topk(partial, per_query_fn, n_parts: int = 16):
+    """Final per-query merge on a COARSE ``query_id % P`` partition with the
+    per-query fold looped inside the kernel — one Python call per partition
+    instead of per query (a raw ``groupby("query_id").map_groups`` pays one
+    call per query: harmless for broadcast-small query sets, ruinous if the
+    query count grows — the repo-wide groupby lesson)."""
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "qpart", pa.array((q % n_parts).astype(np.int64))
+        )
+
+    def _kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["qpart"])
+        outs = [per_query_fn(g) for _, g in df.groupby("query_id", sort=True)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        partial.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("qpart")
+        .map_groups(_kernel, batch_format="pandas")
+    )
+
+
 def knn_bruteforce(
     embeddings: "ray.data.Dataset",
     query_matrix: np.ndarray,
@@ -92,9 +117,7 @@ def knn_bruteforce(
         batch_format="pyarrow",
         concurrency=pool(concurrency),
     )
-    return partial.groupby("query_id").map_groups(
-        _final_topk_factory(k, id_col), batch_format="pandas"
-    )
+    return _merged_topk(partial, _final_topk_factory(k, id_col))
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, seed: int = 3, iters: int = 8) -> np.ndarray:
@@ -252,9 +275,7 @@ def knn_ivf_search(
     partial = ray.data.read_parquet(
         paths, columns=[id_col, vec_col, "cluster_id"]
     ).map_batches(ProbedTopK, batch_format="pyarrow", concurrency=pool(concurrency))
-    return partial.groupby("query_id").map_groups(
-        _final_topk_factory(k, id_col), batch_format="pandas"
-    )
+    return _merged_topk(partial, _final_topk_factory(k, id_col))
 
 
 def knn_ivf(
@@ -523,13 +544,11 @@ def knn_ivfpq_rerank_search(
         return group.sort_values(["adc", id_col], ascending=[False, True]).head(k_prime)
 
     # phase 1: code-column-only scan of probed partitions
-    candidates = (
+    candidates = _merged_topk(
         ray.data.read_parquet(paths, columns=[id_col, "pq_code", "cluster_id"])
-        .map_batches(ADCCandidates, batch_format="pyarrow", concurrency=pool(concurrency))
-        .groupby("query_id")
-        .map_groups(_adc_final, batch_format="pandas")
-        .take_all()
-    )  # bounded: nq × k′ rows — NOT corpus-sized
+        .map_batches(ADCCandidates, batch_format="pyarrow", concurrency=pool(concurrency)),
+        _adc_final,
+    ).take_all()  # bounded: nq × k′ rows — NOT corpus-sized
     cand_ids: dict[int, set] = {}
     for r in candidates:
         cand_ids.setdefault(int(r["query_id"]), set()).add(r[id_col])
@@ -568,9 +587,7 @@ def knn_ivfpq_rerank_search(
     rerank = ray.data.read_parquet(paths, columns=[id_col, vec_col]).map_batches(
         ExactRerank, batch_format="pyarrow", concurrency=pool(concurrency)
     )
-    return rerank.groupby("query_id").map_groups(
-        _final_topk_factory(k, id_col), batch_format="pandas"
-    )
+    return _merged_topk(rerank, _final_topk_factory(k, id_col))
 
 
 def knn_pq_search(
@@ -623,6 +640,4 @@ def knn_pq_search(
     partial = ray.data.read_parquet(os.path.join(index_dir, "codes")).map_batches(
         ADCTopK, batch_format="pyarrow", concurrency=pool(concurrency)
     )
-    return partial.groupby("query_id").map_groups(
-        _final_topk_factory(k, id_col), batch_format="pandas"
-    )
+    return _merged_topk(partial, _final_topk_factory(k, id_col))
