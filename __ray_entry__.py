@@ -505,6 +505,18 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, k=3)
 
 
+def _q_dup_span_scrub(sf_dir: str):
+    """ExactSubstr-style duplicated-span REMOVAL (the step after MinHash in
+    DataComp-style pipelines): cut every word position covered by a 3-gram
+    appearing in ≥2 distinct docs; rebuild the surviving word stream.
+    2 coarse shuffles, parallelism-invariant; oracle re-derives with exact
+    string grams + a positional mask in pure SQL."""
+    from ontocast_ray.ops.dedup import remove_dup_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_spans(docs, k=3)
+
+
 def _q_normalize_text(sf_dir: str):
     """Canonical text normalization (NFC → lower → whitespace collapse →
     strip) — pure map, zero shuffle. Whitespace class is explicit so
@@ -850,6 +862,23 @@ def _q_pack_sequences(sf_dir: str):
         capacity=64,
         shard_span=100,
         n_parts=4,
+    )
+
+
+def _q_packed_bpe(sf_dir: str):
+    """Packing under the REAL byte-BPE tokenizer (fixture merge table):
+    bin boundaries follow BPE token counts, matching what a training stack
+    would see. BPE is not SQL-expressible — golden-pinned oracle,
+    parallelism-invariant (pure function of corpus + fixed merges)."""
+    from ontocast_ray.functions.tokenizer import ByteBPETokenizer
+    from ontocast_ray.ops.packing import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        capacity=256,
+        shard_span=100,
+        n_parts=4,
+        tokenizer=ByteBPETokenizer(),
     )
 
 
@@ -1497,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "packed_bpe": _q_packed_bpe,
         "curated_packing": _q_curated_packing,
         "bm25_top20": _q_bm25_topk,
         "events_approx_distinct": _q_events_hll,
@@ -1514,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_terms": _q_heavy_hitters,
         "normalize_text": _q_normalize_text,
         "dup_span_stats": _q_dup_span_stats,
+        "dup_span_scrub": _q_dup_span_scrub,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
@@ -1562,6 +1593,7 @@ _GOLDEN_QUERIES = [
     "kg_global_entities",
     "kg_rewritten_global",
     "events_approx_distinct",
+    "packed_bpe",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -2385,6 +2417,50 @@ def _sql_oracles() -> dict[str, str]:
                        / CAST(count(*) AS DOUBLE) AS shared_frac
             FROM sh JOIN cnt USING (s)
             GROUP BY doc_id
+        """,
+        "dup_span_scrub": r"""
+            WITH ws AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), g AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS ng
+                FROM ws
+            ), grams AS (
+                SELECT doc_id, i AS q,
+                       CASE WHEN n >= 3
+                            THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            ELSE array_to_string(w, ' ') END AS gram
+                FROM g, UNNEST(range(1, ng + 1)) AS t(i)
+            ), shared AS (
+                SELECT gram FROM grams GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), bad AS (
+                SELECT DISTINCT gr.doc_id, gr.q
+                FROM grams gr JOIN shared USING (gram)
+            ), words AS (
+                SELECT doc_id, n, i AS p, w[i] AS word
+                FROM g, UNNEST(range(1, n + 1)) AS t(i)
+            ), flags AS (
+                SELECT wd.doc_id, wd.p, wd.word,
+                       EXISTS (SELECT 1 FROM bad b
+                               WHERE b.doc_id = wd.doc_id AND b.q <= wd.p
+                                 AND wd.p < b.q +
+                                     CASE WHEN wd.n < 3 THEN wd.n ELSE 3 END)
+                           AS masked
+                FROM words wd
+            ), agg AS (
+                SELECT doc_id,
+                       COALESCE(string_agg(word, ' ' ORDER BY p)
+                                FILTER (WHERE NOT masked), '') AS text,
+                       CAST(count(*) FILTER (WHERE masked) AS BIGINT)
+                           AS n_removed
+                FROM flags GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text, '') AS text,
+                   CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "normalize_text": """
             SELECT doc_id, text,

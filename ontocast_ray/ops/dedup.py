@@ -988,3 +988,162 @@ def dup_span_stats(
         .groupby("part2")
         .map_groups(final_sum, batch_format="pandas")
     )
+
+
+def _fold_kgrams_positional(word_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Positional variant of ``_fold_kgrams``: the gram hash at EVERY start
+    position (no unique), aligned so index q covers words [q, q+k). Docs
+    shorter than k words fold to one whole-text gram covering all words."""
+    n_words = len(word_hashes)
+    with np.errstate(over="ignore"):
+        if n_words < k:
+            h = _FNV_OFFSET0
+            for j in range(n_words):
+                h = (h ^ word_hashes[j]) * _FNV_PRIME0
+            return np.array([h], dtype=np.uint64)
+        n = n_words - k + 1
+        h = np.full(n, _FNV_OFFSET0, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ word_hashes[j:j + n]) * _FNV_PRIME0
+    return h
+
+
+def remove_dup_spans(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+    min_docs: int = 2,
+) -> "ray.data.Dataset":
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2021; the
+    DataComp step run after MinHash doc-level dedup): every word position
+    covered by a k-word gram that appears in ≥ ``min_docs`` DISTINCT
+    documents is cut; the surviving words are re-joined with single
+    spaces. → (id_col, text_col, n_removed) where text is the scrubbed
+    lower/whitespace-normalized word stream (tokenization is the corpus
+    rule: lower + strip + split on ``\\s+``, ref ``_word_hashes_batch``)
+    and n_removed counts cut word positions.
+
+    The removal rule is a pure predicate on the corpus gram multiset —
+    order-free, parallelism-invariant, SQL-expressible (string-gram
+    oracle; hashes collide only at the 64-bit FNV floor). Scale shape,
+    2 coarse shuffles, nothing corpus-sized on the driver:
+
+    1. positional gram rows (gram, doc_id, q) — fixed-width, never text —
+       shuffled on ``gram % P``; the kernel marks grams whose distinct-doc
+       count ≥ min_docs and emits confirmed (doc_id, q) cut-starts;
+    2. cut-starts meet the documents on ``hash(doc_id) % P``; the kernel
+       rebuilds each doc with the union of [q, q+k) masks (difference-
+       array + cumsum, no per-position Python). Docs shorter than k words
+       have one whole-text gram masking everything when shared.
+    """
+    import ray.data  # noqa: F401
+
+    from ontocast_ray.util import hash_partition
+
+    id_type = docs.schema().base_schema.field(id_col).type
+
+    def _gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hashes, ranges, empty = _word_hashes_batch(batch[text_col].to_pylist())
+        gs, ds, qs = [], [], []
+        for i, (s, e) in enumerate(ranges):
+            if empty[i]:
+                continue
+            g = _fold_kgrams_positional(hashes[s:e], k)
+            gs.append(g)
+            ds.append(np.full(len(g), ids[i], dtype=np.int64))
+            qs.append(np.arange(len(g), dtype=np.int64))
+        if not gs:
+            return pa.table(
+                {"gram": pa.array([], type=pa.uint64()),
+                 id_col: pa.array([], type=pa.int64()),
+                 "q": pa.array([], type=pa.int64()),
+                 "part": pa.array([], type=pa.int32())}
+            )
+        grams = np.concatenate(gs)
+        return pa.table(
+            {"gram": pa.array(grams),
+             id_col: pa.array(np.concatenate(ds)),
+             "q": pa.array(np.concatenate(qs)),
+             "part": pa.array((grams % np.uint64(n_parts)).astype(np.int32))}
+        )
+
+    def _confirm(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "q": pd.Series([], dtype="int64")}
+            )
+        ndocs = df.groupby("gram", sort=False)[id_col].transform("nunique")
+        bad = df[ndocs >= min_docs]
+        return bad[[id_col, "q"]].reset_index(drop=True)
+
+    cut_starts = (
+        docs.map_batches(_gram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_confirm, batch_format="pandas")
+    )
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table(
+            {"dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+             "src": pa.array(np.zeros(n, dtype=np.int8)),
+             id_col: ids,
+             text_col: batch[text_col].cast(pa.string()),
+             "q": pa.array(np.full(n, -1, dtype=np.int64))}
+        )
+
+    def _cut_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(id_type)
+        n = len(batch)
+        return pa.table(
+            {"dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+             "src": pa.array(np.ones(n, dtype=np.int8)),
+             id_col: ids,
+             text_col: pa.nulls(n, type=pa.string()),
+             "q": pa.array(batch["q"].cast(pa.int64()))}
+        )
+
+    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        cut_starts.map_batches(_cut_rows, batch_format="pyarrow")
+    )
+
+    def _scrub(df: "pd.DataFrame") -> "pd.DataFrame":
+        cuts = {
+            did: np.unique(s.to_numpy(np.int64))
+            for did, s in df[df["src"] == 1].groupby(id_col, sort=False)["q"]
+        }
+        d = df[df["src"] == 0]
+        out_text, out_removed = [], []
+        for doc_id, t in zip(d[id_col], d[text_col]):
+            words = _WS.split((t or "").strip().lower())
+            if not words or words == [""]:
+                out_text.append("")
+                out_removed.append(0)
+                continue
+            n = len(words)
+            starts = cuts.get(doc_id)
+            if starts is None or not len(starts):
+                out_text.append(" ".join(words))
+                out_removed.append(0)
+                continue
+            cover = n if n < k else k
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + cover, n), -1)
+            masked = np.cumsum(diff[:-1]) > 0
+            out_text.append(
+                " ".join(w for w, m in zip(words, masked) if not m)
+            )
+            out_removed.append(int(masked.sum()))
+        return pd.DataFrame(
+            {id_col: d[id_col].to_numpy(),
+             text_col: out_text,
+             "n_removed": np.asarray(out_removed, dtype=np.int64)}
+        )
+
+    return joined.groupby("dpart").map_groups(_scrub, batch_format="pandas")

@@ -41,12 +41,17 @@ import ray
 import ray.data
 
 
-def _token_meta_factory(id_col: str, text_col: str, shard_span: int):
+def _token_meta_factory(id_col: str, text_col: str, shard_span: int,
+                        tokenizer=None):
     def _meta(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().fillna("")
-        n_tok = (
-            texts.str.strip().str.split().str.len().fillna(0).astype("int64")
-        )
+        if tokenizer is None:
+            n_tok = (
+                texts.str.strip().str.split().str.len()
+                .fillna(0).to_numpy(np.int64)
+            )
+        else:
+            n_tok = tokenizer.count_series(texts)
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -66,6 +71,7 @@ def pack_sequences(
     text_col: str = "text",
     shard_span: int = 65_536,
     n_parts: int = 64,
+    tokenizer=None,
 ) -> "ray.data.Dataset":
     """→ (doc_id, shard, n_tokens, global_offset, first_bin, last_bin,
     offset_in_bin) under concat-and-split packing at ``capacity`` tokens.
@@ -73,12 +79,19 @@ def pack_sequences(
     ``global_offset`` is the exclusive prefix sum of ``n_tokens`` in
     ``doc_id`` order; bins follow from integer division. Deterministic at
     any parallelism: every output value is a pure function of the corpus.
+
+    ``tokenizer`` is any ``functions.tokenizer.Tokenizer`` (e.g. the
+    fixture ``ByteBPETokenizer``, or a real trained one via
+    ``load_hf_tokenizer``) so bin boundaries match the training stack's
+    token counts; None keeps the SQL-expressible whitespace rule. The
+    tokenizer object is pickled once per task and its per-word cache warms
+    per worker — counting stays off the driver either way.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
 
     meta = docs.map_batches(
-        _token_meta_factory(id_col, text_col, shard_span),
+        _token_meta_factory(id_col, text_col, shard_span, tokenizer),
         batch_format="pyarrow",
     )
     return pack_token_meta(meta, capacity=capacity, n_parts=n_parts)

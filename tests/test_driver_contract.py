@@ -106,6 +106,7 @@ _SQL_GATED = [
         "heavy_hitter_terms",
         "normalize_text",
         "dup_span_stats",
+        "dup_span_scrub",
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",

@@ -1227,6 +1227,143 @@ def test_pack_sequences_invariants(ray_session):
     ).all()
 
 
+def test_remove_dup_spans_exact_rule(ray_session):
+    """ExactSubstr removal: positions covered by a k-gram shared across
+    ≥2 docs are cut; short docs fold to one whole-text gram; empty docs
+    survive untouched; output invariant across parallelism."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import remove_dup_spans
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g",             # shares 5-gram "a b c d e"
+                    "x y a b c d e z",           # ... with this doc
+                    "unique words only here present",
+                    "p q",                        # short dup pair:
+                    "p q",                        # whole-text gram shared
+                    None,
+                ]
+            ),
+        }
+    )
+
+    outs = []
+    for parts in (1, 4):
+        outs.append(
+            remove_dup_spans(
+                ray.data.from_arrow(tbl).repartition(parts), k=5, n_parts=3
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert out["text"].tolist() == ["f g", "x y z",
+                                    "unique words only here present",
+                                    "", "", ""]
+    assert out["n_removed"].tolist() == [5, 5, 0, 2, 2, 0]
+
+
+def test_byte_bpe_tokenizer_algorithm():
+    """The fixture BPE follows the GPT-2 merge algorithm exactly: lowest-
+    rank adjacent pair merges first, repeat until no ranked pair remains."""
+    import pickle
+
+    from ontocast_ray.functions.tokenizer import (
+        ByteBPETokenizer,
+        WhitespaceTokenizer,
+    )
+
+    tok = ByteBPETokenizer()
+    # "the": t+h (rank 0) -> th; th+e (rank 1) -> the  => one token
+    assert tok._word_tokens("the") == (b"the",)
+    # "then": the + n has no merge => [the, n]
+    assert tok._word_tokens("then") == (b"the", b"n")
+    # "in" merges (rank 2); "and": a+n (rank 3) -> an; an+d (rank 7) -> and
+    assert tok._word_tokens("in") == (b"in",)
+    assert tok._word_tokens("and") == (b"and",)
+    # unknown bytes stay as raw byte tokens
+    assert tok._word_tokens("xyz") == (b"x", b"y", b"z")
+    # ids: bytes 0..255 then 256+rank
+    ids = tok.encode("the and xyz")
+    assert ids[0] == 256 + 1 and ids[1] == 256 + 7
+    assert ids[2:] == [ord("x"), ord("y"), ord("z")]
+    # count_series agrees with encode, None-safe
+    import pandas as pd
+
+    s = pd.Series(["the and", None, "xyz the"])
+    assert tok.count_series(s).tolist() == [2, 0, 4]
+    # pickle roundtrip (how map_batches ships it) preserves behavior
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert tok2.encode("the and xyz") == ids
+    # whitespace tokenizer counts match the SQL rule
+    ws = WhitespaceTokenizer()
+    assert ws.count_series(pd.Series(["  a  b ", "", None])).tolist() == [2, 0, 0]
+
+
+def test_hf_tokenizer_env_gated():
+    import pytest
+
+    from ontocast_ray.functions.tokenizer import load_hf_tokenizer
+
+    try:
+        tok = load_hf_tokenizer("gpt2")
+    except NotImplementedError:
+        pytest.skip("no tokenizer wheel in this sandbox (expected)")
+    assert len(tok.encode("hello world")) > 0
+
+
+def test_pack_sequences_with_bpe_tokenizer(ray_session):
+    """Packing under the fixture BPE: boundaries follow BPE counts (not
+    whitespace), and the bin-occupancy property holds — every bin except
+    the last holds exactly ``capacity`` tokens of document spans."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.functions.tokenizer import ByteBPETokenizer
+    from ontocast_ray.ops.packing import pack_sequences
+
+    tok = ByteBPETokenizer()
+    rng = np.random.default_rng(5)
+    words = ["the", "and", "then", "xyz", "in", "formation", "qq"]
+    texts = [
+        " ".join(rng.choice(words, size=int(k)))
+        for k in rng.integers(0, 12, size=120)
+    ]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": texts})
+    ).repartition(5)
+    cap = 16
+    out = (
+        pack_sequences(docs, capacity=cap, shard_span=16, n_parts=4,
+                       tokenizer=tok)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # counts are BPE counts, not whitespace counts
+    exp_n = [len(tok.encode(t)) for t in texts]
+    assert out["n_tokens"].tolist() == exp_n
+    n = out["n_tokens"].to_numpy()
+    off = out["global_offset"].to_numpy()
+    assert (off == np.concatenate([[0], np.cumsum(n)[:-1]])).all()
+    # bin occupancy: tokens covering bin b total exactly cap for full bins
+    total = int(n.sum())
+    occupancy = np.zeros(total // cap + 1, dtype=np.int64)
+    for o, cnt in zip(off, n):
+        for b in range(o // cap, (o + max(cnt - 1, 0)) // cap + 1):
+            lo = max(o, b * cap)
+            hi = min(o + cnt, (b + 1) * cap)
+            if cnt:
+                occupancy[b] += hi - lo
+    assert (occupancy[:-1] == cap).all()
+    assert occupancy[-1] == total % cap
+
+
 def test_bm25_topk_micro(ray_session):
     import math
 
