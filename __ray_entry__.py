@@ -505,6 +505,75 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, k=3)
 
 
+def _q_quality_classifier(sf_dir: str):
+    """fastText-style hashed-feature linear quality scorer (CCNet/DataComp
+    classifier gate): integer marker weights over FNV-hashed bag-of-words
+    buckets — exact int64 dot product, one double divide, broadcast
+    weights, zero shuffles. Oracle re-derives the SAME FNV bucket per
+    token in pure SQL (list_reduce + HUGEINT wrapping multiply), so even
+    hash collisions agree across engines."""
+    from ontocast_ray.ops.text import quality_classifier_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return quality_classifier_score(docs)
+
+
+def _quality_clf_sql() -> str:
+    import numpy as np
+
+    from ontocast_ray.ops.text import _QUALITY_MARKERS, fnv1a_words
+
+    F = 1 << 20
+    words = list(_QUALITY_MARKERS)
+    buckets = fnv1a_words(np.asarray(words, dtype=object)) % np.uint64(F)
+    vals = ", ".join(
+        f"({int(b)}, {w})" for b, w in zip(buckets, _QUALITY_MARKERS.values())
+    )
+    # FNV-1a 64 per token: wrapping multiply via 32-bit constant halves in
+    # HUGEINT (same trick as the splitmix mirror) — bit-exact vs numpy
+    prime = 1099511628211
+    ch, cl = prime >> 32, prime & 0xFFFFFFFF
+    e = "CAST(xor(acc, c) AS HUGEINT)"
+    mul = (
+        f"CAST(((({e}) * {cl}) + (((({e}) * {ch}) % 4294967296)"
+        f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, w
+            FROM documents,
+                 UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                                    list_transform(split(w, ''),
+                                                   c -> CAST(ascii(c) AS UBIGINT))),
+                       (acc, c) -> {mul}
+                   ) % {F} AS BIGINT) AS bucket
+            FROM toks
+        ), wt AS (
+            SELECT * FROM (VALUES {vals}) v(bucket, weight)
+        ), scored AS (
+            SELECT h.doc_id, COALESCE(w.weight, 0) AS tw
+            FROM hashed h LEFT JOIN wt w USING (bucket)
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(tw) AS BIGINT) AS raw_score
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.raw_score, 0) AS raw_score,
+               CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                    THEN CAST(a.raw_score AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS score,
+               COALESCE(a.raw_score, 0) > 0 AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def _q_dup_span_scrub(sf_dir: str):
     """ExactSubstr-style duplicated-span REMOVAL (the step after MinHash in
     DataComp-style pipelines): cut every word position covered by a 3-gram
@@ -1545,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
+        "quality_classifier": _q_quality_classifier,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
@@ -2418,6 +2488,7 @@ def _sql_oracles() -> dict[str, str]:
             FROM sh JOIN cnt USING (s)
             GROUP BY doc_id
         """,
+        "quality_classifier": _quality_clf_sql(),
         "dup_span_scrub": r"""
             WITH ws AS (
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w

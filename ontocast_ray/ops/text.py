@@ -508,3 +508,115 @@ def top_terms_per_group(
         counted, group_col=group_col, order_col="n_count", k=k,
         tiebreak_col="term", descending=True, n_parts=n_parts,
     )
+
+
+# --- hashed-feature linear quality classifier ------------------------------
+
+_FNV64_OFFSET = np.uint64(14695981039346656037)
+_FNV64_PRIME = np.uint64(1099511628211)
+
+# Fixture model: a fastText-style linear scorer's marker vocabulary with
+# INTEGER weights (fluency markers positive, spam markers negative). Integer
+# weights make the per-doc dot product EXACT in int64 — no float-order
+# dependence between numpy and SQL — with one identically-associated double
+# divide at the end. Deterministic: no RNG, no network, no training run.
+_QUALITY_MARKERS: dict[str, int] = {
+    # English fluency / editorial markers
+    "the": 2, "and": 2, "of": 2, "to": 2, "in": 2, "a": 1, "is": 1,
+    "that": 1, "for": 1, "with": 1, "was": 1, "which": 1, "however": 3,
+    "therefore": 3, "although": 3, "because": 2, "between": 2,
+    "analysis": 3, "research": 3, "study": 3, "results": 2, "evidence": 3,
+    # spam / boilerplate markers
+    "click": -4, "free": -3, "buy": -3, "subscribe": -3, "win": -4,
+    "cash": -4, "casino": -6, "viagra": -8, "lottery": -6, "prize": -4,
+    "congratulations": -5, "offer": -3, "discount": -3, "cheap": -3,
+    "guarantee": -3, "unsubscribe": -4, "http": -2, "www": -2, "com": -1,
+}
+
+
+def fnv1a_words(words: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 of each word's UTF-8 bytes — the feature hash. Loops
+    unique words only (a batch's vocabulary, not its token stream); the
+    exact same fold is re-derived in pure SQL (list_reduce over ascii
+    codes with the HUGEINT wrapping multiply), so bucket collisions are
+    CONSISTENT across engines."""
+    out = np.empty(len(words), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, w in enumerate(words):
+            h = _FNV64_OFFSET
+            for b in w.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FNV64_PRIME
+            out[i] = h
+    return out
+
+
+def quality_weights(
+    n_features: int = 1 << 20, markers: dict[str, int] | None = None
+) -> np.ndarray:
+    """Dense int64 weight vector via the hashing trick: each marker word's
+    weight lands at ``fnv1a(word) % n_features``. Raises if two markers
+    collide (fixture invariant — checked, not assumed)."""
+    markers = _QUALITY_MARKERS if markers is None else markers
+    w = np.zeros(n_features, dtype=np.int64)
+    words = list(markers)
+    buckets = fnv1a_words(np.asarray(words, dtype=object)) % np.uint64(n_features)
+    if len(np.unique(buckets)) != len(words):
+        raise ValueError("marker vocabulary collides in the feature space")
+    for word, b in zip(words, buckets):
+        w[int(b)] = markers[word]
+    return w
+
+
+def quality_classifier_score(
+    docs: "ray.data.Dataset",
+    weights: np.ndarray | None = None,
+    n_features: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """→ (id_col, n_tokens, raw_score, score, keep): fastText-style linear
+    quality scoring over hashed bag-of-words features — the
+    classifier-gate curation step (CCNet/DataComp quality filters).
+
+    score = Σ_tokens w[fnv1a(token) % F] / n_tokens (0 when no tokens);
+    keep = raw_score > 0. The weight vector is broadcast ONCE (``ray.put``,
+    read per task — 8 MiB at F=2²⁰, never reshipped per batch); scoring is
+    a pure vectorized map: one findall + one explode per batch, FNV over
+    the batch's UNIQUE words only, ``np.bincount`` folds the token stream.
+    Zero shuffles, parallelism-invariant, exact SQL mirror (integer dot
+    product + one double divide). Tokenization = lower + ``[a-z]+`` (the
+    term_counts rule)."""
+    import ray
+
+    if weights is None:
+        weights = quality_weights(n_features)
+    n_features = len(weights)
+    w_ref = ray.put(np.ascontiguousarray(weights, dtype=np.int64))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        texts = batch[text_col].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        n = len(batch)
+        n_tok = np.bincount(idx, minlength=n).astype(np.int64) if len(idx) else np.zeros(n, np.int64)
+        raw = np.zeros(n, dtype=np.int64)
+        if len(vals):
+            uniq, inv = np.unique(vals, return_inverse=True)
+            buckets = fnv1a_words(uniq) % np.uint64(n_features)
+            tok_w = w[buckets.astype(np.int64)][inv]
+            np.add.at(raw, idx, tok_w)
+        score = np.zeros(n, dtype=np.float64)
+        nz = n_tok > 0
+        score[nz] = raw[nz].astype(np.float64) / n_tok[nz].astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "raw_score": pa.array(raw),
+                "score": pa.array(score),
+                "keep": pa.array(raw > 0),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

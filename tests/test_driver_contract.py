@@ -107,6 +107,7 @@ _SQL_GATED = [
         "normalize_text",
         "dup_span_stats",
         "dup_span_scrub",
+        "quality_classifier",
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",

@@ -1227,6 +1227,54 @@ def test_pack_sequences_invariants(ray_session):
     ).all()
 
 
+def test_quality_classifier_score_kernel(ray_session):
+    """Hashed-feature linear scorer: integer dot product over FNV buckets,
+    exact at any parallelism; marker weights drive keep/drop."""
+    import ray.data
+
+    from ontocast_ray.ops.text import (
+        _QUALITY_MARKERS,
+        quality_classifier_score,
+        quality_weights,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "The analysis of the evidence was therefore conclusive.",
+                    "CLICK here to WIN free CASH at the casino!!!",
+                    "",
+                    None,
+                ]
+            ),
+        }
+    )
+    outs = []
+    for parts in (1, 3):
+        outs.append(
+            quality_classifier_score(
+                ray.data.from_arrow(tbl).repartition(parts)
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # doc 0: the(2)+analysis(3)+of(2)+the(2)+evidence(3)+was(1)+therefore(3)
+    #        + conclusive(0) = 16 over 8 tokens
+    assert out["raw_score"].tolist()[0] == 16
+    assert out["n_tokens"].tolist()[0] == 8
+    assert out["score"].iloc[0] == 16 / 8
+    # doc 1: click(-4)+here(0)+to(2)+win(-4)+free(-3)+cash(-4)+at(0)
+    #        + the(2)+casino(-6) = -17 over 9 tokens
+    assert out["raw_score"].tolist()[1] == -17
+    assert out["keep"].tolist() == [True, False, False, False]
+    assert out["score"].tolist()[2:] == [0.0, 0.0]
+    # fixture invariant: no marker bucket collisions at F=2^20
+    w = quality_weights()
+    assert int(np.count_nonzero(w)) == len(_QUALITY_MARKERS)
+
+
 def test_remove_dup_spans_exact_rule(ray_session):
     """ExactSubstr removal: positions covered by a k-gram shared across
     ≥2 docs are cut; short docs fold to one whole-text gram; empty docs
