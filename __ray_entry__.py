@@ -688,7 +688,7 @@ def _q_pagerank(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.ops.joins import distinct_on, hash_join
     from ontocast_ray.ops.pagerank import pagerank_int
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
@@ -702,7 +702,10 @@ def _q_pagerank(sf_dir: str):
         right_cols=["o_custkey"],
         n_parts=16,
     )
-    pairs = joined.groupby(["l_suppkey", "o_custkey"]).count()
+    # coarse-shuffle distinct (Ray's native multi-key groupby is a full
+    # sort AllToAll — the repo-wide lesson; this leg was the gate's
+    # heaviest before the swap)
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
 
     def mk_edges(batch: pa.Table) -> pa.Table:
         s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
