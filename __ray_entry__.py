@@ -505,6 +505,20 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, k=3)
 
 
+def _q_knn_self_join(sf_dir: str):
+    """Exact dataset-to-dataset kNN join (no broadcast side): every
+    vector's top-5 cosine neighbors among all others, via bounded
+    shard-pair reducers (max_rows_per_shard=200 forces the distributed
+    pair-group path at gate SF). Cosine column dropped from the contract
+    output (float-noise rank flips are the documented knn oracle risk;
+    rank itself is deterministic at this SF)."""
+    from ontocast_ray.ops.similarity import knn_self_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_self_join(emb, k=5, max_rows_per_shard=200)
+    return out.select_columns(["query_id", "neighbor", "rank"])
+
+
 def _q_quality_classifier(sf_dir: str):
     """fastText-style hashed-feature linear quality scorer (CCNet/DataComp
     classifier gate): integer marker weights over FNV-hashed bag-of-words
@@ -1618,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "dup_span_scrub": _q_dup_span_scrub,
         "quality_classifier": _q_quality_classifier,
+        "knn_self_join_top5": _q_knn_self_join,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
@@ -2492,6 +2507,20 @@ def _sql_oracles() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_classifier": _quality_clf_sql(),
+        "knn_self_join_top5": """
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            )
+            SELECT query_id, neighbor, rank FROM (
+                SELECT query_id, neighbor,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor ASC)
+                           AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
         "dup_span_scrub": r"""
             WITH ws AS (
                 SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w

@@ -641,3 +641,136 @@ def knn_pq_search(
         ADCTopK, batch_format="pyarrow", concurrency=pool(concurrency)
     )
     return _merged_topk(partial, _final_topk_factory(k, id_col))
+
+
+def knn_self_join(
+    embeddings: "ray.data.Dataset",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows_per_shard: int = 100_000,
+    chunk: int = 1024,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs kNN join — every vector's top-k cosine neighbors
+    among ALL OTHER vectors, where BOTH sides are datasets (no broadcast
+    query matrix): the primitive behind embedding-graph construction,
+    kNN-LM datastore linking, and near-dup graph seeding.
+
+    → (query_id, {id_col} as neighbor, cosine, rank). Exact (brute force),
+    never materializes the corpus on one worker: rows are hash-sharded
+    into S = ⌈n / max_rows_per_shard⌉ shards and every unordered shard
+    pair (a,b) gets its OWN reducer holding ≤ 2·max(shard) rows — the
+    same bounded pair-group scheme as the SemDeDup oversized-cluster
+    guard. Each reducer emits per-row PARTIAL top-k (≤ k rows per (row,
+    shard)), and the global merge is the repo's coarse ``query_id % P``
+    fold. Total shipped data is S copies of the vectors (= n²/
+    max_rows_per_shard rows — the inherent all-pairs cost, streamed);
+    compute is the unavoidable O(n²) matmul, tiled ``chunk`` rows at a
+    time. For approximate-but-cheaper joins at extreme n, cluster both
+    sides with the IVF layout and run this per probed cluster pair.
+    """
+    from ontocast_ray.util import hash_u64
+
+    n = embeddings.count()
+    s = max(1, -(-n // max_rows_per_shard))
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        sub = batch.select([id_col, vec_col])
+        if m == 0:
+            return pa.table(
+                {"pg": pa.array([], type=pa.int64()),
+                 "shard": pa.array([], type=pa.int64()),
+                 id_col: sub[id_col],
+                 vec_col: sub[vec_col]}
+            )
+        shard = (hash_u64(batch[id_col]) % np.uint64(s)).astype(np.int64)
+        idx_all = np.arange(m, dtype=np.int64)
+        take, pgs, shs = [], [], []
+        for b in range(s):
+            lo = np.minimum(shard, b)
+            hi = np.maximum(shard, b)
+            take.append(idx_all)
+            pgs.append(lo * s + hi)
+            shs.append(shard)
+        out = sub.take(pa.array(np.concatenate(take)))
+        return pa.table(
+            {"pg": pa.array(np.concatenate(pgs)),
+             "shard": pa.array(np.concatenate(shs)),
+             id_col: out[id_col],
+             vec_col: out[vec_col]}
+        )
+
+    def _side_topk(nv_q, ids_q, nv_c, ids_c, same_side: bool):
+        """Partial top-k of each query row against the candidate side;
+        same_side excludes the identical row (by position)."""
+        rows_q, rows_n, rows_s = [], [], []
+        for lo in range(0, len(nv_q), chunk):
+            hi = min(lo + chunk, len(nv_q))
+            sims = nv_q[lo:hi] @ nv_c.T
+            if same_side:
+                for r in range(lo, hi):
+                    sims[r - lo, r] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            for r in range(hi - lo):
+                cand = top[r]
+                keep = np.isfinite(sims[r, cand])
+                cand = cand[keep]
+                rows_q.append(np.full(len(cand), ids_q[lo + r]))
+                rows_n.append(ids_c[cand])
+                rows_s.append(sims[r, cand])
+        if not rows_q:
+            return (np.zeros(0, np.int64),) * 2 + (np.zeros(0, np.float64),)
+        return (
+            np.concatenate(rows_q),
+            np.concatenate(rows_n),
+            np.concatenate(rows_s).astype(np.float64),
+        )
+
+    def _pair(group: pd.DataFrame) -> pd.DataFrame:
+        pg = int(group["pg"].iloc[0])
+        lo_s, hi_s = pg // s, pg % s
+        def norm_of(g):
+            vecs = np.asarray(list(g[vec_col]), dtype=np.float64)
+            nr = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            return vecs / nr
+        if lo_s == hi_s:
+            nv = norm_of(group)
+            ids = group[id_col].to_numpy()
+            q, nb, sc = _side_topk(nv, ids, nv, ids, same_side=True)
+        else:
+            ga = group[group["shard"] == lo_s]
+            gb = group[group["shard"] == hi_s]
+            if len(ga) == 0 or len(gb) == 0:
+                return pd.DataFrame(
+                    {"query_id": pd.Series([], dtype="int64"),
+                     "neighbor": pd.Series([], dtype="int64"),
+                     "cosine": pd.Series([], dtype="float64")}
+                )
+            nva, nvb = norm_of(ga), norm_of(gb)
+            ida = ga[id_col].to_numpy()
+            idb = gb[id_col].to_numpy()
+            qa, na_, sa = _side_topk(nva, ida, nvb, idb, same_side=False)
+            qb, nb_, sb = _side_topk(nvb, idb, nva, ida, same_side=False)
+            q = np.concatenate([qa, qb])
+            nb = np.concatenate([na_, nb_])
+            sc = np.concatenate([sa, sb])
+        return pd.DataFrame({"query_id": q, "neighbor": nb, "cosine": sc})
+
+    partial = (
+        embeddings.map_batches(_expand, batch_format="pyarrow")
+        .groupby("pg")
+        .map_groups(_pair, batch_format="pandas")
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(
+            ["cosine", "neighbor"], ascending=[False, True]
+        ).head(k).copy()
+        top["rank"] = range(1, len(top) + 1)
+        top["cosine"] = top["cosine"].round(6)
+        return top[["query_id", "neighbor", "cosine", "rank"]]
+
+    return _merged_topk(partial, _final)

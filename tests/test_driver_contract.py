@@ -108,6 +108,7 @@ _SQL_GATED = [
         "dup_span_stats",
         "dup_span_scrub",
         "quality_classifier",
+        "knn_self_join_top5",
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",

@@ -1227,6 +1227,49 @@ def test_pack_sequences_invariants(ray_session):
     ).all()
 
 
+def test_knn_self_join_exact_and_sharded(ray_session):
+    """Dataset-to-dataset exact kNN join: matches the O(n²) numpy answer,
+    and the sharded pair-group path (max_rows_per_shard below n) is
+    byte-identical to the single-group path."""
+    import ray.data
+
+    from ontocast_ray.ops.similarity import knn_self_join
+
+    rng = np.random.default_rng(3)
+    n, k = 40, 4
+    vecs = rng.normal(size=(n, 8)).astype(np.float64)
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": list(vecs)}
+    )
+
+    def run(max_rows):
+        return (
+            knn_self_join(
+                ray.data.from_arrow(tbl).repartition(4), k=k,
+                max_rows_per_shard=max_rows, chunk=7,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+
+    single = run(10**9)
+    sharded = run(9)  # 40 rows -> 5 shards, 15 pair groups
+    pd.testing.assert_frame_equal(single, sharded)
+
+    # reference: full cosine matrix, self excluded, ties by neighbor asc
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(n):
+        order = sorted(range(n), key=lambda j: (-sims[q, j], j))[:k]
+        got = single[single["query_id"] == q]
+        assert got["neighbor"].tolist() == order, q
+        assert got["rank"].tolist() == list(range(1, k + 1))
+        exp = [round(float(sims[q, j]), 6) for j in order]
+        assert got["cosine"].tolist() == pytest.approx(exp, abs=1e-6)
+
+
 def test_quality_classifier_score_kernel(ray_session):
     """Hashed-feature linear scorer: integer dot product over FNV buckets,
     exact at any parallelism; marker weights drive keep/drop."""
