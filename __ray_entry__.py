@@ -505,6 +505,41 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, k=3)
 
 
+def _q_classifier_curated_packing(sf_dir: str):
+    """Round-4 composition, end-to-end verified: hashed-feature classifier
+    gate (keep docs with positive raw score) → concat-and-split packing of
+    the survivors — one streaming pipeline, one chained SQL oracle (the
+    classifier's FNV-bucket CTE feeding the packing window prefix sum)."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.packing import pack_sequences
+    from ontocast_ray.ops.text import quality_classifier_score
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    keep = quality_classifier_score(docs)
+
+    def _keep_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["keep"], True)).select(["doc_id"])
+
+    # semi-join the corpus against the kept ids (WHERE EXISTS shape): only
+    # distinct kept ids cross the wire, one coarse hash(doc_id)%P shuffle
+    from ontocast_ray.ops.joins import hash_join
+
+    kept_docs = hash_join(
+        docs,
+        keep.map_batches(_keep_only, batch_format="pyarrow"),
+        left_on="doc_id",
+        right_on="doc_id",
+        left_cols=["text"],
+        right_cols=[],
+        how="semi",
+        n_parts=16,
+    )
+    return pack_sequences(kept_docs, capacity=64, shard_span=100, n_parts=4)
+
+
 def _q_knn_self_join(sf_dir: str):
     """Exact dataset-to-dataset kNN join (no broadcast side): every
     vector's top-5 cosine neighbors among all others, via bounded
@@ -532,7 +567,9 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier_score(docs)
 
 
-def _quality_clf_sql() -> str:
+def _quality_clf_ctes() -> str:
+    """CTE chain of the hashed-feature classifier (shared by the
+    standalone oracle and the chained curation oracle)."""
     import numpy as np
 
     from ontocast_ray.ops.text import _QUALITY_MARKERS, fnv1a_words
@@ -552,12 +589,11 @@ def _quality_clf_sql() -> str:
         f"CAST(((({e}) * {cl}) + (((({e}) * {ch}) % 4294967296)"
         f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
     )
-    return f"""
-        WITH toks AS (
+    return f"""clf_toks AS (
             SELECT doc_id, w
             FROM documents,
                  UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
-        ), hashed AS (
+        ), clf_hashed AS (
             SELECT doc_id,
                    CAST(list_reduce(
                        list_prepend(CAST(14695981039346656037 AS UBIGINT),
@@ -565,18 +601,23 @@ def _quality_clf_sql() -> str:
                                                    c -> CAST(ascii(c) AS UBIGINT))),
                        (acc, c) -> {mul}
                    ) % {F} AS BIGINT) AS bucket
-            FROM toks
-        ), wt AS (
+            FROM clf_toks
+        ), clf_wt AS (
             SELECT * FROM (VALUES {vals}) v(bucket, weight)
-        ), scored AS (
+        ), clf_scored AS (
             SELECT h.doc_id, COALESCE(w.weight, 0) AS tw
-            FROM hashed h LEFT JOIN wt w USING (bucket)
-        ), agg AS (
+            FROM clf_hashed h LEFT JOIN clf_wt w USING (bucket)
+        ), clf_agg AS (
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    CAST(sum(tw) AS BIGINT) AS raw_score
-            FROM scored GROUP BY doc_id
-        )
+            FROM clf_scored GROUP BY doc_id
+        )"""
+
+
+def _quality_clf_sql() -> str:
+    return f"""
+        WITH {_quality_clf_ctes()}
         SELECT d.doc_id,
                COALESCE(a.n_tokens, 0) AS n_tokens,
                COALESCE(a.raw_score, 0) AS raw_score,
@@ -584,7 +625,42 @@ def _quality_clf_sql() -> str:
                     THEN CAST(a.raw_score AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
                     ELSE 0.0 END AS score,
                COALESCE(a.raw_score, 0) > 0 AS keep
-        FROM documents d LEFT JOIN agg a USING (doc_id)
+        FROM documents d LEFT JOIN clf_agg a USING (doc_id)
+    """
+
+
+def _classifier_packing_sql() -> str:
+    """Chained oracle: classifier keep-gate → whitespace token counts →
+    ordered prefix sum → bin arithmetic, all in one WITH chain."""
+    return rf"""
+        WITH {_quality_clf_ctes()},
+        kept AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN clf_agg a USING (doc_id)
+            WHERE a.raw_score > 0
+        ), toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM kept
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS goff
+            FROM toks
+        )
+        SELECT doc_id,
+               doc_id // 100 AS shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(goff AS BIGINT) AS global_offset,
+               CAST(goff // 64 AS BIGINT) AS first_bin,
+               CAST((goff + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END)
+                    // 64 AS BIGINT) AS last_bin,
+               CAST(goff % 64 AS BIGINT) AS offset_in_bin
+        FROM cum
     """
 
 
@@ -1633,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_scrub": _q_dup_span_scrub,
         "quality_classifier": _q_quality_classifier,
         "knn_self_join_top5": _q_knn_self_join,
+        "classifier_curated_packing": _q_classifier_curated_packing,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
@@ -2507,6 +2584,7 @@ def _sql_oracles() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_classifier": _quality_clf_sql(),
+        "classifier_curated_packing": _classifier_packing_sql(),
         "knn_self_join_top5": """
             WITH scored AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS neighbor,

@@ -109,6 +109,7 @@ _SQL_GATED = [
         "dup_span_scrub",
         "quality_classifier",
         "knn_self_join_top5",
+        "classifier_curated_packing",
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",
