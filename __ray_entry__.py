@@ -505,6 +505,17 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, k=3)
 
 
+def _q_knn_ivf_join(sf_dir: str):
+    """IVF-bucketed approximate kNN self-join (the scale path of the
+    exact join: candidates from own cluster, queries probe 2 of 8
+    clusters — compute ~n²/4 instead of n²). Seed-deterministic
+    (kmeans_lite head sample) → golden oracle."""
+    from ontocast_ray.ops.similarity import knn_join_ivf
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_join_ivf(emb, k=5, n_clusters=8, n_probe=2, sample_size=500)
+
+
 def _q_classifier_curated_packing(sf_dir: str):
     """Round-4 composition, end-to-end verified: hashed-feature classifier
     gate (keep docs with positive raw score) → concat-and-split packing of
@@ -1709,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_scrub": _q_dup_span_scrub,
         "quality_classifier": _q_quality_classifier,
         "knn_self_join_top5": _q_knn_self_join,
+        "knn_ivf_join_top5": _q_knn_ivf_join,
         "classifier_curated_packing": _q_classifier_curated_packing,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
@@ -1759,6 +1771,7 @@ _GOLDEN_QUERIES = [
     "kg_rewritten_global",
     "events_approx_distinct",
     "packed_bpe",
+    "knn_ivf_join_top5",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

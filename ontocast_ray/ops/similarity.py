@@ -774,3 +774,130 @@ def knn_self_join(
         return top[["query_id", "neighbor", "cosine", "rank"]]
 
     return _merged_topk(partial, _final)
+
+
+def knn_join_ivf(
+    embeddings: "ray.data.Dataset",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    sample_size: int = 2000,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> "ray.data.Dataset":
+    """IVF-bucketed approximate kNN self-join — the scale path of
+    ``knn_self_join``: instead of all shard pairs (O(n²) compute), every
+    vector is a CANDIDATE in its own nearest-centroid cluster and a QUERY
+    in its ``n_probe`` nearest clusters, so compute drops to
+    ~n²·n_probe/n_clusters and each reducer holds one cluster. Standard
+    IVF semantics: neighbors outside the probed clusters are missed;
+    within the probed candidate set the result is exact (the recall knob
+    is n_probe/n_clusters).
+
+    → (query_id, neighbor, cosine, rank). Deterministic end-to-end
+    (seeded ``kmeans_lite`` on a bounded head sample — the
+    ``build_ivf_index`` recipe — and pure argmax assignment), so the
+    oracle is a pinned golden. One shuffle (cluster groupby) + the coarse
+    ``query_id % P`` merge."""
+    sample_rows = embeddings.limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float32)
+    centroids = kmeans_lite(sample, n_clusters, seed=seed)
+    cents_ref = ray.put(centroids)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {"cluster": pa.array([], type=pa.int64()),
+                 "role": pa.array([], type=pa.int8()),
+                 id_col: batch[id_col],
+                 vec_col: batch[vec_col]}
+            )
+        cents = ray.get(cents_ref)
+        vecs = _normalize(vectors_2d(batch[vec_col]))
+        sims = vecs @ cents.T
+        own = sims.argmax(axis=1).astype(np.int64)
+        npb = min(n_probe, sims.shape[1])
+        probes = np.argpartition(-sims, kth=npb - 1, axis=1)[:, :npb].astype(
+            np.int64
+        )
+        idx_all = np.arange(m, dtype=np.int64)
+        take = [idx_all]
+        clusters = [own]
+        roles = [np.zeros(m, dtype=np.int8)]  # candidate in own cluster
+        for j in range(npb):
+            take.append(idx_all)
+            clusters.append(probes[:, j])
+            roles.append(np.ones(m, dtype=np.int8))  # query in probed cluster
+        out = batch.select([id_col, vec_col]).take(
+            pa.array(np.concatenate(take))
+        )
+        return pa.table(
+            {"cluster": pa.array(np.concatenate(clusters)),
+             "role": pa.array(np.concatenate(roles)),
+             id_col: out[id_col],
+             vec_col: out[vec_col]}
+        )
+
+    def _cluster_topk(group: pd.DataFrame) -> pd.DataFrame:
+        cand = group[group["role"] == 0]
+        qry = group[group["role"] == 1]
+        if len(cand) == 0 or len(qry) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+
+        def norm_of(g):
+            vecs = np.asarray(list(g[vec_col]), dtype=np.float64)
+            nr = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            return vecs / nr
+
+        nv_q, nv_c = norm_of(qry), norm_of(cand)
+        ids_q = qry[id_col].to_numpy()
+        ids_c = cand[id_col].to_numpy()
+        rows_q, rows_n, rows_s = [], [], []
+        for lo in range(0, len(nv_q), chunk):
+            hi = min(lo + chunk, len(nv_q))
+            sims = nv_q[lo:hi] @ nv_c.T
+            # self-pairs: a query probing its own cluster meets itself
+            self_mask = ids_c[None, :] == ids_q[lo:hi, None]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            for r in range(hi - lo):
+                c = top[r][np.isfinite(sims[r, top[r]])]
+                rows_q.append(np.full(len(c), ids_q[lo + r]))
+                rows_n.append(ids_c[c])
+                rows_s.append(sims[r, c])
+        if not rows_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"query_id": np.concatenate(rows_q),
+             "neighbor": np.concatenate(rows_n),
+             "cosine": np.concatenate(rows_s).astype(np.float64)}
+        )
+
+    partial = (
+        embeddings.map_batches(_expand, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_cluster_topk, batch_format="pandas")
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(
+            ["cosine", "neighbor"], ascending=[False, True]
+        ).head(k).copy()
+        top["rank"] = range(1, len(top) + 1)
+        top["cosine"] = top["cosine"].round(6)
+        return top[["query_id", "neighbor", "cosine", "rank"]]
+
+    return _merged_topk(partial, _final)

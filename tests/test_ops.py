@@ -1270,6 +1270,70 @@ def test_knn_self_join_exact_and_sharded(ray_session):
         assert got["cosine"].tolist() == pytest.approx(exp, abs=1e-6)
 
 
+def test_knn_join_ivf_semantics(ray_session):
+    """IVF join == exact top-k RESTRICTED to the probed candidate set
+    (re-derived here from the same seeded centroids), invariant across
+    parallelism, with sane recall vs the exact join."""
+    import ray.data
+
+    from ontocast_ray.ops.similarity import (
+        _normalize,
+        kmeans_lite,
+        knn_join_ivf,
+        knn_self_join,
+    )
+
+    rng = np.random.default_rng(9)
+    n, k = 60, 3
+    # 4 loose blobs so clusters are meaningful
+    centers = rng.normal(size=(4, 8)) * 4
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.6, size=(15, 8)) for c in centers]
+    )
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+         "embedding": list(vecs)}
+    )
+
+    def run(parts):
+        return (
+            knn_join_ivf(
+                ray.data.from_arrow(tbl).repartition(parts), k=k,
+                n_clusters=4, n_probe=2, sample_size=60, seed=3, chunk=11,
+            )
+            .to_pandas().sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    out = run(1)
+    pd.testing.assert_frame_equal(out, run(4))
+
+    # re-derive the probed candidate sets from the same seeded recipe
+    cents = kmeans_lite(vecs.astype(np.float32), 4, seed=3)
+    nv = _normalize(vecs.astype(np.float64))
+    sims_c = nv @ cents.T
+    own = sims_c.argmax(axis=1)
+    sims = nv @ nv.T
+    for q in range(n):
+        probes = set(np.argsort(-sims_c[q])[:2])
+        cand = [j for j in range(n) if j != q and own[j] in probes]
+        exp = sorted(cand, key=lambda j: (-sims[q, j], j))[:k]
+        got = out[out["query_id"] == q]["neighbor"].tolist()
+        assert got == exp, q
+
+    # recall vs the exact join: blobby data + 2/4 probes finds most
+    exact = (
+        knn_self_join(ray.data.from_arrow(tbl), k=k)
+        .to_pandas().sort_values(["query_id", "rank"])
+    )
+    hits = 0
+    for q in range(n):
+        a = set(out[out["query_id"] == q]["neighbor"])
+        b = set(exact[exact["query_id"] == q]["neighbor"])
+        hits += len(a & b)
+    assert hits / (n * k) > 0.8
+
+
 def test_quality_classifier_score_kernel(ray_session):
     """Hashed-feature linear scorer: integer dot product over FNV buckets,
     exact at any parallelism; marker weights drive keep/drop."""
