@@ -703,7 +703,10 @@ def knn_self_join(
 
     def _side_topk(nv_q, ids_q, nv_c, ids_c, same_side: bool):
         """Partial top-k of each query row against the candidate side;
-        same_side excludes the identical row (by position)."""
+        same_side excludes the identical row (by position). Tie-EXACT:
+        lexsort on (cosine desc, id asc) so a candidate tied at the k
+        boundary is kept deterministically (duplicate/zero vectors tie on
+        cosine; argpartition would pick arbitrarily)."""
         rows_q, rows_n, rows_s = [], [], []
         for lo in range(0, len(nv_q), chunk):
             hi = min(lo + chunk, len(nv_q))
@@ -712,11 +715,9 @@ def knn_self_join(
                 for r in range(lo, hi):
                     sims[r - lo, r] = -np.inf
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             for r in range(hi - lo):
-                cand = top[r]
-                keep = np.isfinite(sims[r, cand])
-                cand = cand[keep]
+                cand = np.lexsort((ids_c, -sims[r]))[:kk]
+                cand = cand[np.isfinite(sims[r, cand])]
                 rows_q.append(np.full(len(cand), ids_q[lo + r]))
                 rows_n.append(ids_c[cand])
                 rows_s.append(sims[r, cand])
@@ -868,9 +869,11 @@ def knn_join_ivf(
             self_mask = ids_c[None, :] == ids_q[lo:hi, None]
             sims[self_mask] = -np.inf
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
             for r in range(hi - lo):
-                c = top[r][np.isfinite(sims[r, top[r]])]
+                # tie-exact partial top-k (cosine desc, id asc) — see
+                # _side_topk in knn_self_join
+                c = np.lexsort((ids_c, -sims[r]))[:kk]
+                c = c[np.isfinite(sims[r, c])]
                 rows_q.append(np.full(len(c), ids_q[lo + r]))
                 rows_n.append(ids_c[c])
                 rows_s.append(sims[r, c])

@@ -266,3 +266,115 @@ def test_distinct_on_equals_pandas_property(ray_session, rows):
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab \n", max_size=24),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=5, deadline=None)  # each example is a full Ray run
+def test_remove_dup_spans_matches_reference(ray_session, texts, k):
+    """Span scrub == a plain O(n²) single-process reference of the rule:
+    cut every word position covered by a k-gram whose (lower+split)
+    token sequence occurs in ≥2 distinct docs. Tiny alphabet forces
+    collisions, shared grams, short docs and empty docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.dedup import remove_dup_spans
+
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = (
+        remove_dup_spans(
+            ray.data.from_arrow(tbl).repartition(3), k=k, n_parts=3
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # reference: string-tuple grams, cross-doc distinct count, mask union
+    def words_of(t):
+        w = (t or "").strip().lower().split()
+        return w
+
+    grams = {}
+    per_doc = []
+    for d, t in enumerate(texts):
+        w = words_of(t)
+        if not w:
+            per_doc.append([])
+            continue
+        if len(w) < k:
+            gs = [(0, len(w), tuple(w))]
+        else:
+            gs = [(q, k, tuple(w[q:q + k])) for q in range(len(w) - k + 1)]
+        per_doc.append(gs)
+        for _, _, g in set((0, 0, g) for _, _, g in gs):
+            grams.setdefault(g, set()).add(d)
+    exp_text, exp_rm = [], []
+    for d, t in enumerate(texts):
+        w = words_of(t)
+        masked = np.zeros(len(w), dtype=bool)
+        for q, cov, g in per_doc[d]:
+            if len(grams.get(g, ())) >= 2:
+                masked[q:q + cov] = True
+        exp_text.append(" ".join(x for x, m in zip(w, masked) if not m))
+        exp_rm.append(int(masked.sum()))
+    assert got["text"].tolist() == exp_text
+    assert got["n_removed"].tolist() == exp_rm
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4,
+                      allow_nan=False, allow_infinity=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=14,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=5, deadline=None)
+def test_knn_self_join_matches_bruteforce(ray_session, vec_rows, k):
+    """Dataset-to-dataset exact kNN join == numpy brute force on arbitrary
+    vectors, including duplicate vectors (cosine ties break by neighbor
+    id asc) and zero vectors (norm guard)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ontocast_ray.ops.similarity import knn_self_join
+
+    vecs = np.asarray(vec_rows, dtype=np.float64)
+    n = len(vecs)
+    tbl = pa.table(
+        {"vec_id": pa.array(range(n), type=pa.int64()),
+         "embedding": list(vecs)}
+    )
+    got = (
+        knn_self_join(
+            ray.data.from_arrow(tbl).repartition(2), k=k,
+            max_rows_per_shard=5, chunk=3,
+        )
+        .to_pandas().sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    nr = np.linalg.norm(vecs, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    nv = vecs / nr
+    sims = nv @ nv.T
+    for q in range(n):
+        order = sorted(
+            (j for j in range(n) if j != q),
+            key=lambda j: (-sims[q, j], j),
+        )[:k]
+        sub = got[got["query_id"] == q]
+        assert sub["neighbor"].tolist() == order, (q, vec_rows)
+        assert sub["rank"].tolist() == list(range(1, len(order) + 1))
