@@ -43,10 +43,11 @@ class _PartialTopK:
         vecs = _normalize(vectors_2d(batch[self.vec_col]))
         sims = self.queries @ vecs.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
-        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         q_out, id_out, s_out = [], [], []
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
+            # tie-exact partial top-k (cosine desc, id asc): a candidate
+            # tied at the k boundary must survive deterministically
+            for j in np.lexsort((ids, -sims[qi]))[:k]:
                 q_out.append(qi)
                 id_out.append(ids[j])
                 s_out.append(float(sims[qi, j]))
@@ -259,8 +260,7 @@ def knn_ivf_search(
                 sub_ids = ids[mask]
                 sims = self.queries[qi] @ sub.T
                 kk = min(k, len(sub_ids))
-                top = np.argpartition(-sims, kth=kk - 1)[:kk]
-                for j in top:
+                for j in np.lexsort((sub_ids, -sims))[:kk]:  # tie-exact
                     q_out.append(qi)
                     id_out.append(sub_ids[j])
                     s_out.append(float(sims[j]))
@@ -531,8 +531,8 @@ def knn_ivfpq_rerank_search(
                     continue
                 sims = self.luts[qi][cols[None, :], codes[mask]].sum(axis=1)
                 kk = min(k_prime, int(mask.sum()))
-                top = np.argpartition(-sims, kth=kk - 1)[:kk]
                 sub_ids = ids[mask]
+                top = np.lexsort((sub_ids, -sims))[:kk]  # tie-exact
                 q_out.extend([qi] * kk)
                 id_out.extend(sub_ids[top])
                 s_out.extend(float(s) for s in sims[top])
@@ -627,7 +627,7 @@ def knn_pq_search(
             for qi in range(len(self.luts)):
                 sims = self.luts[qi][cols[None, :], codes].sum(axis=1)  # (n,)
                 kk = min(k, n)
-                top = np.argpartition(-sims, kth=kk - 1)[:kk]
+                top = np.lexsort((ids, -sims))[:kk]  # tie-exact
                 q_out.extend([qi] * kk)
                 id_out.extend(ids[top])
                 s_out.extend(float(s) for s in sims[top])
