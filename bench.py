@@ -279,6 +279,46 @@ def run_dup_spans() -> int:
     return dup_span_stats(docs, k=3).count()
 
 
+def run_dup_span_scrub() -> int:
+    from ontocast_ray.ops.dedup import remove_dup_spans
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return remove_dup_spans(docs, k=3).count()
+
+
+def run_quality_classifier() -> int:
+    from ontocast_ray.ops.text import quality_classifier_score
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return quality_classifier_score(docs).count()
+
+
+def run_knn_self_join() -> int:
+    from ontocast_ray.ops.similarity import knn_self_join
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    # 200-row shards force the distributed pair-group path (n=500 → 3
+    # shards, 6 pair groups) — the shape that matters at scale
+    return knn_self_join(emb, k=5, max_rows_per_shard=200).count()
+
+
+def run_knn_ivf_join() -> int:
+    from ontocast_ray.ops.similarity import knn_join_ivf
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    return knn_join_ivf(emb, k=5, n_clusters=8, n_probe=2, sample_size=500).count()
+
+
+def run_bpe_packing() -> int:
+    from ontocast_ray.functions.tokenizer import ByteBPETokenizer
+    from ontocast_ray.ops.packing import pack_sequences
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return pack_sequences(
+        docs, capacity=2048, tokenizer=ByteBPETokenizer()
+    ).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -406,6 +446,27 @@ def main() -> None:
     t = time.perf_counter()
     run_dup_spans()
     extras["dup_span_stats"] = round(time.perf_counter() - t, 3)
+
+    # round-4 operator legs
+    t = time.perf_counter()
+    run_dup_span_scrub()
+    extras["dup_span_scrub"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_quality_classifier()
+    extras["quality_classifier"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_knn_self_join()
+    extras["knn_self_join"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_knn_ivf_join()
+    extras["knn_ivf_join"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_bpe_packing()
+    extras["bpe_packing"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(
