@@ -565,6 +565,42 @@ def _q_knn_self_join(sf_dir: str):
     return out.select_columns(["query_id", "neighbor", "rank"])
 
 
+def _q_neardup_scrubbed_packing(sf_dir: str):
+    """The DataComp/RefinedWeb curation order, end-to-end verified:
+    doc-level near-dedup (MinHash→LSH→exact-Jaccard verify→CC keep-list→
+    Bloom-pruned anti-join) → span-level ExactSubstr scrub over the
+    SURVIVORS (gram counts re-derived on the filtered corpus) →
+    concat-and-split packing. One streaming Dataset pipeline; one chained
+    SQL oracle (recursive keep-list closure + positional-gram mask +
+    window prefix sum)."""
+    from ontocast_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+        remove_dup_spans,
+    )
+    from ontocast_ray.ops.graph_cc import apply_keep_list, dedup_keep_list
+    from ontocast_ray.ops.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(docs, num_perm=64, bands=16, shingle_k=3)
+    verified = ngram_jaccard_verify(docs, pairs, threshold=0.8, shingle_k=3)
+    # the scrub consumes its input lineage twice (gram pass + doc rows) and
+    # pack re-reads once more — materialize the filtered corpus ONCE so the
+    # minhash→verify→CC chain doesn't re-execute per consumer (object-store
+    # backed and spillable; the same reason pack_token_meta materializes).
+    # repartition collapses the ~64 shuffle-width blocks the anti-join
+    # leaves behind: at gate SF each downstream stage would otherwise pay
+    # per-block task overhead on near-empty blocks (the tiny-files lesson,
+    # in-memory form); at real scale the block count tracks data size and
+    # the consolidation is a no-op knob.
+    kept = (
+        apply_keep_list(docs, dedup_keep_list(verified))
+        .materialize().repartition(8)
+    )
+    scrubbed = remove_dup_spans(kept, k=3, n_parts=8).materialize().repartition(8)
+    return pack_sequences(scrubbed, capacity=64, shard_span=100, n_parts=4)
+
+
 def _q_quality_classifier(sf_dir: str):
     """fastText-style hashed-feature linear quality scorer (CCNet/DataComp
     classifier gate): integer marker weights over FNV-hashed bag-of-words
@@ -1722,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join_top5": _q_knn_self_join,
         "knn_ivf_join_top5": _q_knn_ivf_join,
         "classifier_curated_packing": _q_classifier_curated_packing,
+        "neardup_scrubbed_packing": _q_neardup_scrubbed_packing,
         "events_minmax_scaled": _q_minmax_scale,
         "supplier_triangles": _q_triangles,
         "lineitem_supplier_skew_join": _q_skew_join,
@@ -2376,6 +2413,69 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d
             LEFT JOIN keep_list k ON d.doc_id = k.doc_id
             WHERE k.keep IS NULL OR k.keep
+        """,
+        "neardup_scrubbed_packing": rf"""
+            WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL}),
+            kept AS (
+                SELECT d.doc_id, d.text FROM documents d
+                LEFT JOIN keep_list k ON d.doc_id = k.doc_id
+                WHERE k.keep IS NULL OR k.keep
+            ), ws AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM kept WHERE trim(coalesce(text, '')) <> ''
+            ), g AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS ng
+                FROM ws
+            ), grams AS (
+                SELECT doc_id, i AS q,
+                       CASE WHEN n >= 3
+                            THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            ELSE array_to_string(w, ' ') END AS gram
+                FROM g, UNNEST(range(1, ng + 1)) AS t(i)
+            ), shared AS (
+                SELECT gram FROM grams GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), bad AS (
+                SELECT DISTINCT gr.doc_id, gr.q
+                FROM grams gr JOIN shared USING (gram)
+            ), words AS (
+                SELECT doc_id, n, i AS p
+                FROM g, UNNEST(range(1, n + 1)) AS t(i)
+            ), flags AS (
+                SELECT wd.doc_id, wd.p,
+                       EXISTS (SELECT 1 FROM bad b
+                               WHERE b.doc_id = wd.doc_id AND b.q <= wd.p
+                                 AND wd.p < b.q +
+                                     CASE WHEN wd.n < 3 THEN wd.n ELSE 3 END)
+                           AS masked
+                FROM words wd
+            ), scnt AS (
+                SELECT doc_id,
+                       CAST(count(*) FILTER (WHERE NOT masked) AS BIGINT)
+                           AS n_tokens
+                FROM flags GROUP BY doc_id
+            ), toks AS (
+                SELECT k2.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens
+                FROM kept k2 LEFT JOIN scnt s USING (doc_id)
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS goff
+                FROM toks
+            )
+            SELECT doc_id,
+                   doc_id // 100 AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(goff AS BIGINT) AS global_offset,
+                   CAST(goff // 64 AS BIGINT) AS first_bin,
+                   CAST((goff + CASE WHEN n_tokens > 0
+                                     THEN n_tokens - 1 ELSE 0 END)
+                        // 64 AS BIGINT) AS last_bin,
+                   CAST(goff % 64 AS BIGINT) AS offset_in_bin
+            FROM cum
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

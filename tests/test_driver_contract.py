@@ -110,6 +110,7 @@ _SQL_GATED = [
         "quality_classifier",
         "knn_self_join_top5",
         "classifier_curated_packing",
+        "neardup_scrubbed_packing",
         "events_minmax_scaled",
         "docs_lang_pivot",
         "supplier_triangles",
