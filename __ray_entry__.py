@@ -614,6 +614,92 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier_score(docs)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram
+    multinomials on target ('src0') vs raw corpora, weight every raw doc
+    by an INTEGER-quantized base-2 log-likelihood ratio (bit-length
+    arithmetic — bit-exact vs DuckDB's length(bin(x))), keep the top 25%
+    by (weight DESC, doc_id). Fit is one map-combined pass bounded by the
+    2^16 feature space; scoring is a zero-shuffle broadcast map."""
+    from ontocast_ray.ops.dsir import dsir_select
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return dsir_select(docs, "src0", keep_frac=0.25)
+
+
+def _dsir_sql(target: str = "src0", keep_frac: float = 0.25,
+              n_features: int = 1 << 16, scale_bits: int = 30) -> str:
+    """Full SQL re-derivation of DSIR: the same FNV-1a bucket per token
+    (shared `_fnv_fold_sql`), target/raw bucket counts, the identical
+    integer lambda via length(bin(...)) == int.bit_length, and the same
+    deterministic (weight DESC, doc_id) top-fraction rule."""
+    shift = 1 << scale_bits
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, COALESCE(source, '') AS source, w
+          FROM documents,
+               UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+        ), hashed AS (
+          SELECT doc_id, source, {_fnv_fold_sql('w', n_features)} AS bucket
+          FROM toks
+        ), counts AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN source = '{target}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS t_cnt,
+                 CAST(sum(CASE WHEN source <> '{target}' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS r_cnt
+          FROM hashed GROUP BY bucket
+        ), tot AS (
+          SELECT greatest(CAST(sum(t_cnt) AS HUGEINT), 1) AS T,
+                 greatest(CAST(sum(r_cnt) AS HUGEINT), 1) AS R FROM counts
+        ), lam AS (
+          SELECT bucket,
+                 CAST(length(bin(1 + (CAST(t_cnt AS HUGEINT) * {shift}) // T))
+                      AS BIGINT)
+               - CAST(length(bin(1 + (CAST(r_cnt AS HUGEINT) * {shift}) // R))
+                      AS BIGINT) AS lam
+          FROM counts, tot
+        ), scored AS (
+          SELECT h.doc_id, CAST(sum(l.lam) AS BIGINT) AS weight,
+                 CAST(count(*) AS BIGINT) AS n_tokens
+          FROM hashed h JOIN lam l USING (bucket)
+          WHERE h.source <> '{target}'
+          GROUP BY h.doc_id
+        ), raws AS (
+          SELECT d.doc_id, COALESCE(s.weight, 0) AS weight,
+                 COALESCE(s.n_tokens, 0) AS n_tokens
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+          WHERE COALESCE(d.source, '') <> '{target}'
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS rk
+          FROM raws
+        )
+        SELECT doc_id, weight, n_tokens FROM ranked
+        WHERE rk <= CAST(ceil({keep_frac} * (SELECT count(*) FROM raws))
+                         AS BIGINT)
+    """
+
+
+def _fnv_fold_sql(col: str, n_features: int) -> str:
+    """SQL expression: FNV-1a 64 of ``col``'s UTF-8 bytes, mod n_features —
+    bit-exact vs `ontocast_ray.ops.text.fnv1a_words`. Wrapping multiply via
+    32-bit constant halves in HUGEINT (same trick as the splitmix mirror).
+    Shared by the quality-classifier and DSIR oracles."""
+    prime = 1099511628211
+    ch, cl = prime >> 32, prime & 0xFFFFFFFF
+    e = "CAST(xor(acc, c) AS HUGEINT)"
+    mul = (
+        f"CAST(((({e}) * {cl}) + (((({e}) * {ch}) % 4294967296)"
+        f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
+    )
+    return f"""CAST(list_reduce(
+            list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                         list_transform(split({col}, ''),
+                                        c -> CAST(ascii(c) AS UBIGINT))),
+            (acc, c) -> {mul}
+        ) % {n_features} AS BIGINT)"""
+
+
 def _quality_clf_ctes() -> str:
     """CTE chain of the hashed-feature classifier (shared by the
     standalone oracle and the chained curation oracle)."""
@@ -627,27 +713,12 @@ def _quality_clf_ctes() -> str:
     vals = ", ".join(
         f"({int(b)}, {w})" for b, w in zip(buckets, _QUALITY_MARKERS.values())
     )
-    # FNV-1a 64 per token: wrapping multiply via 32-bit constant halves in
-    # HUGEINT (same trick as the splitmix mirror) — bit-exact vs numpy
-    prime = 1099511628211
-    ch, cl = prime >> 32, prime & 0xFFFFFFFF
-    e = "CAST(xor(acc, c) AS HUGEINT)"
-    mul = (
-        f"CAST(((({e}) * {cl}) + (((({e}) * {ch}) % 4294967296)"
-        f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
-    )
     return f"""clf_toks AS (
             SELECT doc_id, w
             FROM documents,
                  UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
         ), clf_hashed AS (
-            SELECT doc_id,
-                   CAST(list_reduce(
-                       list_prepend(CAST(14695981039346656037 AS UBIGINT),
-                                    list_transform(split(w, ''),
-                                                   c -> CAST(ascii(c) AS UBIGINT))),
-                       (acc, c) -> {mul}
-                   ) % {F} AS BIGINT) AS bucket
+            SELECT doc_id, {_fnv_fold_sql('w', F)} AS bucket
             FROM clf_toks
         ), clf_wt AS (
             SELECT * FROM (VALUES {vals}) v(bucket, weight)
@@ -1781,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": _q_semdedup,
         "pagerank_suppliers": _q_pagerank,
         "term_cooccurrence_top100": _q_term_cooccurrence,
+        "dsir_selected_docs": _q_dsir_select,
     }
 
 
@@ -2982,4 +3054,5 @@ def _sql_oracles() -> dict[str, str]:
             HAVING count(*) >= 3
             ORDER BY n_count DESC, term_a, term_b LIMIT 100
         """,
+        "dsir_selected_docs": _dsir_sql(),
     }

@@ -131,6 +131,7 @@ _SQL_GATED = [
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
+        "dsir_selected_docs",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2341,3 +2341,73 @@ def test_rebalance_sample_rates(ray_session):
     assert abs(frac["en"] - 0.25) < 0.05
     assert abs(frac["zh"] - 0.5) < 0.05
     assert frac["fr"] == 1.0
+
+
+def test_dsir_select_matches_pure_python(ray_session):
+    """DSIR importance resampling: the distributed fit/score/select must
+    equal an independent pure-Python re-derivation (Python-int bit_length
+    lambda, dict-of-counts fit), at any parallelism."""
+    import math
+
+    import ray.data
+
+    from ontocast_ray.ops.dsir import dsir_select
+    from ontocast_ray.ops.text import fnv1a_words
+
+    rng = np.random.default_rng(7)
+    wiki = ["the analysis of evidence research study results " * 3,
+            "however therefore because between the of to in a is",
+            "research results evidence the and of to in"]
+    spam = ["click free buy win cash casino prize offer " * 2,
+            "subscribe cheap discount guarantee unsubscribe www com",
+            "lottery congratulations win win win free free"]
+    mid = ["the cat sat on the mat", "a quick brown fox", ""]
+    docs, srcs = [], []
+    for i in range(60):
+        if i % 4 == 0:
+            docs.append(wiki[i % 3]); srcs.append("tgt")
+        else:
+            pool = spam if i % 3 == 0 else mid
+            docs.append(pool[i % 3]); srcs.append(f"raw{i % 2}")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(60), type=pa.int64()),
+        "text": pa.array(docs), "source": pa.array(srcs),
+    })
+
+    # pure-Python mirror
+    F, SB = 1 << 16, 30
+    t_cnt, r_cnt = {}, {}
+    tokd = []
+    for txt, s in zip(docs, srcs):
+        toks = __import__("re").findall(r"[a-z]+", txt.lower())
+        tokd.append(toks)
+        d = t_cnt if s == "tgt" else r_cnt
+        for w in toks:
+            b = int(fnv1a_words(np.array([w], dtype=object))[0] % F)
+            d[b] = d.get(b, 0) + 1
+    T, R = max(sum(t_cnt.values()), 1), max(sum(r_cnt.values()), 1)
+    lam = {}
+    for b in set(t_cnt) | set(r_cnt):
+        lam[b] = (1 + (t_cnt.get(b, 0) << SB) // T).bit_length() - (
+            1 + (r_cnt.get(b, 0) << SB) // R).bit_length()
+    exp = []
+    for i, (toks, s) in enumerate(zip(tokd, srcs)):
+        if s == "tgt":
+            continue
+        w = sum(lam[int(fnv1a_words(np.array([t], dtype=object))[0] % F)]
+                for t in toks)
+        exp.append((i, w, len(toks)))
+    exp.sort(key=lambda r: (-r[1], r[0]))
+    k = math.ceil(0.25 * len(exp))
+    exp_df = pd.DataFrame(exp[:k], columns=["doc_id", "weight", "n_tokens"])
+    exp_df = exp_df.sort_values("doc_id").reset_index(drop=True).astype("int64")
+
+    for parts in (1, 5):
+        got = (
+            dsir_select(ray.data.from_arrow(tbl).repartition(parts),
+                        "tgt", keep_frac=0.25)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp_df)
+    # the spam-heavy raw docs must rank below the mid-quality ones
+    assert set(exp_df["doc_id"]) & {i for i in range(60) if i % 4 and i % 3 == 0} == set()
