@@ -614,6 +614,43 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier_score(docs)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup (daily-crawl shape): the 'new batch' is the
+    odd-id docs plus synthesized re-crawls (doc_id%10==0 docs re-tagged
+    +1_000_000 — known-duplicate pages); the 'index' is the even-id docs.
+    The re-crawls must all be anti-joined away; survivors are the odd docs
+    deduped within the batch. Text never shuffles (sha inside map_batches
+    both sides); the index ships one sha per doc into the partitioned
+    anti join."""
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.dedup import incremental_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    odd = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    def _recrawl(b):
+        import numpy as np
+        import pyarrow as pa
+
+        mask = (b["doc_id"].to_numpy(zero_copy_only=False) % 10) == 0
+        f = b.filter(pa.array(mask))
+        return f.set_column(
+            f.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(f["doc_id"], 1_000_000),
+        )
+
+    recrawl = docs.map_batches(_recrawl, batch_format="pyarrow")
+    index = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    return incremental_dedup(odd.union(recrawl), index, n_parts=16)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling (Xie et al. 2023): fit hashed-unigram
     multinomials on target ('src0') vs raw corpora, weight every raw doc
@@ -1853,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_suppliers": _q_pagerank,
         "term_cooccurrence_top100": _q_term_cooccurrence,
         "dsir_selected_docs": _q_dsir_select,
+        "incremental_dedup_new_docs": _q_incremental_dedup,
     }
 
 
@@ -3055,4 +3093,22 @@ def _sql_oracles() -> dict[str, str]:
             ORDER BY n_count DESC, term_a, term_b LIMIT 100
         """,
         "dsir_selected_docs": _dsir_sql(),
+        "incremental_dedup_new_docs": """
+            WITH new_docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0
+            ), index_docs AS (
+                SELECT text FROM documents WHERE doc_id % 2 = 0
+            ), firsts AS (
+                SELECT text, min(doc_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_new_copies
+                FROM new_docs GROUP BY text
+            )
+            SELECT doc_id, n_new_copies FROM firsts f
+            WHERE NOT EXISTS (
+                SELECT 1 FROM index_docs i WHERE i.text = f.text
+            )
+        """,
     }

@@ -61,6 +61,44 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.select_columns(["doc_id", "n_copies"])
 
 
+def incremental_dedup(
+    new_docs: "ray.data.Dataset",
+    index_docs: "ray.data.Dataset",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """→ (doc_id, n_new_copies): exact dedup of a NEW batch against an
+    EXISTING corpus — the daily-crawl production shape (dedupe today's
+    crawl within itself, then drop anything already indexed).
+
+    Scale shape: sha-128 computed inside map_batches on BOTH sides (text
+    never shuffles), within-new dedup is the `exact_dedup` groupby, and
+    the index side ships one 32-char sha per doc into a partitioned
+    `hash_join(how="anti")` — which map-side-dedups right keys per batch,
+    so neither corpus is ever broadcast or materialized. Re-running with
+    the same index is idempotent (survivors are disjoint from it).
+    """
+    from ontocast_ray.ops.joins import hash_join
+
+    new_h = new_docs.map_batches(_sha_batch, batch_format="pyarrow")
+    firsts = new_h.groupby("text_sha").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_new_copies")
+    )
+    idx_sha = index_docs.map_batches(
+        _sha_batch, batch_format="pyarrow"
+    ).select_columns(["text_sha"])
+    out = hash_join(
+        firsts,
+        idx_sha,
+        left_on="text_sha",
+        right_on="text_sha",
+        left_cols=["doc_id", "n_new_copies"],
+        right_cols=[],
+        how="anti",
+        n_parts=n_parts,
+    )
+    return out.select_columns(["doc_id", "n_new_copies"])
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 

@@ -132,6 +132,7 @@ _SQL_GATED = [
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
         "dsir_selected_docs",
+        "incremental_dedup_new_docs",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2411,3 +2411,54 @@ def test_dsir_select_matches_pure_python(ray_session):
         pd.testing.assert_frame_equal(got, exp_df)
     # the spam-heavy raw docs must rank below the mid-quality ones
     assert set(exp_df["doc_id"]) & {i for i in range(60) if i % 4 and i % 3 == 0} == set()
+
+
+def test_incremental_dedup_idempotent(ray_session):
+    """Daily-crawl dedup: within-batch dups keep min id, anything already
+    indexed is dropped, survivors re-run against the same index unchanged
+    (idempotence), at any parallelism."""
+    import ray.data
+
+    from ontocast_ray.ops.dedup import incremental_dedup
+
+    index = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha page", "beta page", "gamma page"]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        "text": pa.array([
+            "alpha page",      # already indexed -> dropped
+            "delta page",      # fresh
+            "delta page",      # within-new dup of 11 -> folded
+            "epsilon page",    # fresh
+            "beta page",       # already indexed -> dropped
+        ]),
+    })
+    expected = pd.DataFrame(
+        {"doc_id": [11, 13], "n_new_copies": [2, 1]}
+    ).astype("int64")
+    for parts in (1, 4):
+        got = (
+            incremental_dedup(
+                ray.data.from_arrow(new).repartition(parts),
+                ray.data.from_arrow(index).repartition(parts),
+                n_parts=4,
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expected)
+    # idempotence: survivors carry no indexed text, so a second pass
+    # against the same index only re-folds copies (none left)
+    survivors = pa.table({
+        "doc_id": pa.array([11, 13], type=pa.int64()),
+        "text": pa.array(["delta page", "epsilon page"]),
+    })
+    again = (
+        incremental_dedup(
+            ray.data.from_arrow(survivors), ray.data.from_arrow(index), n_parts=4
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        again,
+        pd.DataFrame({"doc_id": [11, 13], "n_new_copies": [1, 1]}).astype("int64"),
+    )
