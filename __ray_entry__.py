@@ -614,6 +614,18 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier_score(docs)
 
 
+def _q_bigram_coverage(sf_dir: str):
+    """Bigram-coverage LM gate (the CCNet-perplexity-filter shape without
+    a trained LM): per-doc fraction of word bigrams whose corpus count
+    ≥ 3 — integer counts end-to-end, one IEEE divide. No broadcast, no
+    driver set: bigram hashes are counted globally inside their own
+    hash%P part, then per-doc partials sum on a doc shuffle."""
+    from ontocast_ray.ops.text import bigram_coverage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_coverage(docs, min_count=3, n_parts=16)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental exact dedup (daily-crawl shape): the 'new batch' is the
     odd-id docs plus synthesized re-crawls (doc_id%10==0 docs re-tagged
@@ -1891,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence_top100": _q_term_cooccurrence,
         "dsir_selected_docs": _q_dsir_select,
         "incremental_dedup_new_docs": _q_incremental_dedup,
+        "bigram_coverage": _q_bigram_coverage,
     }
 
 
@@ -3110,5 +3123,33 @@ def _sql_oracles() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM index_docs i WHERE i.text = f.text
             )
+        """,
+        "bigram_coverage": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), flat AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS b
+                FROM ws WHERE len(w) >= 2
+            ), cnt AS (
+                SELECT b, count(*) AS n FROM flat GROUP BY b
+            ), per AS (
+                SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(CASE WHEN c.n >= 3 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_covered
+                FROM flat f JOIN cnt c USING (b)
+                GROUP BY f.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(p.n_covered, 0) AS n_covered,
+                   CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                        THEN CAST(p.n_covered AS DOUBLE)
+                             / CAST(p.n_bigrams AS DOUBLE)
+                        ELSE 0.0 END AS coverage
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
     }

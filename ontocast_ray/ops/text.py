@@ -620,3 +620,116 @@ def quality_classifier_score(
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+# --- bigram-coverage LM gate ------------------------------------------------
+
+
+def bigram_coverage(
+    docs: "ray.data.Dataset",
+    min_count: int = 3,
+    n_parts: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """→ (doc_id, n_bigrams, n_covered, coverage): integer-exact
+    LM-coverage quality gate — the CCNet-perplexity-filter shape without
+    a trained LM. A document's ``coverage`` is the fraction of its word
+    bigrams (with multiplicity) whose CORPUS-WIDE occurrence count is
+    ≥ ``min_count``; fluent in-distribution text scores high, gibberish
+    and OCR noise score low (their bigrams are corpus-rare).
+
+    Scale shape (100 TB audit): NO broadcast, NO driver collection — the
+    frequent-bigram set never materializes anywhere. Two coarse shuffles:
+    stage A partitions on ``bigram_hash % P`` so each hash's GLOBAL count
+    is computable inside one part (pandas transform), flipping rows to
+    per-doc partials; stage B sums partials on ``hash(doc_id) % P``. Rows
+    shuffled are per-(doc, bigram) pre-combined multiplicities, never the
+    token stream. All counts are int64; the single ``covered / total``
+    divide is the only float op (IEEE-identical to the SQL mirror).
+
+    Tokenization is the dedup rule (lower + whitespace split,
+    `_word_hashes_batch`); a doc with < 2 words emits a zero sentinel so
+    it still appears in the output with coverage 0.0.
+    """
+    from ontocast_ray.ops.dedup import (
+        _FNV_OFFSET0,
+        _FNV_PRIME0,
+        _word_hashes_batch,
+    )
+    from ontocast_ray.util import hash_partition
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        wh, ranges, _empty = _word_hashes_batch(texts)
+        doc_col, bh_col, mult_col = [], [], []
+        for i, (s, e) in enumerate(ranges):
+            nw = e - s
+            if nw < 2:
+                doc_col.append(np.array([ids[i]], dtype=np.int64))
+                bh_col.append(np.zeros(1, dtype=np.uint64))
+                mult_col.append(np.zeros(1, dtype=np.int64))
+                continue
+            with np.errstate(over="ignore"):
+                h = (_FNV_OFFSET0 ^ wh[s:e - 1]) * _FNV_PRIME0
+                h = (h ^ wh[s + 1:e]) * _FNV_PRIME0
+            ub, mult = np.unique(h, return_counts=True)
+            doc_col.append(np.full(len(ub), ids[i], dtype=np.int64))
+            bh_col.append(ub)
+            mult_col.append(mult.astype(np.int64))
+        doc = np.concatenate(doc_col) if doc_col else np.zeros(0, np.int64)
+        bh = np.concatenate(bh_col) if bh_col else np.zeros(0, np.uint64)
+        mult = np.concatenate(mult_col) if mult_col else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "bh": pa.array(bh.view(np.int64)),  # bit reinterpret, sign ok
+                "mult": pa.array(mult),
+                "part": pa.array(
+                    (bh % np.uint64(n_parts)).astype(np.int32)
+                ),
+            }
+        )
+
+    def count_part(df):
+        # all rows of a bigram hash are in this part -> transform is the
+        # GLOBAL count; mult=0 sentinels never clear min_count >= 1
+        tot = df.groupby("bh")["mult"].transform("sum")
+        nc = np.where(tot.to_numpy() >= min_count, df["mult"].to_numpy(), 0)
+        out = (
+            df.assign(nc=nc)
+            .groupby("doc_id", as_index=False)
+            .agg(n_bigrams=("mult", "sum"), n_covered=("nc", "sum"))
+        )
+        return out
+
+    partials = (
+        docs.map_batches(bigram_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_part, batch_format="pandas")
+    )
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dpart", pa.array(hash_partition(batch["doc_id"], n_parts))
+        )
+
+    def sum_doc(df):
+        g = (
+            df.groupby("doc_id", as_index=False)[["n_bigrams", "n_covered"]]
+            .sum()
+        )
+        nb = g["n_bigrams"].to_numpy()
+        nc = g["n_covered"].to_numpy()
+        cov = np.zeros(len(g), dtype=np.float64)
+        nz = nb > 0
+        cov[nz] = nc[nz].astype(np.float64) / nb[nz].astype(np.float64)
+        g["coverage"] = cov
+        return g
+
+    return (
+        partials.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(sum_doc, batch_format="pandas")
+    )

@@ -131,6 +131,7 @@ _SQL_GATED = [
         "split_assign",
         # heavier pipeline-level oracles (chained CTEs / iterative SQL)
         "corpus_interleave",
+        "bigram_coverage",
         "dsir_selected_docs",
         "incremental_dedup_new_docs",
         "kmeans_clusters",

@@ -2462,3 +2462,41 @@ def test_incremental_dedup_idempotent(ray_session):
         again,
         pd.DataFrame({"doc_id": [11, 13], "n_new_copies": [1, 1]}).astype("int64"),
     )
+
+
+def test_bigram_coverage_hand_fixture(ray_session):
+    """LM-coverage gate: corpus-frequent bigrams counted with multiplicity,
+    zero-bigram docs present with coverage 0.0, parallelism-invariant."""
+    import ray.data
+
+    from ontocast_ray.ops.text import bigram_coverage
+
+    # "a b" occurs 4x corpus-wide (>= 3 -> covered); every other bigram
+    # is unique (< 3 -> uncovered)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "a b a b c",    # bigrams: ab, ba, ab, bc -> covered 2/4
+            "a b x y",      # ab, bx, xy            -> covered 1/3
+            "a b",          # ab                    -> covered 1/1
+            "solo",         # no bigrams
+            None,           # no bigrams
+        ]),
+    })
+    expected = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "n_bigrams": [4, 3, 1, 0, 0],
+        "n_covered": [2, 1, 1, 0, 0],
+        "coverage": [0.5, 1 / 3, 1.0, 0.0, 0.0],
+    })
+    expected = expected.astype(
+        {"doc_id": "int64", "n_bigrams": "int64", "n_covered": "int64"}
+    )
+    for parts in (1, 4):
+        got = (
+            bigram_coverage(
+                ray.data.from_arrow(tbl).repartition(parts),
+                min_count=3, n_parts=4,
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expected)
