@@ -614,6 +614,91 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier_score(docs)
 
 
+def _q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous Label Propagation (3 rounds) over the
+    supplier↔customer bipartite graph — the graph-clustering step of
+    entity resolution (communities INSIDE the components CC finds).
+    Most-frequent-neighbour-label rule with smallest-label ties: no RNG,
+    no visit order, bit-replayable by the generated-CTE SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.graph_cc import label_propagation
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"],
+        n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"]
+        c = pc.add(b["o_custkey"], 1_000_000)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [pc.cast(s, pa.int64()).combine_chunks(),
+                     pc.cast(c, pa.int64()).combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [pc.cast(c, pa.int64()).combine_chunks(),
+                     pc.cast(s, pa.int64()).combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    return label_propagation(edges, n_iters=3, n_parts=16)
+
+
+def _lpa_sql(n_iters: int = 3) -> str:
+    """Generated-CTE SQL replay of deterministic synchronous LPA (the
+    Lloyd-k-means oracle pattern): same bipartite edges as pagerank,
+    same most-frequent/smallest-label adoption rule per round."""
+    parts = [
+        """pairs AS (
+            SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )""",
+        """edges AS (
+            SELECT s AS src, c + 1000000 AS dst FROM pairs
+            UNION ALL
+            SELECT c + 1000000 AS src, s AS dst FROM pairs
+        )""",
+        """nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        )""",
+        "lp0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(n_iters):
+        parts.append(f"""nb{i} AS (
+            SELECT e.src AS node, l.label, count(*) AS c
+            FROM edges e JOIN lp{i} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        )""")
+        parts.append(f"""w{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM nb{i}
+            ) WHERE rn = 1
+        )""")
+        parts.append(f"""lp{i + 1} AS (
+            SELECT l.node, COALESCE(w.label, l.label) AS label
+            FROM lp{i} l LEFT JOIN w{i} w USING (node)
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT node, label FROM lp{n_iters}"
+    )
+
+
 def _q_bigram_coverage(sf_dir: str):
     """Bigram-coverage LM gate (the CCNet-perplexity-filter shape without
     a trained LM): per-doc fraction of word bigrams whose corpus count
@@ -1904,6 +1989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selected_docs": _q_dsir_select,
         "incremental_dedup_new_docs": _q_incremental_dedup,
         "bigram_coverage": _q_bigram_coverage,
+        "lpa_communities": _q_lpa_communities,
     }
 
 
@@ -3152,4 +3238,5 @@ def _sql_oracles() -> dict[str, str]:
                         ELSE 0.0 END AS coverage
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
+        "lpa_communities": _lpa_sql(n_iters=3),
     }

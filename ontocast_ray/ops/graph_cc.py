@@ -561,3 +561,146 @@ def triangle_count(
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([n], type=pa.int64())})
     )
+
+
+def _local_label_propagation(
+    edges: "ray.data.Dataset", n_iters: int
+) -> "ray.data.Dataset":
+    """Small-graph path: vectorized pandas LPA on the driver. Same rule,
+    same output; each distributed round costs ~5 small shuffles of fixed
+    Ray overhead (measured 76 s for a 1 600-node graph at gate SF), and a
+    two-int64-column edge list below the threshold fits trivially in
+    driver memory."""
+    import pandas as pd
+    import ray
+
+    df = pd.concat(
+        [b.to_pandas() for b in edges.iter_batches(batch_format="pyarrow")],
+        ignore_index=True,
+    )
+    nodes = np.unique(df["src"].to_numpy())
+    lab = pd.Series(nodes, index=nodes)
+    for _ in range(n_iters):
+        votes = pd.DataFrame(
+            {"node": df["src"].to_numpy(),
+             "label": lab.reindex(df["dst"].to_numpy()).to_numpy()}
+        )
+        cnt = votes.groupby(["node", "label"], as_index=False).size()
+        cnt = cnt.sort_values(
+            ["node", "size", "label"], ascending=[True, False, True]
+        )
+        win = cnt.drop_duplicates("node", keep="first")
+        new = pd.Series(
+            win["label"].to_numpy(), index=win["node"].to_numpy()
+        ).reindex(nodes)
+        lab = new.fillna(lab).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, type=pa.int64()),
+                  "label": pa.array(lab.to_numpy(), type=pa.int64())})
+    )
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    n_iters: int = 3,
+    n_parts: int = 16,
+    small_edge_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """→ (node, label): deterministic synchronous Label Propagation
+    communities (Raghavan et al. 2007, made order-free): every node starts
+    as its own label; each round it adopts the label that is MOST FREQUENT
+    among its neighbours, ties broken by SMALLEST label; isolated nodes
+    keep their current label. Fixed ``n_iters`` synchronous rounds — no
+    RNG, no visit order — so any engine replays it bit-for-bit (the SQL
+    oracle iterates the same rule via generated CTEs, the Lloyd-k-means
+    pattern).
+
+    Distinct from `connected_components`: CC merges everything reachable;
+    LPA finds densely-connected communities INSIDE a component — the
+    graph-clustering step of entity-resolution at KG scale.
+
+    Input ``edges`` must carry both directions as (src, dst). Scale shape:
+    2 coarse shuffles per round — one `hash_join` to move labels onto
+    edges by dst, one ``hash(src) % P`` colocate where a pandas kernel
+    counts (node, label) votes and argmaxes all nodes of the part at
+    once. Labels materialize per round (2-column int64 rows, node-sized;
+    the O(V) carrier, never the edge list).
+
+    Below ``small_edge_limit`` edges the exact same rule runs vectorized
+    on the driver (`_local_label_propagation`) — the pagerank/union-find
+    bounded-fallback pattern: per-round fixed Ray overhead dwarfs the
+    work on small graphs. Pass ``small_edge_limit=0`` to force the
+    distributed path (the unit test does).
+    """
+    import pandas as pd
+    import ray
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.util import hash_partition
+
+    if small_edge_limit and edges.count() <= small_edge_limit:
+        return _local_label_propagation(edges, n_iters)
+
+    labels = distinct_on(
+        edges.map_batches(
+            lambda b: pa.table({"node": b["src"]}), batch_format="pyarrow"
+        ),
+        ["node"],
+        n_parts=n_parts,
+    ).map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+        nb = hash_join(
+            edges,
+            labels,
+            left_on="dst",
+            right_on="node",
+            left_cols=["src"],
+            right_cols=["label"],
+            n_parts=n_parts,
+        )  # (dst, src, label): one neighbour-label vote per edge
+
+        def vote_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["src"],
+                    "label": batch["label"],
+                    "is_old": pa.array(
+                        np.zeros(len(batch), dtype=np.int8)
+                    ),
+                    "part": pa.array(hash_partition(batch["src"], n_parts)),
+                }
+            )
+
+        def old_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": batch["label"],
+                    "is_old": pa.array(np.ones(len(batch), dtype=np.int8)),
+                    "part": pa.array(hash_partition(batch["node"], n_parts)),
+                }
+            )
+
+        def adopt(df: pd.DataFrame) -> pd.DataFrame:
+            votes = df[df["is_old"] == 0]
+            cnt = votes.groupby(["node", "label"], as_index=False).size()
+            cnt = cnt.sort_values(
+                ["node", "size", "label"], ascending=[True, False, True]
+            )
+            win = cnt.drop_duplicates("node", keep="first")[["node", "label"]]
+            old = df[df["is_old"] == 1][["node", "label"]]
+            keep_old = old[~old["node"].isin(win["node"])]
+            return pd.concat([win, keep_old], ignore_index=True)
+
+        labels = (
+            nb.map_batches(vote_rows, batch_format="pyarrow")
+            .union(labels.map_batches(old_rows, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(adopt, batch_format="pandas")
+            .materialize()
+        )
+    return labels

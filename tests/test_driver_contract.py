@@ -134,6 +134,7 @@ _SQL_GATED = [
         "bigram_coverage",
         "dsir_selected_docs",
         "incremental_dedup_new_docs",
+        "lpa_communities",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

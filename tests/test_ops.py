@@ -2500,3 +2500,61 @@ def test_bigram_coverage_hand_fixture(ray_session):
             ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, expected)
+
+
+def test_label_propagation_matches_pure_python(ray_session):
+    """Deterministic sync LPA: distributed result equals a pure-Python
+    replay of the most-frequent/smallest-label rule, at any parallelism;
+    two dense cliques joined by one bridge resolve to two communities."""
+    from collections import Counter, defaultdict
+
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import label_propagation
+
+    und = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3), (2, 3),     # clique A
+           (10, 11), (10, 12), (11, 12), (10, 13), (11, 13), (12, 13),
+           (3, 10),                                             # bridge
+           (20, 21)]                                            # tiny pair
+    edges = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+
+    def replay(n_iters):
+        adj = defaultdict(list)
+        for u, v in edges:
+            adj[u].append(v)
+        lab = {n: n for n in adj}
+        for _ in range(n_iters):
+            new = {}
+            for n in adj:
+                c = Counter(lab[v] for v in adj[n])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                # ties -> smallest label
+                top = max(c.values())
+                best = min(l for l, k in c.items() if k == top)
+                new[n] = best
+            lab = new
+        return lab
+
+    exp = replay(3)
+    exp_df = (
+        pd.DataFrame(sorted(exp.items()), columns=["node", "label"])
+        .astype("int64")
+    )
+    t = pa.table({
+        "src": pa.array([u for u, v in edges], type=pa.int64()),
+        "dst": pa.array([v for u, v in edges], type=pa.int64()),
+    })
+    # small_edge_limit=0 forces the DISTRIBUTED rounds (fallback escape
+    # hatch, the pagerank test pattern); default exercises the local path
+    for parts, limit in ((1, 0), (4, 0), (2, 2_000_000)):
+        got = (
+            label_propagation(
+                ray.data.from_arrow(t).repartition(parts),
+                n_iters=3, n_parts=4, small_edge_limit=limit,
+            ).to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp_df)
+    # communities: clique A collapses to label 0, clique B to 10
+    lab = dict(zip(exp_df["node"], exp_df["label"]))
+    assert {lab[n] for n in (0, 1, 2)} == {0}
+    assert {lab[n] for n in (11, 12, 13)} == {10}
