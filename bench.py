@@ -319,6 +319,71 @@ def run_bpe_packing() -> int:
     ).count()
 
 
+def run_dsir() -> int:
+    from ontocast_ray.ops.dsir import dsir_select
+
+    docs = _read("documents", columns=["doc_id", "text", "source"])
+    return dsir_select(docs, "src0", keep_frac=0.25).count()
+
+
+def run_bigram_coverage() -> int:
+    from ontocast_ray.ops.text import bigram_coverage
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return bigram_coverage(docs, min_count=3).count()
+
+
+def run_incremental_dedup() -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.dedup import incremental_dedup
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    odd = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    even = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    return incremental_dedup(odd, even).count()
+
+
+def run_label_propagation() -> int:
+    # supplier<->customer bipartite graph; forces the broadcast-carrier
+    # rounds (the scale path: edges never move) instead of the driver
+    # fallback the auto mode would pick at this size
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.graph_cc import label_propagation
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    li = _read("lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read("orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks()
+        c = pc.cast(
+            pc.add(b["o_custkey"], 1_000_000), pa.int64()
+        ).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([s, c]), "dst": pa.concat_arrays([c, s])}
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    return label_propagation(
+        edges, n_iters=3, n_parts=16, mode="broadcast"
+    ).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -467,6 +532,22 @@ def main() -> None:
     t = time.perf_counter()
     run_bpe_packing()
     extras["bpe_packing"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_dsir()
+    extras["dsir_select"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_bigram_coverage()
+    extras["bigram_coverage"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_incremental_dedup()
+    extras["incremental_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_label_propagation()
+    extras["label_propagation"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(

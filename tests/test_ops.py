@@ -2544,16 +2544,17 @@ def test_label_propagation_matches_pure_python(ray_session):
         "src": pa.array([u for u, v in edges], type=pa.int64()),
         "dst": pa.array([v for u, v in edges], type=pa.int64()),
     })
-    # small_edge_limit=0 forces the DISTRIBUTED rounds (fallback escape
-    # hatch, the pagerank test pattern); default exercises the local path
-    for parts, limit in ((1, 0), (4, 0), (2, 2_000_000)):
+    # all three paths (local fallback / broadcast carrier / full shuffle)
+    # implement the identical rule
+    for parts, mode in ((2, "local"), (1, "broadcast"), (4, "broadcast"),
+                        (4, "shuffle")):
         got = (
             label_propagation(
                 ray.data.from_arrow(t).repartition(parts),
-                n_iters=3, n_parts=4, small_edge_limit=limit,
+                n_iters=3, n_parts=4, mode=mode,
             ).to_pandas().sort_values("node").reset_index(drop=True)
         )
-        pd.testing.assert_frame_equal(got, exp_df)
+        pd.testing.assert_frame_equal(got, exp_df, obj=mode)
     # communities: clique A collapses to label 0, clique B to 10
     lab = dict(zip(exp_df["node"], exp_df["label"]))
     assert {lab[n] for n in (0, 1, 2)} == {0}
