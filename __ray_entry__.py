@@ -1881,6 +1881,36 @@ def _q_top_docs_per_source(sf_dir: str):
     return out.select_columns(["source", "doc_id", "n_chars", "rank"])
 
 
+def _q_url_dedup(sf_dir: str):
+    """URL-level dedup, the FIRST pass of every web-crawl curation stack
+    (CCNet/RefinedWeb/Dolma run it before any content dedup): synthesize
+    a deterministic crawl URL per doc (mixed-case scheme/host, www.
+    prefix, default :80 port, trailing slash, unsorted query params, a
+    utm_ tracking param, a fragment — mods 5/7/3/2 so distinct doc_ids
+    collide on the canonical form), canonicalize, keep min doc_id per
+    canonical URL. The oracle re-derives canonicalization INDEPENDENTLY
+    from the raw string with DuckDB regex/list functions. Shuffle
+    carries only (url_canon, min_id, count) combiner rows."""
+    from ontocast_ray.ops.urls import url_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(df):
+        d = df["doc_id"]
+        df["url"] = (
+            "HTTP://WWW.Site" + (d % 5).astype(str)
+            + ".Example.COM:80/p/" + (d % 7).astype(str)
+            + "/?b=" + (d % 3).astype(str)
+            + "&utm_source=feed&a=" + (d % 2).astype(str)
+            + "#s" + d.astype(str)
+        )
+        return df
+
+    return url_dedup(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1990,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_new_docs": _q_incremental_dedup,
         "bigram_coverage": _q_bigram_coverage,
         "lpa_communities": _q_lpa_communities,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -3239,4 +3270,56 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "url_dedup": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTP://WWW.Site' || (doc_id % 5)
+                       || '.Example.COM:80/p/' || (doc_id % 7)
+                       || '/?b=' || (doc_id % 3)
+                       || '&utm_source=feed&a=' || (doc_id % 2)
+                       || '#s' || doc_id AS url
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                           AS host,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)', 1)
+                           AS port,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
+                           AS path,
+                       regexp_extract(url, '\?([^#]*)', 1) AS q
+                FROM raw
+            ), qs AS (
+                SELECT *, array_to_string(list_sort(list_filter(
+                           string_split(q, '&'),
+                           x -> x <> '' AND NOT starts_with(x, 'utm_')
+                                AND NOT starts_with(x, 'fbclid')
+                                AND NOT starts_with(x, 'gclid'))), '&')
+                           AS qsorted
+                FROM p
+            ), canon AS (
+                SELECT doc_id,
+                       scheme || '://'
+                       || (CASE WHEN host LIKE 'www.%' THEN substr(host, 5)
+                                ELSE host END)
+                       || (CASE WHEN port <> '' AND NOT (
+                                    (scheme = 'http' AND port = '80') OR
+                                    (scheme = 'https' AND port = '443'))
+                                THEN ':' || port ELSE '' END)
+                       || (CASE WHEN regexp_replace(path, '/+$', '') = ''
+                                THEN '/'
+                                ELSE regexp_replace(path, '/+$', '') END)
+                       || (CASE WHEN qsorted <> '' THEN '?' || qsorted
+                                ELSE '' END) AS url_canon
+                FROM qs
+            )
+            SELECT min(doc_id) AS doc_id, url_canon,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM canon GROUP BY url_canon
+        """,
     }

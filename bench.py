@@ -326,6 +326,27 @@ def run_dsir() -> int:
     return dsir_select(docs, "src0", keep_frac=0.25).count()
 
 
+def run_url_dedup() -> int:
+    from ontocast_ray.ops.urls import url_dedup
+
+    docs = _read("documents", columns=["doc_id"])
+
+    def synth(df):
+        d = df["doc_id"]
+        df["url"] = (
+            "HTTP://WWW.Site" + (d % 97).astype(str)
+            + ".Example.COM:80/p/" + (d % 1009).astype(str)
+            + "/?b=" + (d % 31).astype(str)
+            + "&utm_source=feed&a=" + (d % 17).astype(str)
+            + "#s" + d.astype(str)
+        )
+        return df
+
+    return url_dedup(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=32
+    ).count()
+
+
 def run_bigram_coverage() -> int:
     from ontocast_ray.ops.text import bigram_coverage
 
@@ -540,6 +561,10 @@ def main() -> None:
     t = time.perf_counter()
     run_bigram_coverage()
     extras["bigram_coverage"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_url_dedup()
+    extras["url_dedup"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
     run_incremental_dedup()

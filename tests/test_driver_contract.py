@@ -135,6 +135,7 @@ _SQL_GATED = [
         "dsir_selected_docs",
         "incremental_dedup_new_docs",
         "lpa_communities",
+        "url_dedup",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

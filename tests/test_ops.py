@@ -2559,3 +2559,54 @@ def test_label_propagation_matches_pure_python(ray_session):
     lab = dict(zip(exp_df["node"], exp_df["label"]))
     assert {lab[n] for n in (0, 1, 2)} == {0}
     assert {lab[n] for n in (11, 12, 13)} == {10}
+
+
+def test_canonicalize_urls_rules(ray_session):
+    """Every normalization rule, plus unparseable passthrough."""
+    import pandas as pd
+
+    from ontocast_ray.ops.urls import canonicalize_urls, url_dedup
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/b/?z=2&utm_source=x&a=1#frag",
+         "http://example.com/a/b?a=1&z=2"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/a///", "http://example.com/a"),
+        ("http://example.com/?utm_campaign=c&fbclid=f&gclid=g",
+         "http://example.com/"),
+        ("http://sub.www.example.com/p", "http://sub.www.example.com/p"),
+        ("not a url at all", "not a url at all"),
+        ("ftp://Files.example.com:80/pub/", "ftp://files.example.com:80/pub"),
+    ]
+    import ray
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(cases)),
+                      "url": [c[0] for c in cases]})
+    )
+    got = (
+        canonicalize_urls(ds).to_pandas()
+        .sort_values("doc_id")["url_canon"].tolist()
+    )
+    assert got == [c[1] for c in cases]
+
+    # dedup keeps min id per canonical form with the right copy count
+    dup = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1],
+        "url": [
+            "http://www.a.com/x?utm_source=s",
+            "HTTP://A.COM:80/x/",
+            "http://a.com/x",
+            "http://b.com/y",
+        ],
+    })
+    out = (
+        url_dedup(ray.data.from_pandas(dup).repartition(3), n_parts=4)
+        .to_pandas().sort_values("url_canon").reset_index(drop=True)
+    )
+    assert out["url_canon"].tolist() == ["http://a.com/x", "http://b.com/y"]
+    assert out["doc_id"].tolist() == [3, 1]
+    assert out["n_copies"].tolist() == [3, 1]
