@@ -1911,6 +1911,17 @@ def _q_url_dedup(sf_dir: str):
     )
 
 
+def _q_token_windows(sf_dir: str):
+    """Overlapping fixed-size context windows (LM-eval striding: window
+    32, stride 16) per document — the non-concatenating alternative to
+    pack_sequences. Pure map fan-out, zero shuffles; every window's text
+    is byte-compared against the SQL list_slice mirror."""
+    from ontocast_ray.ops.packing import sliding_token_windows
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return sliding_token_windows(docs, window=32, stride=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2021,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coverage": _q_bigram_coverage,
         "lpa_communities": _q_lpa_communities,
         "url_dedup": _q_url_dedup,
+        "token_windows": _q_token_windows,
     }
 
 
@@ -3270,6 +3282,26 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "token_windows": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS w
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, w,
+                       unnest(range(0, len(w), 16)) AS s
+                FROM ws
+            )
+            SELECT doc_id,
+                   CAST(s / 16 AS BIGINT) AS win_idx,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(least(32, len(w) - s) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(w, s + 1, s + 32), ' ')
+                       AS window_text
+            FROM wins
+        """,
         "url_dedup": r"""
             WITH raw AS (
                 SELECT doc_id,

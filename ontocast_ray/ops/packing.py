@@ -171,3 +171,52 @@ def pack_token_meta(
         .groupby("part")
         .map_groups(_pack_partition, batch_format="pandas")
     )
+
+
+def sliding_token_windows(
+    docs: "ray.data.Dataset",
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """→ (doc_id, win_idx, start_tok, n_tokens, window_text): overlapping
+    fixed-size context windows per document — the LM-eval striding rule
+    (window starts at every multiple of ``stride`` while it is < the
+    doc's token count; the last windows may be short, nothing padded).
+    The alternative to `pack_sequences` when documents must NOT be
+    concatenated across boundaries (eval sets, retrieval corpora,
+    long-doc SFT).
+
+    Pure ``map_batches`` fan-out — zero shuffles, streams at any scale;
+    output size is ~``window/stride`` × the token stream, the caller's
+    knob. Tokenization is the `token_stats` whitespace rule so the SQL
+    mirror (``regexp_split_to_array`` + ``range(0, len, stride)`` +
+    ``list_slice``) reproduces every window byte-for-byte.
+    """
+
+    def kern(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_id, out_w, out_s, out_n, out_t = [], [], [], [], []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n = len(toks)
+            for w_idx, s in enumerate(range(0, n, stride)):
+                piece = toks[s:s + window]
+                out_id.append(ids[i])
+                out_w.append(w_idx)
+                out_s.append(s)
+                out_n.append(len(piece))
+                out_t.append(" ".join(piece))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "win_idx": pa.array(out_w, type=pa.int64()),
+                "start_tok": pa.array(out_s, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "window_text": pa.array(out_t, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(kern, batch_format="pyarrow")

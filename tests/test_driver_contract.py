@@ -136,6 +136,7 @@ _SQL_GATED = [
         "incremental_dedup_new_docs",
         "lpa_communities",
         "url_dedup",
+        "token_windows",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

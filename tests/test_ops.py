@@ -2610,3 +2610,39 @@ def test_canonicalize_urls_rules(ray_session):
     assert out["url_canon"].tolist() == ["http://a.com/x", "http://b.com/y"]
     assert out["doc_id"].tolist() == [3, 1]
     assert out["n_copies"].tolist() == [3, 1]
+
+
+def test_sliding_token_windows_rules(ray_session):
+    """Striding rule edge cases: empty doc (no rows), doc < window (one
+    short window), exact stride multiples, overlap content."""
+    import ray
+
+    from ontocast_ray.ops.packing import sliding_token_windows
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "",                                  # 0 tokens -> no windows
+            "a b c",                             # 3 tokens -> one window
+            " ".join(str(i) for i in range(8)),  # 8 tokens, w=4 s=2
+            " ".join(str(i) for i in range(4)),  # exactly one window
+        ],
+    })
+    out = (
+        sliding_token_windows(
+            ray.data.from_pandas(docs).repartition(2), window=4, stride=2
+        )
+        .to_pandas().sort_values(["doc_id", "win_idx"])
+        .reset_index(drop=True)
+    )
+    assert (out["doc_id"] == 0).sum() == 0
+    d1 = out[out["doc_id"] == 1]
+    assert d1["window_text"].tolist() == ["a b c", "c"]
+    assert d1["n_tokens"].tolist() == [3, 1]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["start_tok"].tolist() == [0, 2, 4, 6]
+    assert d2["window_text"].tolist() == [
+        "0 1 2 3", "2 3 4 5", "4 5 6 7", "6 7"
+    ]
+    d3 = out[out["doc_id"] == 3]
+    assert d3["window_text"].tolist() == ["0 1 2 3", "2 3"]
