@@ -1922,6 +1922,24 @@ def _q_token_windows(sf_dir: str):
     return sliding_token_windows(docs, window=32, stride=16)
 
 
+def _q_knn_ivf_recall(sf_dir: str):
+    """ANN index evaluation: per-query recall@10 of the IVF search (16
+    clusters, 4 probed) against the exact brute-force top-10 — the
+    metric every ANN deployment tunes against. Both sides are the
+    existing golden-backed searches; the recall join shuffles ≤ 2k rows
+    per query on a coarse query-hash key (seed-deterministic → golden)."""
+    from ontocast_ray.ops.similarity import knn_bruteforce, knn_ivf, knn_recall
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _query_vectors(emb)
+    approx = knn_ivf(
+        emb, queries, k=10, n_clusters=16, n_probe=4,
+        index_dir=_index_scratch(sf_dir, "ivf_recall"),
+    )
+    exact = knn_bruteforce(emb, queries, k=10)
+    return knn_recall(approx, exact, n_parts=8)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2033,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "url_dedup": _q_url_dedup,
         "token_windows": _q_token_windows,
+        "knn_ivf_recall10": _q_knn_ivf_recall,
     }
 
 
@@ -2061,6 +2080,7 @@ _GOLDEN_QUERIES = [
     "events_approx_distinct",
     "packed_bpe",
     "knn_ivf_join_top5",
+    "knn_ivf_recall10",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

@@ -904,3 +904,66 @@ def knn_join_ivf(
         return top[["query_id", "neighbor", "cosine", "rank"]]
 
     return _merged_topk(partial, _final)
+
+
+def knn_recall(
+    approx: "ray.data.Dataset",
+    exact: "ray.data.Dataset",
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (query_id, n_exact, n_hits, recall): per-query recall of an
+    approximate kNN result against the exact one — the evaluation step
+    every ANN deployment runs before trusting an index (recall@k is THE
+    quality metric for IVF/PQ/LSH tuning).
+
+    Both inputs are (query_col, id_col, ...) top-k tables, ≤ k rows per
+    query, so the one ``hash(query_id) % P`` coarse shuffle moves ~2k
+    rows per query regardless of corpus size; the per-part kernel is a
+    single vectorized pandas merge + groupby. Ties: membership is by id,
+    so two orderings of equal-distance neighbours score identically as
+    long as the id SET matches.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    def tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            q = batch[query_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    query_col: pa.array(q.astype(np.int64)),
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(q), side, dtype=np.int8)
+                    ),
+                    "part": pa.array(hash_partition(q, n_parts)),
+                }
+            )
+
+        return _t
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        a = df[df["side"] == 1][[query_col, id_col]]
+        e = df[df["side"] == 0][[query_col, id_col]]
+        n_exact = e.groupby(query_col).size()
+        hits = (
+            e.merge(a, on=[query_col, id_col], how="inner")
+            .groupby(query_col)
+            .size()
+        )
+        out = pd.DataFrame({
+            query_col: n_exact.index.to_numpy(),
+            "n_exact": n_exact.to_numpy().astype(np.int64),
+            "n_hits": hits.reindex(n_exact.index, fill_value=0)
+            .to_numpy().astype(np.int64),
+        })
+        out["recall"] = out["n_hits"] / out["n_exact"]
+        return out
+
+    tagged = approx.map_batches(tag(1), batch_format="pyarrow").union(
+        exact.map_batches(tag(0), batch_format="pyarrow")
+    )
+    return tagged.groupby("part").map_groups(score, batch_format="pandas")

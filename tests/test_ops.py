@@ -2646,3 +2646,39 @@ def test_sliding_token_windows_rules(ray_session):
     ]
     d3 = out[out["doc_id"] == 3]
     assert d3["window_text"].tolist() == ["0 1 2 3", "2 3"]
+
+
+def test_knn_recall_scoring(ray_session):
+    """Hand-built overlap: recall counts id-set hits per query; identical
+    inputs score 1.0 everywhere."""
+    import ray
+
+    from ontocast_ray.ops.similarity import knn_recall
+
+    exact = pd.DataFrame({
+        "query_id": [0, 0, 0, 1, 1, 1],
+        "vec_id": [10, 11, 12, 20, 21, 22],
+    })
+    approx = pd.DataFrame({
+        "query_id": [0, 0, 0, 1, 1, 1],
+        "vec_id": [10, 12, 99, 77, 88, 99],  # q0: 2/3 hit, q1: 0/3
+    })
+    out = (
+        knn_recall(
+            ray.data.from_pandas(approx).repartition(2),
+            ray.data.from_pandas(exact).repartition(3),
+            n_parts=4,
+        )
+        .to_pandas().sort_values("query_id").reset_index(drop=True)
+    )
+    assert out["n_exact"].tolist() == [3, 3]
+    assert out["n_hits"].tolist() == [2, 0]
+    assert out["recall"].tolist() == [2 / 3, 0.0]
+
+    self_score = (
+        knn_recall(
+            ray.data.from_pandas(exact), ray.data.from_pandas(exact),
+            n_parts=2,
+        ).to_pandas()
+    )
+    assert (self_score["recall"] == 1.0).all()
