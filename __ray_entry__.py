@@ -1940,6 +1940,31 @@ def _q_knn_ivf_recall(sf_dir: str):
     return knn_recall(approx, exact, n_parts=8)
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML→text extraction (the step before all text curation on web
+    crawls): synthesize an HTML page per doc (mixed-case tags, script/
+    nav/footer junk elements, attributes, entities), drop non-content
+    elements wholesale, strip tags, decode entities, collapse
+    whitespace. RE2-compatible patterns only, so the DuckDB
+    regexp_replace('gis') chain mirrors byte-for-byte."""
+    from ontocast_ray.ops.curation import html_extract_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        df["html"] = (
+            '<HTML><head><script>var x=1;</script></head><body>'
+            '<NAV id="n">menu</NAV><p class="a">'
+            + df["text"] + " &nbsp;&amp; more</p><br/>"
+            '<footer>(c) site</footer></body></html>'
+        )
+        return df[["doc_id", "html"]]
+
+    return html_extract_text(
+        docs.map_batches(synth, batch_format="pandas")
+    ).select_columns(["doc_id", "text"])
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2052,6 +2077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "token_windows": _q_token_windows,
         "knn_ivf_recall10": _q_knn_ivf_recall,
+        "html_extracted_text": _q_html_extract,
     }
 
 
@@ -3321,6 +3347,28 @@ def _sql_oracles() -> dict[str, str]:
                    array_to_string(list_slice(w, s + 1, s + 32), ' ')
                        AS window_text
             FROM wins
+        """,
+        "html_extracted_text": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       '<HTML><head><script>var x=1;</script></head><body>'
+                       || '<NAV id="n">menu</NAV><p class="a">' || text
+                       || ' &nbsp;&amp; more</p><br/>'
+                       || '<footer>(c) site</footer></body></html>' AS html
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '<(script|style|nav|header|footer|aside)\b[^>]*>.*?</(?:script|style|nav|header|footer|aside)>',
+                                   ' ', 'gis'),
+                               '<[^>]*>', ' ', 'gs'),
+                           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                           '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                       '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text
+            FROM raw
         """,
         "url_dedup": r"""
             WITH raw AS (

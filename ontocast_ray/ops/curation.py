@@ -27,6 +27,8 @@ the reference lacks, built Ray-Data-first:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -445,3 +447,53 @@ def normalize_text(
         return batch.append_column(out, arr)
 
     return docs.map_batches(_norm, batch_format="pyarrow")
+
+
+def html_extract_text(
+    docs: "ray.data.Dataset",
+    html_col: str = "html",
+    out_col: str = "text",
+    drop_elements: tuple[str, ...] = (
+        "script", "style", "nav", "header", "footer", "aside",
+    ),
+) -> "ray.data.Dataset":
+    """→ input + ``out_col``: visible text extracted from an HTML column —
+    the step BEFORE every text-curation pass on raw web crawls (CCNet /
+    RefinedWeb run trafilatura/jusText here; this is the regex-core of
+    that step: drop non-content elements wholesale, strip the remaining
+    tags, decode the common entities, collapse whitespace).
+
+    Pure map, zero shuffle; one compiled-regex pandas ``.str`` chain per
+    batch. Every pattern is RE2-compatible (no backreferences or
+    lookarounds) with explicit ASCII whitespace classes, so the DuckDB
+    mirror (``regexp_replace(..., 'gis')`` chain) reproduces the output
+    byte-for-byte. Full DOM-aware extraction (jusText block
+    classification) would slot in behind the same signature via an
+    actor-pool stage if a parser library is available.
+    """
+    drop_re = (
+        "<(" + "|".join(drop_elements) + r")\b[^>]*>.*?</(?:"
+        + "|".join(drop_elements) + ")>"
+    )
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        s = batch[html_col].to_pandas().fillna("")
+        s = (
+            s.str.replace(drop_re, " ", regex=True, flags=re.S | re.I)
+            .str.replace(r"<[^>]*>", " ", regex=True)
+            .str.replace("&nbsp;", " ", regex=False)
+            .str.replace("&amp;", "&", regex=False)
+            .str.replace("&lt;", "<", regex=False)
+            .str.replace("&gt;", ">", regex=False)
+            .str.replace("&quot;", '"', regex=False)
+            .str.replace("&#39;", "'", regex=False)
+            .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        arr = pa.Array.from_pandas(s, type=pa.string())
+        if out_col in batch.column_names:
+            i = batch.column_names.index(out_col)
+            return batch.set_column(i, out_col, arr)
+        return batch.append_column(out_col, arr)
+
+    return docs.map_batches(_extract, batch_format="pyarrow")

@@ -137,6 +137,7 @@ _SQL_GATED = [
         "lpa_communities",
         "url_dedup",
         "token_windows",
+        "html_extracted_text",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2682,3 +2682,33 @@ def test_knn_recall_scoring(ray_session):
         ).to_pandas()
     )
     assert (self_score["recall"] == 1.0).all()
+
+
+def test_html_extract_text_rules(ray_session):
+    """Drop-element, tag-strip, entity-decode, collapse rules — including
+    mixed-case tags, attributes, multiline dropped content."""
+    import ray
+
+    from ontocast_ray.ops.curation import html_extract_text
+
+    cases = [
+        ('<html><body><p>hello <b>world</b></p></body></html>',
+         "hello world"),
+        ('<SCRIPT type="x">var a;\nvar b;</script>keep', "keep"),
+        ('<NAV id="n">menu\nitems</NAV>body <footer>foot</footer>',
+         "body"),
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+         'a & b <c> "d" \'e\' f'),
+        ("  spaced   \t out \n text  ", "spaced out text"),
+        ("<style>p{}</style><aside>x</aside><header>h</header>ok", "ok"),
+    ]
+    out = (
+        html_extract_text(
+            ray.data.from_pandas(
+                pd.DataFrame({"doc_id": range(len(cases)),
+                              "html": [c[0] for c in cases]})
+            ).repartition(2)
+        )
+        .to_pandas().sort_values("doc_id")["text"].tolist()
+    )
+    assert out == [c[1] for c in cases]
