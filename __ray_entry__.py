@@ -1965,6 +1965,42 @@ def _q_html_extract(sf_dir: str):
     ).select_columns(["doc_id", "text"])
 
 
+def _q_blocked_domains(sf_dir: str):
+    """Domain-blocklist filter (the content-policy step right after URL
+    canonicalization): synthesized hosts — 3 of 4 docs on
+    www.site{d%5}.example.com, 1 of 4 on a.b.example.org — filtered
+    against {site1.example.com, example.org}; the blocklist closure must
+    drop the deep subdomain via the parent-domain rule. Broadcast-small
+    blocklist, vectorized isin, zero shuffles; oracle re-parses the raw
+    URL and re-derives suffix membership in SQL."""
+    from ontocast_ray.ops.urls import filter_blocked_domains
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(df):
+        d = df["doc_id"]
+        site = "WWW.Site" + (d % 5).astype(str) + ".Example.COM"
+        host = site.where(d % 4 != 3, "a.b.Example.ORG")
+        df["url"] = "http://" + host + "/p/" + d.astype(str)
+        return df
+
+    return filter_blocked_domains(
+        docs.map_batches(synth, batch_format="pandas"),
+        {"site1.example.com", "example.org"},
+    )
+
+
+def _q_diversity_stats(sf_dir: str):
+    """Lexical-diversity quality signals (type-token ratio +
+    distinct-trigram fraction — the inverse of Gopher's repetition
+    rules): pure vectorized map over FNV word hashes, zero shuffles;
+    integer counts, two IEEE divides, SQL list_distinct mirror."""
+    from ontocast_ray.ops.text import diversity_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(diversity_stats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2078,6 +2114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_windows": _q_token_windows,
         "knn_ivf_recall10": _q_knn_ivf_recall,
         "html_extracted_text": _q_html_extract,
+        "blocked_domain_survivors": _q_blocked_domains,
+        "diversity_stats": _q_diversity_stats,
     }
 
 
@@ -3369,6 +3407,76 @@ def _sql_oracles() -> dict[str, str]:
                            '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
                        '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text
             FROM raw
+        """,
+        "blocked_domain_survivors": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'http://' ||
+                       (CASE WHEN doc_id % 4 <> 3
+                             THEN 'WWW.Site' || (doc_id % 5)
+                                  || '.Example.COM'
+                             ELSE 'a.b.Example.ORG' END)
+                       || '/p/' || doc_id AS url
+                FROM documents
+            ), hosts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                           AS h0
+                FROM raw
+            ), norm AS (
+                SELECT doc_id, url,
+                       CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5)
+                            ELSE h0 END AS host
+                FROM hosts
+            ), lab AS (
+                SELECT *, string_split(host, '.') AS ls,
+                       len(string_split(host, '.')) AS nl
+                FROM norm
+            )
+            SELECT doc_id, url FROM lab
+            WHERE NOT (
+                host IN ('site1.example.com', 'example.org')
+                OR (nl > 2 AND array_to_string(
+                        list_slice(ls, nl - 1, nl), '.')
+                    IN ('site1.example.com', 'example.org'))
+                OR (nl > 3 AND array_to_string(
+                        list_slice(ls, nl - 2, nl), '.')
+                    IN ('site1.example.com', 'example.org'))
+                OR (nl > 4 AND array_to_string(
+                        list_slice(ls, nl - 3, nl), '.')
+                    IN ('site1.example.com', 'example.org'))
+            )
+        """,
+        "diversity_stats": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)),
+                                                       '\s+')
+                       END AS w
+                FROM documents
+            ), tri AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) >= 3
+                            THEN list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                            ELSE []::VARCHAR[] END AS t
+                FROM ws
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+                   CASE WHEN n > 0
+                        THEN CAST(len(list_distinct(w)) AS DOUBLE) / n
+                        ELSE 0.0 END AS ttr,
+                   CAST(len(t) AS BIGINT) AS n_trigrams,
+                   CAST(len(list_distinct(t)) AS BIGINT)
+                       AS n_distinct_trigrams,
+                   CASE WHEN len(t) > 0
+                        THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                        ELSE 0.0 END AS distinct_trigram_frac
+            FROM tri
         """,
         "url_dedup": r"""
             WITH raw AS (

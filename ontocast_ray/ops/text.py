@@ -733,3 +733,58 @@ def bigram_coverage(
         .groupby("dpart")
         .map_groups(sum_doc, batch_format="pandas")
     )
+
+
+def diversity_stats(batch: pa.Table) -> pa.Table:
+    """→ (doc_id, n_tokens, n_distinct, ttr, n_trigrams,
+    n_distinct_trigrams, distinct_trigram_frac): lexical-diversity
+    quality signals — type-token ratio and the distinct-trigram fraction
+    (the inverse of Gopher's repetition signals: LOW diversity flags
+    boilerplate/spam even when no single n-gram dominates).
+
+    Pure vectorized map (numpy unique per doc over the shared
+    word-hash explode), zero shuffles. Integer counts; the two divides
+    are the only float ops (IEEE-identical to the SQL
+    ``list_distinct``/``list_transform`` mirror). Tokenization is the
+    dedup rule (lower + whitespace split). Docs with < 3 tokens have 0
+    trigrams and distinct_trigram_frac 0.0; empty docs get ttr 0.0.
+    """
+    from ontocast_ray.ops.dedup import (
+        _FNV_OFFSET0,
+        _FNV_PRIME0,
+        _word_hashes_batch,
+    )
+
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n_tok = np.zeros(len(texts), dtype=np.int64)
+    n_dis = np.zeros(len(texts), dtype=np.int64)
+    n_tri = np.zeros(len(texts), dtype=np.int64)
+    n_dtri = np.zeros(len(texts), dtype=np.int64)
+    wh, ranges, _empty = _word_hashes_batch(texts)
+    for i, (s, e) in enumerate(ranges):
+        n = e - s
+        n_tok[i] = n
+        if n == 0:
+            continue
+        n_dis[i] = len(np.unique(wh[s:e]))
+        if n >= 3:
+            with np.errstate(over="ignore"):
+                h = (_FNV_OFFSET0 ^ wh[s:e - 2]) * _FNV_PRIME0
+                h = (h ^ wh[s + 1:e - 1]) * _FNV_PRIME0
+                h = (h ^ wh[s + 2:e]) * _FNV_PRIME0
+            n_tri[i] = n - 2
+            n_dtri[i] = len(np.unique(h))
+    ttr = np.where(n_tok > 0, n_dis / np.maximum(n_tok, 1), 0.0)
+    tfrac = np.where(n_tri > 0, n_dtri / np.maximum(n_tri, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dis),
+            "ttr": pa.array(ttr),
+            "n_trigrams": pa.array(n_tri),
+            "n_distinct_trigrams": pa.array(n_dtri),
+            "distinct_trigram_frac": pa.array(tfrac),
+        }
+    )

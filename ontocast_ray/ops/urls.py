@@ -162,3 +162,42 @@ def url_dedup(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def filter_blocked_domains(
+    docs: "ray.data.Dataset",
+    blocked_domains: "set[str] | frozenset[str]",
+    url_col: str = "url",
+    max_labels: int = 4,
+) -> "ray.data.Dataset":
+    """→ survivors: drop rows whose URL host — or ANY parent domain up to
+    ``max_labels`` labels — is in the blocklist (so blocking
+    ``example.com`` also blocks ``a.b.example.com``). The content-policy
+    filter every crawl pipeline runs right after URL canonicalization.
+
+    The blocklist is a closure-captured frozenset — Ray ships it once
+    per task via the object store (broadcast-small side, the documented
+    contract: real blocklists are a few M entries / tens of MB). Hosts
+    are parsed with the canonicalization regex and membership-tested per
+    suffix level with vectorized ``Series.isin`` — no per-row Python, no
+    shuffle; rows with unparseable URLs survive (fail-open, same
+    pass-through contract as `canonicalize_urls`).
+    """
+    blocked = frozenset(b.lower() for b in blocked_domains)
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        urls = df[url_col].astype("string").astype(object)
+        host = urls.str.extract(_URL_RE)["host"].str.lower()
+        host = host.mask(
+            host.str.startswith("www.", na=False), host.str.slice(4)
+        )
+        bad = host.isin(blocked).fillna(False).to_numpy(dtype=bool)
+        labels = host.fillna("").str.split(".")
+        for k in range(2, max_labels + 1):
+            suffix = labels.map(
+                lambda ls, k=k: ".".join(ls[-k:]) if len(ls) > k else ""
+            )
+            bad |= suffix.isin(blocked).to_numpy(dtype=bool)
+        return df[~bad]
+
+    return docs.map_batches(kern, batch_format="pandas")

@@ -138,6 +138,8 @@ _SQL_GATED = [
         "url_dedup",
         "token_windows",
         "html_extracted_text",
+        "blocked_domain_survivors",
+        "diversity_stats",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

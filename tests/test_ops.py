@@ -2712,3 +2712,57 @@ def test_html_extract_text_rules(ray_session):
         .to_pandas().sort_values("doc_id")["text"].tolist()
     )
     assert out == [c[1] for c in cases]
+
+
+def test_filter_blocked_domains_closure(ray_session):
+    """Exact host, parent-domain closure, www-stripping, fail-open on
+    unparseable URLs."""
+    import ray
+
+    from ontocast_ray.ops.urls import filter_blocked_domains
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "url": [
+            "http://bad.com/x",             # exact block
+            "http://www.bad.com/x",         # www-stripped -> exact block
+            "http://deep.sub.bad.com/x",    # parent-domain closure
+            "http://good.com/x",            # survives
+            "http://notbad.com/x",          # substring is NOT a match
+            "garbage",                      # unparseable -> fail-open
+        ],
+    })
+    out = (
+        filter_blocked_domains(
+            ray.data.from_pandas(df).repartition(2), {"bad.com"}
+        ).to_pandas().sort_values("doc_id")["doc_id"].tolist()
+    )
+    assert out == [3, 4, 5]
+
+
+def test_diversity_stats_values(ray_session):
+    """TTR and distinct-trigram fraction on hand-computable docs."""
+    import ray
+
+    from ontocast_ray.ops.text import diversity_stats
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a b c d",          # 4 tokens, all distinct, 2 distinct tris
+            "a a a a a",        # 5 tokens 1 distinct; 3 tris 1 distinct
+            "x Y",              # 2 tokens (case-folded), no trigrams
+            "",                 # empty
+        ],
+    })
+    out = (
+        ray.data.from_pandas(df).repartition(2)
+        .map_batches(diversity_stats, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [4, 5, 2, 0]
+    assert out["n_distinct"].tolist() == [4, 1, 2, 0]
+    assert out["ttr"].tolist() == [1.0, 0.2, 1.0, 0.0]
+    assert out["n_trigrams"].tolist() == [2, 3, 0, 0]
+    assert out["n_distinct_trigrams"].tolist() == [2, 1, 0, 0]
+    assert out["distinct_trigram_frac"].tolist() == [1.0, 1 / 3, 0.0, 0.0]
