@@ -2001,6 +2001,65 @@ def _q_diversity_stats(sf_dir: str):
     return docs.map_batches(diversity_stats, batch_format="pyarrow")
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Corpus snapshot diff (crawl-over-crawl accounting): 'old' = docs
+    with id%3≠0, 'new' = id%2≠0; a FULL OUTER hash join on doc_id labels
+    every doc added/removed/both, then a tiny 3-key rollup of counts and
+    retained chars. Exercises the full-outer mode of the partitioned
+    hash join (both-side null payloads)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def side(mod: int, flag_col: str, keep_chars: bool):
+        def _s(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy(zero_copy_only=False) % mod) != 0
+            f = b.filter(pa.array(m))
+            cols = {"doc_id": f["doc_id"]}
+            if keep_chars:
+                cols["old_chars"] = f["n_chars"]
+            cols[flag_col] = pa.array(np.ones(len(f), dtype=np.int64))
+            return pa.table(cols)
+
+        return _s
+
+    old = docs.map_batches(side(3, "old_flag", True), batch_format="pyarrow")
+    new = docs.map_batches(side(2, "new_flag", False), batch_format="pyarrow")
+    joined = hash_join(
+        old, new, left_on="doc_id", right_on="doc_id",
+        left_cols=["old_chars", "old_flag"], right_cols=["new_flag"],
+        how="full", n_parts=16,
+    )
+
+    def label(df):
+        import pandas as pd
+
+        o = df["old_flag"].notna().to_numpy()
+        n = df["new_flag"].notna().to_numpy()
+        status = np.where(o & n, "both", np.where(o, "removed", "added"))
+        chars = df["old_chars"].fillna(0).astype("int64").to_numpy()
+        part = pd.DataFrame({"status": status, "chars": chars})
+        return part.groupby("status", as_index=False).agg(
+            n_docs=("chars", "size"), old_chars_total=("chars", "sum")
+        )
+
+    def merge(g):
+        out = g.groupby("status", as_index=False).agg(
+            n_docs=("n_docs", "sum"), old_chars_total=("old_chars_total", "sum")
+        )
+        return out
+
+    return (
+        joined.map_batches(label, batch_format="pandas")
+        .groupby("status")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2116,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extracted_text": _q_html_extract,
         "blocked_domain_survivors": _q_blocked_domains,
         "diversity_stats": _q_diversity_stats,
+        "corpus_diff": _q_corpus_diff,
     }
 
 
@@ -3477,6 +3537,23 @@ def _sql_oracles() -> dict[str, str]:
                         THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
                         ELSE 0.0 END AS distinct_trigram_frac
             FROM tri
+        """,
+        "corpus_diff": r"""
+            WITH old AS (
+                SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 <> 0
+            ), new AS (
+                SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+            ), lab AS (
+                SELECT CASE WHEN o.doc_id IS NOT NULL
+                                 AND n.doc_id IS NOT NULL THEN 'both'
+                            WHEN o.doc_id IS NOT NULL THEN 'removed'
+                            ELSE 'added' END AS status,
+                       COALESCE(o.n_chars, 0) AS chars
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            )
+            SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(chars) AS BIGINT) AS old_chars_total
+            FROM lab GROUP BY status
         """,
         "url_dedup": r"""
             WITH raw AS (

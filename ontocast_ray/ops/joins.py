@@ -199,8 +199,10 @@ def hash_join(
 
     from ontocast_ray.util import hash_partition
 
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(
+            "how must be 'inner', 'left', 'full', 'semi' or 'anti'"
+        )
     if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins return left columns only")
     _lsch, _rsch = left.schema(), right.schema()
@@ -243,6 +245,12 @@ def hash_join(
         for c in rcols
         if pa.types.is_integer(_rtypes[c])
     }
+    # full outer: left payload is nullable too (right-only rows)
+    _lcast_post = (
+        {c: "Int64" for c in lcols if pa.types.is_integer(_ltypes[c])}
+        if how == "full"
+        else {}
+    )
     _kcast = (
         {left_on: _ltypes[left_on].to_pandas_dtype()}
         if pa.types.is_integer(_ltypes[left_on])
@@ -252,16 +260,19 @@ def hash_join(
     def kernel(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["_side"] == 0][[left_on, *lcols]]
         rhs = group[group["_side"] == 1][[left_on, *rcols]]
-        if lhs.empty:
+        if lhs.empty and how != "full":
             return lhs.assign(**{c: rhs[c].head(0) for c in rcols})
-        lhs = lhs.astype({**_kcast, **_lcast})
+        if not lhs.empty:
+            lhs = lhs.astype({**_kcast, **_lcast})
         if how in ("semi", "anti"):
             mask = lhs[left_on].isin(rhs[left_on])
             out = lhs[mask if how == "semi" else ~mask]
             return out.reset_index(drop=True)
-        merged = pd.merge(lhs, rhs, on=left_on, how=how)
-        if _rcast:
-            merged = merged.astype(_rcast)
+        merged = pd.merge(
+            lhs, rhs, on=left_on, how="outer" if how == "full" else how
+        )
+        if _rcast or _lcast_post:
+            merged = merged.astype({**_rcast, **_lcast_post})
         return merged.reset_index(drop=True)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(

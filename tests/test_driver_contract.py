@@ -140,6 +140,7 @@ _SQL_GATED = [
         "html_extracted_text",
         "blocked_domain_survivors",
         "diversity_stats",
+        "corpus_diff",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

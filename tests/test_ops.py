@@ -2766,3 +2766,27 @@ def test_diversity_stats_values(ray_session):
     assert out["n_trigrams"].tolist() == [2, 3, 0, 0]
     assert out["n_distinct_trigrams"].tolist() == [2, 1, 0, 0]
     assert out["distinct_trigram_frac"].tolist() == [1.0, 1 / 3, 0.0, 0.0]
+
+
+def test_hash_join_full_outer(ray_session):
+    """Full outer: unmatched rows from BOTH sides survive with null
+    payloads; matched keys cross-product."""
+    import ray
+
+    from ontocast_ray.ops.joins import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3], "lv": [10, 20, 21, 30]})
+    right = pd.DataFrame({"k": [2, 4], "rv": [200, 400]})
+    out = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right).repartition(2),
+            left_on="k", right_on="k",
+            left_cols=["lv"], right_cols=["rv"],
+            how="full", n_parts=4,
+        )
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 2, 3, 4]
+    assert out["lv"].fillna(-1).astype(int).tolist() == [10, 20, 21, 30, -1]
+    assert out["rv"].fillna(-1).astype(int).tolist() == [-1, 200, 200, -1, 400]
