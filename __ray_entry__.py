@@ -2060,6 +2060,19 @@ def _q_corpus_diff(sf_dir: str):
     )
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-scaled language mixing (XLM-R rule, T=0.5): per-lang
+    keep rate min(1, 10/sqrt(c)) damps the English head and keeps the
+    tail whole; splitmix Bernoulli draws, zero shuffles, BIT-exact SQL
+    mirror (sqrt/divide are IEEE-correctly-rounded in both engines)."""
+    from ontocast_ray.ops.interleave import temperature_mix
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return temperature_mix(
+        docs, group_col="lang", k_scale=10.0, temperature=0.5, seed=33
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2176,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocked_domain_survivors": _q_blocked_domains,
         "diversity_stats": _q_diversity_stats,
         "corpus_diff": _q_corpus_diff,
+        "temperature_mixed_docs": _q_temperature_mix,
     }
 
 
@@ -3554,6 +3568,21 @@ def _sql_oracles() -> dict[str, str]:
             SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(chars) AS BIGINT) AS old_chars_total
             FROM lab GROUP BY status
+        """,
+        "temperature_mixed_docs": f"""
+            WITH {_splitmix_sql(33)},
+            cnt AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang
+            ), r AS (
+                SELECT lang,
+                       least(1.0, 10.0 / sqrt(CAST(c AS DOUBLE))) AS rate
+                FROM cnt
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            JOIN mixed m USING (doc_id) JOIN r USING (lang)
+            WHERE m.u < r.rate
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -176,3 +176,65 @@ def rebalance_sample(
         return batch.filter(pa.array(u < r))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def temperature_mix(
+    docs: "ray.data.Dataset",
+    group_col: str,
+    k_scale: float,
+    temperature: float = 0.5,
+    seed: int = 33,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Temperature-scaled source mixing (the XLM-R / multilingual-LLM
+    rule: sampling mass ∝ count^T, so big sources are damped and tail
+    sources up-weighted): each group keeps rows at rate
+    ``min(1, k_scale · c^(T-1))`` — expected survivors k_scale·c^T.
+    ``k_scale`` is the user's volume knob (rate hits 1.0 for groups with
+    c ≤ k_scale^(1/(1-T)) — the tail is never upsampled, matching
+    Bernoulli thinning semantics).
+
+    Two passes: a map-combined count pass streams ≤ |groups| rows per
+    block to the driver (groups are languages/sources — broadcast-small
+    by definition), then `rebalance_sample`'s pure-map splitmix draw.
+    Zero shuffles, parallelism-invariant. At T=0.5 the rate is
+    ``k/sqrt(c)`` — sqrt and divide are IEEE-correctly-rounded in both
+    numpy and DuckDB, so the SQL mirror is BIT-exact; other temperatures
+    go through ``pow`` (same libm here, but not a rounding guarantee).
+    """
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = (
+            pd.Series(batch[group_col].to_pandas())
+            .value_counts()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(vc.index.to_numpy().astype(object)),
+                "c": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    acc: dict[str, int] = {}
+    for part in docs.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).iter_batches(batch_format="pandas", batch_size=None):
+        for g, c in zip(part[group_col], part["c"]):
+            acc[g] = acc.get(g, 0) + int(c)
+
+    rates = {}
+    for g, c in acc.items():
+        if temperature == 0.5:
+            r = k_scale / math.sqrt(float(c))
+        else:
+            r = k_scale * float(c) ** (temperature - 1.0)
+        rates[g] = min(1.0, r)
+
+    return rebalance_sample(
+        docs, rate_col=group_col, rates=rates, default_rate=1.0,
+        seed=seed, id_col=id_col,
+    )

@@ -141,6 +141,7 @@ _SQL_GATED = [
         "blocked_domain_survivors",
         "diversity_stats",
         "corpus_diff",
+        "temperature_mixed_docs",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

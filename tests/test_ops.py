@@ -2790,3 +2790,41 @@ def test_hash_join_full_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 2, 3, 4]
     assert out["lv"].fillna(-1).astype(int).tolist() == [10, 20, 21, 30, -1]
     assert out["rv"].fillna(-1).astype(int).tolist() == [-1, 200, 200, -1, 400]
+
+
+def test_temperature_mix_rates(ray_session):
+    """T=0.5 rate law: group with c <= k^2 keeps everything; a bigger
+    group thins at k/sqrt(c); survivors are exactly the splitmix rule."""
+    import math
+
+    import ray
+
+    from ontocast_ray.ops.interleave import splitmix64, temperature_mix
+
+    n_big, n_small = 400, 9
+    df = pd.DataFrame({
+        "doc_id": range(n_big + n_small),
+        "g": ["big"] * n_big + ["small"] * n_small,
+    })
+    out = (
+        temperature_mix(
+            ray.data.from_pandas(df).repartition(3),
+            group_col="g", k_scale=3.0, temperature=0.5, seed=7,
+        ).to_pandas().sort_values("doc_id")
+    )
+    # small group: rate = min(1, 3/3) = 1.0 -> all 9 survive
+    assert (out["g"] == "small").sum() == n_small
+    # big group: exact replay of the Bernoulli rule
+    ids = np.arange(n_big, dtype=np.uint64)
+    u = splitmix64(ids, seed=7).astype(np.float64) / float(2**64)
+    rate = min(1.0, 3.0 / math.sqrt(float(n_big)))
+    exp_big = set(np.nonzero(u < rate)[0].tolist())
+    assert set(out[out["g"] == "big"]["doc_id"]) == exp_big
+    # parallelism invariance
+    out2 = (
+        temperature_mix(
+            ray.data.from_pandas(df).repartition(7),
+            group_col="g", k_scale=3.0, temperature=0.5, seed=7,
+        ).to_pandas().sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == out2["doc_id"].tolist()
