@@ -2073,6 +2073,18 @@ def _q_temperature_mix(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (nearest-class-mean prototypes),
+    integer-quantized floor(v·2^20) BEFORE summing so int64 sums are
+    order-free and exact in both engines — the float-sum-order trap the
+    repo's oracle rules forbid. Map-side np.add.at partials, one coarse
+    label%P shuffle."""
+    from ontocast_ray.ops.features import label_centroids
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return label_centroids(emb, n_parts=8)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2190,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_stats": _q_diversity_stats,
         "corpus_diff": _q_corpus_diff,
         "temperature_mixed_docs": _q_temperature_mix,
+        "label_centroids": _q_label_centroids,
     }
 
 
@@ -3583,6 +3596,19 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d
             JOIN mixed m USING (doc_id) JOIN r USING (lang)
             WHERE m.u < r.rate
+        """,
+        "label_centroids": r"""
+            WITH f AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       unnest(embedding) AS v,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings
+            )
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576.0)
+                                 AS BIGINT)) AS BIGINT) AS qsum,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM f GROUP BY label, dim
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -247,3 +247,63 @@ def mad_outliers(
         .groupby("part")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+def label_centroids(
+    embeddings: "ray.data.Dataset",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+    n_parts: int = 8,
+) -> "ray.data.Dataset":
+    """→ (label, dim, qsum, n_vecs): per-label centroid sums of an
+    embedding column, INTEGER-quantized so the result is order-free and
+    exactly reproducible (the class-prototype step of contrastive /
+    nearest-class-mean pipelines; centroid[dim] = qsum / (n_vecs·scale)).
+
+    Each component is quantized ``floor(v · scale)`` BEFORE summing —
+    float sums are order-dependent (Ray's block order vs SQL's scan
+    order would drift in the last ulp), int64 sums are exact in any
+    order; floor (unlike round) has identical semantics in numpy and
+    DuckDB. Map-side ``np.add.at`` partials emit ≤ |labels|·dim rows per
+    block; one coarse ``label % P`` shuffle finishes. The label space is
+    class-small by contract (the group-cardinality analogue of
+    `pivot_counts`); dims are the vector width.
+    """
+    from ontocast_ray.util import vectors_2d
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        q = np.floor(vecs * float(scale)).astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(ul))),
+                "qsum": pa.array(sums.ravel()),
+                "n_vecs": pa.array(np.repeat(counts, d)),
+                "part": pa.array((np.repeat(ul, d) % n_parts).astype(
+                    np.int32
+                )),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["label", "dim"], as_index=False).agg(
+            qsum=("qsum", "sum"), n_vecs=("n_vecs", "sum")
+        )
+        return out
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

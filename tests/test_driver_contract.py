@@ -142,6 +142,7 @@ _SQL_GATED = [
         "diversity_stats",
         "corpus_diff",
         "temperature_mixed_docs",
+        "label_centroids",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2828,3 +2828,41 @@ def test_temperature_mix_rates(ray_session):
         ).to_pandas().sort_values("doc_id")
     )
     assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+def test_label_centroids_exact(ray_session):
+    """Quantized sums equal a single-process replay at any partitioning;
+    centroid reconstruction matches the raw mean within quantization."""
+    import ray
+
+    from ontocast_ray.ops.features import label_centroids
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table({
+        "label": pa.array(labels, type=pa.int32()),
+        "embedding": pa.array(
+            [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+        ),
+    })
+    exp_q = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+    for parts in (1, 5):
+        out = (
+            label_centroids(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+        )
+        assert len(out) == 3 * d
+        for lab in range(3):
+            mask = labels == lab
+            got = out[out["label"] == lab]
+            assert (got["n_vecs"] == mask.sum()).all()
+            assert got["qsum"].to_numpy().tolist() == exp_q[mask].sum(
+                axis=0
+            ).tolist()
+        # centroid within quantization error of the float mean
+        cent = out[out["label"] == 0]["qsum"].to_numpy() / (
+            (labels == 0).sum() * float(1 << 20)
+        )
+        assert np.allclose(cent, vecs[labels == 0].mean(axis=0), atol=1e-5)
