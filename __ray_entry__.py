@@ -2085,6 +2085,57 @@ def _q_label_centroids(sf_dir: str):
     return label_centroids(emb, n_parts=8)
 
 
+def _q_incremental_neardup(sf_dir: str):
+    """Incremental MinHash near-dup (the daily-crawl shape for NEAR
+    duplicates): the 'new batch' = odd docs plus lightly-edited recrawls
+    of id%10==0 docs (text + 3 appended words, Jaccard ≈0.9 vs the even
+    originals in the index); candidates are cross-side LSH bucket pairs
+    (32 bands × 2 rows — recall ~1 at J≥0.8 even at sf0.001), verified
+    by the exact distributed shingle-Jaccard join. The index is probed,
+    never re-deduped against itself."""
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.dedup import (
+        incremental_minhash_candidates,
+        ngram_jaccard_verify,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    index = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+
+    def _recrawl(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = (b["doc_id"].to_numpy(zero_copy_only=False) % 10) == 0
+        f = b.filter(pa.array(mask))
+        return pa.table(
+            {
+                "doc_id": pc.add(f["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(
+                    pc.cast(f["text"], pa.string()),
+                    " extra revision line", "",
+                ),
+            }
+        )
+
+    new = odd.union(docs.map_batches(_recrawl, batch_format="pyarrow"))
+    pairs = incremental_minhash_candidates(
+        new, index, num_perm=64, bands=32, shingle_k=3, n_parts=16
+    )
+    return ngram_jaccard_verify(
+        index.union(new), pairs, threshold=0.8, shingle_k=3, n_parts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2203,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "temperature_mixed_docs": _q_temperature_mix,
         "label_centroids": _q_label_centroids,
+        "incremental_neardup_pairs": _q_incremental_neardup,
     }
 
 
@@ -3609,6 +3661,56 @@ def _sql_oracles() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS qsum,
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM f GROUP BY label, dim
+        """,
+        "incremental_neardup_pairs": r"""
+            WITH idx AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+            ), newd AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       text || ' extra revision line' AS text
+                FROM documents WHERE doc_id % 10 = 0
+            ), wsa AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM idx
+            ), wsb AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM newd
+            ), sha AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE [array_to_string(w, ' ')] END) AS shingles
+                FROM wsa
+            ), shb AS (
+                SELECT doc_id, list_distinct(
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE [array_to_string(w, ' ')] END) AS shingles
+                FROM wsb
+            ), exa AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sha
+            ), exb AS (
+                SELECT doc_id, unnest(shingles) AS s FROM shb
+            ), inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS i
+                FROM exa a JOIN exb b ON a.s = b.s
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+            FROM inter
+            JOIN (SELECT doc_id, len(shingles) AS n FROM sha) na
+                 ON na.doc_id = doc_id_a
+            JOIN (SELECT doc_id, len(shingles) AS n FROM shb) nb
+                 ON nb.doc_id = doc_id_b
+            WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -1185,3 +1185,79 @@ def remove_dup_spans(
         )
 
     return joined.groupby("dpart").map_groups(_scrub, batch_format="pandas")
+
+
+def incremental_minhash_candidates(
+    new_docs: "ray.data.Dataset",
+    index_docs: "ray.data.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    concurrency: int = 4,
+    n_parts: int = 64,
+    max_bucket_side: int = 256,
+) -> "ray.data.Dataset":
+    """→ (doc_id_a, doc_id_b): candidate near-dup pairs BETWEEN a new
+    crawl batch and the existing index (a = index doc, b = new doc) that
+    share ≥ 1 LSH band bucket — the incremental companion to
+    `minhash_lsh_candidates`, and the MinHash analogue of
+    `incremental_dedup`: the daily-crawl shape where the index is never
+    re-deduped against itself, only probed.
+
+    Scale shape: both sides' signatures are map-side (`MinHasher` actor
+    pool, text never shuffles); band rows are 17-byte (band_key, doc_id,
+    side) tuples on the SAME coarse ``band_key % P`` shuffle as the
+    batch op; the per-partition kernel cross-merges the two sides per
+    band_key in one vectorized ``pd.merge``. Hot buckets are truncated
+    to ``max_bucket_side`` members per side (smallest doc_ids,
+    deterministic) — the documented LSH degradation bound, same contract
+    as `embedding_dedup_candidates.max_bucket`; pairs emerging from
+    several bands are deduped by the final `distinct_on`.
+    """
+    from ontocast_ray.ops.joins import distinct_on
+
+    def _rows(side: int):
+        def _r(batch: pa.Table) -> pa.Table:
+            t = _band_rows(batch, bands, n_parts)
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, dtype=np.int8))
+            )
+
+        return _r
+
+    def _sigs(ds):
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={
+                "num_perm": num_perm, "shingle_k": shingle_k
+            },
+            batch_format="pyarrow",
+            concurrency=pool(concurrency),
+        )
+
+    rows = _sigs(index_docs).map_batches(
+        _rows(0), batch_format="pyarrow"
+    ).union(_sigs(new_docs).map_batches(_rows(1), batch_format="pyarrow"))
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype=np.int64),
+            "doc_id_b": pd.Series([], dtype=np.int64),
+        })
+        if group.empty:
+            return empty
+        g = group.drop_duplicates(["band_key", "doc_id", "side"]).sort_values(
+            ["band_key", "doc_id"], kind="stable"
+        )
+        g = g.groupby(["band_key", "side"], sort=False).head(max_bucket_side)
+        idx = g[g["side"] == 0][["band_key", "doc_id"]]
+        new = g[g["side"] == 1][["band_key", "doc_id"]]
+        if idx.empty or new.empty:
+            return empty
+        m = idx.merge(new, on="band_key", suffixes=("_a", "_b"))
+        return m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+
+    pairs = rows.groupby("bucket_part").map_groups(
+        cross_pairs, batch_format="pandas"
+    )
+    return distinct_on(pairs, ["doc_id_a", "doc_id_b"], n_parts=n_parts)

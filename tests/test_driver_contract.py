@@ -143,6 +143,7 @@ _SQL_GATED = [
         "corpus_diff",
         "temperature_mixed_docs",
         "label_centroids",
+        "incremental_neardup_pairs",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2866,3 +2866,51 @@ def test_label_centroids_exact(ray_session):
             (labels == 0).sum() * float(1 << 20)
         )
         assert np.allclose(cent, vecs[labels == 0].mean(axis=0), atol=1e-5)
+
+
+def test_incremental_minhash_candidates(ray_session):
+    """Cross-side-only pairs with (index, new) orientation; an edited
+    recrawl is caught; unrelated docs are not paired; parallelism
+    invariant."""
+    import ray
+
+    from ontocast_ray.ops.dedup import incremental_minhash_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "morning sun rises slowly above the quiet green valley")
+    idx = pd.DataFrame({
+        "doc_id": [0, 2, 4],
+        "text": [
+            base,
+            "completely different financial markets commentary with "
+            "unrelated vocabulary about bonds yields and inflation",
+            "ray data pipelines stream arrow record batches through "
+            "actor pools with backpressure and object store spilling",
+        ],
+    })
+    new = pd.DataFrame({
+        "doc_id": [11, 13],
+        "text": [
+            base + " extra revision line",   # near-dup of doc 0
+            "totally novel content about gardening tomatoes and soil",
+        ],
+    })
+    got = None
+    for parts in (1, 3):
+        out = (
+            incremental_minhash_candidates(
+                ray.data.from_pandas(new).repartition(parts),
+                ray.data.from_pandas(idx).repartition(parts),
+                num_perm=64, bands=32, shingle_k=3, n_parts=4,
+            )
+            .to_pandas().sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+        assert ((out["doc_id_a"] % 2) == 0).all()   # a is always index-side
+        assert ((out["doc_id_b"] % 2) == 1).all()   # b is always new-side
+        assert (0, 11) in set(zip(out["doc_id_a"], out["doc_id_b"]))
+        assert (2, 13) not in set(zip(out["doc_id_a"], out["doc_id_b"]))
+        if got is None:
+            got = out
+        else:
+            pd.testing.assert_frame_equal(got, out)
