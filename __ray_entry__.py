@@ -2136,6 +2136,20 @@ def _q_incremental_neardup(sf_dir: str):
     )
 
 
+def _q_global_quantiles(sf_dir: str):
+    """EXACT global quantiles of event value by distributed 16-bit radix
+    selection over the IEEE order-preserving key: 4 pure-map rounds, no
+    shuffle, O(|Q|·2^16) driver ints, heavy duplication free — the exact
+    counterpart of the DDSketch leg and the global-scale escape from
+    group_quantiles' per-key-fits-reducer caveat."""
+    from ontocast_ray.ops.windows import global_quantiles_exact
+
+    events = _read(sf_dir, "events", columns=["value"])
+    return global_quantiles_exact(
+        events, quantiles=(0.25, 0.5, 0.95, 0.99)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2255,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixed_docs": _q_temperature_mix,
         "label_centroids": _q_label_centroids,
         "incremental_neardup_pairs": _q_incremental_neardup,
+        "events_global_quantiles": _q_global_quantiles,
     }
 
 
@@ -3711,6 +3726,12 @@ def _sql_oracles() -> dict[str, str]:
             JOIN (SELECT doc_id, len(shingles) AS n FROM shb) nb
                  ON nb.doc_id = doc_id_b
             WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+        """,
+        "events_global_quantiles": r"""
+            SELECT unnest([0.25, 0.5, 0.95, 0.99]) AS q,
+                   unnest(quantile_disc(value, [0.25, 0.5, 0.95, 0.99]))
+                       AS value
+            FROM events
         """,
         "url_dedup": r"""
             WITH raw AS (

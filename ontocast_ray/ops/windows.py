@@ -499,3 +499,127 @@ def tumbling_window_late_drop(
             Max(value_col, alias_name="max_value"),
         )
     )
+
+
+def global_quantiles_exact(
+    ds: "ray.data.Dataset",
+    value_col: str = "value",
+    quantiles: tuple = (0.5, 0.95, 0.99),
+) -> "ray.data.Dataset":
+    """→ (q, value): EXACT global discrete quantiles of a float64 column
+    at any scale — distributed radix selection, the order-statistics
+    companion to `group_quantiles` (whose per-key-fits-reducer caveat
+    this op removes for the global case) and the exact counterpart of
+    the DDSketch approximation.
+
+    Doubles are mapped to their IEEE order-preserving uint64 key (sign
+    bit flipped for positives, full complement for negatives), then each
+    quantile's element is located by FOUR 16-bit radix rounds: every
+    round is one pure map over the (materialized, 8 B/row) key column
+    emitting per-quantile bucket histograms already filtered to the
+    quantile's current prefix — sparse (q, bucket, count) partials
+    stream to the driver, which keeps O(|Q|·2^16) ints, picks the bucket
+    containing the residual rank, and extends the prefix. After round 4
+    the full 64-bit key is known and inverts back to the exact double.
+    Nothing row-sized ever reaches the driver, there are NO shuffles,
+    and heavy duplication (a single value = billions of rows) costs
+    nothing — the rank arithmetic walks straight through it. NaNs are
+    excluded (SQL aggregate semantics). Index rule is ``max(0,
+    ceil(p·n)-1)`` on the sorted multiset — bit-identical to DuckDB's
+    ``quantile_disc``.
+    """
+    import math
+
+    import numpy as np
+    import ray
+
+    def to_key(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.float64, copy=False)
+        v = v[~np.isnan(v)]
+        b = v.view(np.uint64)
+        return np.where(
+            (b >> np.uint64(63)) == 1, ~b, b | np.uint64(1 << 63)
+        )
+
+    def from_key(k: int) -> float:
+        k = np.uint64(k)
+        b = ~k if (k >> np.uint64(63)) == 0 else k ^ np.uint64(1 << 63)
+        return float(np.array([b], dtype=np.uint64).view(np.float64)[0])
+
+    keys = ds.map_batches(
+        lambda b: pa.table(
+            {"k": pa.array(
+                to_key(
+                    b[value_col].to_numpy(zero_copy_only=False)
+                ).view(np.int64)
+            )}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n = keys.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array([], type=pa.float64()),
+                      "value": pa.array([], type=pa.float64())})
+        )
+
+    nq = len(quantiles)
+    ranks = [max(0, math.ceil(p * n) - 1) for p in quantiles]
+    prefixes = [np.uint64(0)] * nq
+    for level, shift in enumerate((48, 32, 16, 0)):
+        pref = list(prefixes)  # bind for the closure
+
+        def hist_pass(batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy(zero_copy_only=False).view(np.uint64)
+            qi_col, b_col, c_col = [], [], []
+            for qi in range(nq):
+                if level == 0:
+                    sel = k
+                else:
+                    sel = k[(k >> np.uint64(shift + 16)) == pref[qi]]
+                if len(sel) == 0:
+                    continue
+                sub = ((sel >> np.uint64(shift)) &
+                       np.uint64(0xFFFF)).astype(np.int64)
+                cnt = np.bincount(sub, minlength=65536)
+                nz = np.nonzero(cnt)[0]
+                qi_col.append(np.full(len(nz), qi, dtype=np.int64))
+                b_col.append(nz.astype(np.int64))
+                c_col.append(cnt[nz].astype(np.int64))
+            if not qi_col:
+                return pa.table({"qi": pa.array([], type=pa.int64()),
+                                 "b": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            return pa.table({"qi": pa.array(np.concatenate(qi_col)),
+                             "b": pa.array(np.concatenate(b_col)),
+                             "c": pa.array(np.concatenate(c_col))})
+
+        hist = np.zeros((nq, 65536), dtype=np.int64)
+        for part in keys.map_batches(
+            hist_pass, batch_format="pyarrow"
+        ).iter_batches(batch_format="pandas", batch_size=None):
+            np.add.at(
+                hist,
+                (part["qi"].to_numpy(), part["b"].to_numpy()),
+                part["c"].to_numpy(),
+            )
+        new_prefixes = []
+        for qi in range(nq):
+            cum = np.cumsum(hist[qi])
+            b = int(np.searchsorted(cum, ranks[qi] + 1, side="left"))
+            ranks[qi] -= int(cum[b - 1]) if b > 0 else 0
+            new_prefixes.append(
+                (prefixes[qi] << np.uint64(16)) | np.uint64(b)
+            )
+        prefixes = new_prefixes
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(list(quantiles), type=pa.float64()),
+                "value": pa.array(
+                    [from_key(p) for p in prefixes], type=pa.float64()
+                ),
+            }
+        )
+    )

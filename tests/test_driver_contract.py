@@ -144,6 +144,7 @@ _SQL_GATED = [
         "temperature_mixed_docs",
         "label_centroids",
         "incremental_neardup_pairs",
+        "events_global_quantiles",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -2914,3 +2914,40 @@ def test_incremental_minhash_candidates(ray_session):
             got = out
         else:
             pd.testing.assert_frame_equal(got, out)
+
+
+def test_global_quantiles_exact(ray_session):
+    """Radix selection matches np.sort + the quantile_disc index rule,
+    including negatives, duplicates-heavy data, and any partitioning."""
+    import math
+
+    import ray
+
+    from ontocast_ray.ops.windows import global_quantiles_exact
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate([
+        rng.normal(scale=100, size=3000),
+        np.full(2000, 7.25),          # heavy duplication
+        -rng.exponential(size=1000),  # negatives
+    ])
+    qs = (0.01, 0.5, 0.9, 0.999)
+    sv = np.sort(v)
+    exp = [sv[max(0, math.ceil(p * len(v)) - 1)] for p in qs]
+    for parts in (1, 6):
+        out = (
+            global_quantiles_exact(
+                ray.data.from_pandas(pd.DataFrame({"value": v}))
+                .repartition(parts),
+                quantiles=qs,
+            ).to_pandas().sort_values("q")
+        )
+        assert out["value"].tolist() == exp
+    # oracle agreement on the duplication-heavy multiset
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"value": v}))
+    odf = con.execute(
+        "SELECT unnest(quantile_disc(value, [0.01, 0.5, 0.9, 0.999])) AS v FROM t"
+    ).df()
+    assert odf["v"].tolist() == exp
