@@ -834,6 +834,75 @@ def _fnv_fold_sql(col: str, n_features: int) -> str:
         ) % {n_features} AS BIGINT)"""
 
 
+def _fnv_raw_sql(col: str) -> str:
+    """SQL expression: the FULL 64-bit FNV-1a of ``col`` as UBIGINT (no
+    modulus) — the raw-hash sibling of `_fnv_fold_sql`, for oracles that
+    mix the hash further (Count-Min row buckets)."""
+    prime = 1099511628211
+    ch, cl = prime >> 32, prime & 0xFFFFFFFF
+    e = "CAST(xor(acc, c) AS HUGEINT)"
+    mul = (
+        f"CAST(((({e}) * {cl}) + (((({e}) * {ch}) % 4294967296)"
+        f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
+    )
+    return f"""list_reduce(
+            list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                         list_transform(split({col}, ''),
+                                        c -> CAST(ascii(c) AS UBIGINT))),
+            (acc, c) -> {mul}
+        )"""
+
+
+def _cms_sql(depth: int = 4, width: int = 1024, threshold: int = 100) -> str:
+    """Generated oracle: rebuild the Count-Min table in SQL (same FNV-1a
+    word hash, same odd-multiplier top-bit row buckets via the HUGEINT
+    wrapping multiply) and take min-over-rows estimates for the exact
+    heavy terms."""
+    import math as _m
+
+    from ontocast_ray.ops.sketch import _CMS_MULS
+
+    shift = 64 - int(_m.log2(width))
+
+    def mul_shift(const: int) -> str:
+        ch, cl = const >> 32, const & 0xFFFFFFFF
+        e = "CAST(h64 AS HUGEINT)"
+        return (
+            f"CAST((({e} * {cl}) + ((({e} * {ch}) % 4294967296)"
+            f" * 4294967296)) % 18446744073709551616 AS UBIGINT)"
+            f" >> {shift}"
+        )
+
+    rows = " UNION ALL ".join(
+        f"SELECT w, c, {j} AS j, CAST({mul_shift(m)} AS BIGINT) AS bucket"
+        f" FROM th"
+        for j, m in enumerate(_CMS_MULS[:depth])
+    )
+    return f"""
+        WITH toks AS (
+            SELECT w FROM documents,
+                 UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+        ), tc AS (
+            SELECT w, count(*) AS c FROM toks GROUP BY w
+        ), th AS (
+            SELECT w, c, {_fnv_raw_sql('w')} AS h64 FROM tc
+        ), tb AS (
+            {rows}
+        ), cms AS (
+            SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+            FROM tb GROUP BY j, bucket
+        ), heavy AS (
+            SELECT w AS term, CAST(c AS BIGINT) AS n_count
+            FROM tc WHERE c >= {threshold}
+        )
+        SELECT hv.term, hv.n_count, min(cms.cnt) AS n_est
+        FROM heavy hv
+        JOIN tb ON tb.w = hv.term
+        JOIN cms ON cms.j = tb.j AND cms.bucket = tb.bucket
+        GROUP BY 1, 2
+    """
+
+
 def _quality_clf_ctes() -> str:
     """CTE chain of the hashed-feature classifier (shared by the
     standalone oracle and the chained curation oracle)."""
@@ -2150,6 +2219,34 @@ def _q_global_quantiles(sf_dir: str):
     )
 
 
+def _q_countmin(sf_dir: str):
+    """Count-Min sketch point-frequency estimates for the exact heavy
+    terms (≥100 occurrences): the sketch is one no-shuffle pass with
+    32 KB of mergeable driver state; estimates are min-over-depth-rows
+    and always ≥ the exact count. Oracle rebuilds the identical table
+    in SQL (raw FNV-1a + odd-multiplier top-bit buckets, HUGEINT
+    wrapping multiply)."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.sketch import (
+        countmin_estimate,
+        countmin_table,
+        heavy_hitters,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    heavy = heavy_hitters(docs, threshold=100).to_pandas()
+    table = countmin_table(docs, depth=4, width=1024)
+    est = countmin_estimate(table, heavy["term"].tolist())
+    return pa.table(
+        {
+            "term": pa.array(heavy["term"].astype(object)),
+            "n_count": pa.array(heavy["n_count"].to_numpy().astype("int64")),
+            "n_est": pa.array(est),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2270,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "incremental_neardup_pairs": _q_incremental_neardup,
         "events_global_quantiles": _q_global_quantiles,
+        "countmin_heavy_estimates": _q_countmin,
     }
 
 
@@ -3520,6 +3618,8 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "countmin_heavy_estimates": _cms_sql(depth=4, width=1024,
+                                             threshold=100),
         "token_windows": r"""
             WITH ws AS (
                 SELECT doc_id,

@@ -320,3 +320,99 @@ def heavy_hitters(
     return agg.map_batches(having, batch_format="pyarrow").sort(
         ["n_count", "term"], descending=[True, False]
     )
+
+
+# odd 64-bit mixing multipliers, one per Count-Min depth row (golden-ratio
+# family; any fixed odd constants work — they are part of the sketch spec
+# and re-derived verbatim in the SQL oracle)
+_CMS_MULS = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+)
+
+
+def countmin_table(
+    docs: "ray.data.Dataset",
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> "np.ndarray":
+    """→ (depth, width) int64 Count-Min sketch of the corpus term
+    frequencies (Cormode & Muthukrishnan 2005) — the point-frequency
+    companion to HLL (distinct), DDSketch (quantiles) and Misra-Gries
+    (heavy hitters): ``estimate(t) = min_j T[j, h_j(t)]`` is always ≥
+    the true count, with overestimate ≤ 2N/width at probability
+    1-2^-depth.
+
+    Mergeable bounded state, the sketch contract: each batch bincounts
+    its own tokens into a LOCAL (depth, width) table and emits it as
+    sparse (row, bucket, count) triples; the driver accumulates
+    depth×width int64 (32 KB at the defaults) regardless of corpus size.
+    No shuffle, one pass, vocabulary never materializes anywhere. Row
+    hashes are ``(fnv1a(word) · M_j mod 2^64) >> (64-log2 width)`` —
+    top bits of an odd-multiplier mix, the SQL-re-derivable universal
+    family (same HUGEINT wrapping-multiply idiom as splitmix).
+    Tokenization is the term-counts rule (``[a-z]+`` on lowered text).
+    """
+    import pandas as pd
+
+    from ontocast_ray.ops.text import _explode_words, fnv1a_words
+
+    if width & (width - 1):
+        raise ValueError("width must be a power of two")
+    if depth > len(_CMS_MULS):
+        raise ValueError(f"depth ≤ {len(_CMS_MULS)}")
+    shift = np.uint64(64 - int(np.log2(width)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pandas()).fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        _, vals = _explode_words(words)
+        if len(vals) == 0:
+            return pa.table({"row": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        uw, counts = np.unique(vals.astype(object), return_counts=True)
+        h = fnv1a_words(uw)
+        rows_out, buckets_out, c_out = [], [], []
+        with np.errstate(over="ignore"):
+            for j in range(depth):
+                b = ((h * np.uint64(_CMS_MULS[j])) >> shift).astype(np.int64)
+                t = np.zeros(width, dtype=np.int64)
+                np.add.at(t, b, counts.astype(np.int64))
+                nz = np.nonzero(t)[0]
+                rows_out.append(np.full(len(nz), j, dtype=np.int64))
+                buckets_out.append(nz.astype(np.int64))
+                c_out.append(t[nz])
+        return pa.table({"row": pa.array(np.concatenate(rows_out)),
+                         "bucket": pa.array(np.concatenate(buckets_out)),
+                         "c": pa.array(np.concatenate(c_out))})
+
+    table = np.zeros((depth, width), dtype=np.int64)
+    for part in docs.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pandas", batch_size=None):
+        np.add.at(
+            table,
+            (part["row"].to_numpy(), part["bucket"].to_numpy()),
+            part["c"].to_numpy(),
+        )
+    return table
+
+
+def countmin_estimate(table: "np.ndarray", terms) -> "np.ndarray":
+    """Point-frequency estimates for ``terms`` from a `countmin_table`
+    sketch: vectorized min over the depth rows."""
+    from ontocast_ray.ops.text import fnv1a_words
+
+    depth, width = table.shape
+    shift = np.uint64(64 - int(np.log2(width)))
+    h = fnv1a_words(np.asarray(list(terms), dtype=object))
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(depth):
+            b = ((h * np.uint64(_CMS_MULS[j])) >> shift).astype(np.int64)
+            est = np.minimum(est, table[j, b])
+    return est

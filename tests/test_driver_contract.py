@@ -145,6 +145,7 @@ _SQL_GATED = [
         "label_centroids",
         "incremental_neardup_pairs",
         "events_global_quantiles",
+        "countmin_heavy_estimates",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

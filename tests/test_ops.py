@@ -2951,3 +2951,40 @@ def test_global_quantiles_exact(ray_session):
         "SELECT unnest(quantile_disc(value, [0.01, 0.5, 0.9, 0.999])) AS v FROM t"
     ).df()
     assert odf["v"].tolist() == exp
+
+
+def test_countmin_sketch_properties(ray_session):
+    """CMS never underestimates; exact on a collision-free small vocab;
+    merge across partitionings is invariant."""
+    import ray
+
+    from ontocast_ray.ops.sketch import countmin_estimate, countmin_table
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "apple apple banana",
+            "apple cherry cherry cherry",
+            "banana apple",
+            "date",
+            "apple banana cherry date",
+            "",
+        ],
+    })
+    exact = {"apple": 5, "banana": 3, "cherry": 4, "date": 2}
+    tables = []
+    for parts in (1, 4):
+        t = countmin_table(
+            ray.data.from_pandas(docs).repartition(parts),
+            depth=4, width=1024,
+        )
+        tables.append(t)
+        est = countmin_estimate(t, list(exact))
+        for (term, n), e in zip(exact.items(), est):
+            assert e >= n, term
+            # 4 terms in 1024 buckets: overestimate means a real collision
+            # across all 4 rows — essentially impossible here
+            assert e == n, term
+    assert (tables[0] == tables[1]).all()
+    with pytest.raises(ValueError):
+        countmin_table(ray.data.from_pandas(docs), width=1000)
