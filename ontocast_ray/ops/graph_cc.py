@@ -664,7 +664,11 @@ def _broadcast_label_rounds(
                 }
             )
 
-        acc: list["pd.DataFrame"] = []
+        acc: list["pd.DataFrame"] = [
+            pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                          "label": pd.Series([], dtype=np.int64),
+                          "n": pd.Series([], dtype=np.int64)})
+        ]
         acc_rows = 0
         for part in edges.map_batches(vote, batch_format="pyarrow").iter_batches(
             batch_format="pandas", batch_size=None

@@ -192,11 +192,14 @@ def filter_blocked_domains(
             host.str.startswith("www.", na=False), host.str.slice(4)
         )
         bad = host.isin(blocked).fillna(False).to_numpy(dtype=bool)
-        labels = host.fillna("").str.split(".")
+        hostf = host.fillna("")
         for k in range(2, max_labels + 1):
-            suffix = labels.map(
-                lambda ls, k=k: ".".join(ls[-k:]) if len(ls) > k else ""
-            )
+            # last k dot-separated labels, compiled-regex extract (C loop,
+            # no per-row Python); requires at least one MORE label in
+            # front so suffix != host (host itself was checked above)
+            suffix = hostf.str.extract(
+                r"[^.]+\.((?:[^.]+\.){%d}[^.]+)$" % (k - 1), expand=False
+            ).fillna("")
             bad |= suffix.isin(blocked).to_numpy(dtype=bool)
         return df[~bad]
 
