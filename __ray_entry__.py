@@ -2247,6 +2247,32 @@ def _q_countmin(sf_dir: str):
     )
 
 
+def _q_keep_best(sf_dir: str):
+    """Quality-aware near-dup keep rule (the RefinedWeb/Dolma policy):
+    within each verified near-dup component keep the LONGEST member
+    (n_chars, tie → min id) instead of min-id — clusters usually pair a
+    full page with truncated copies. 32-band LSH (recall ~1 at J≥0.8
+    down to sf0.001) → exact Jaccard verify → components → one coarse
+    component-hash argmax."""
+    from ontocast_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+    from ontocast_ray.ops.graph_cc import dedup_keep_best
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=64, bands=32, shingle_k=3, n_parts=16
+    )
+    verified = ngram_jaccard_verify(
+        docs, pairs, threshold=0.8, shingle_k=3, n_parts=16
+    )
+    scores = docs.select_columns(["doc_id", "n_chars"])
+    return dedup_keep_best(
+        verified, scores, score_col="n_chars", n_parts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2368,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup_pairs": _q_incremental_neardup,
         "events_global_quantiles": _q_global_quantiles,
         "countmin_heavy_estimates": _q_countmin,
+        "neardup_keep_best": _q_keep_best,
     }
 
 
@@ -2518,6 +2545,34 @@ _NEARDUP_KEEP_SQL = f"""
     )
     SELECT node AS doc_id, min(comp) AS keep_id, node = min(comp) AS keep
     FROM reach GROUP BY node
+"""
+
+
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS comp FROM edges
+        UNION
+        SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.doc_id, c.component,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC)
+                   AS rn
+        FROM comp c JOIN documents d USING (doc_id)
+    ),
+    best AS (SELECT component, doc_id AS keep_id FROM ranked WHERE rn = 1)
+    SELECT r.doc_id, b.keep_id, r.doc_id = b.keep_id AS keep
+    FROM ranked r JOIN best b USING (component)
 """
 
 
@@ -2955,6 +3010,7 @@ def _sql_oracles() -> dict[str, str]:
         # the filtered corpus as an anti-join against the closure
         "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
         "neardup_keep_list": _NEARDUP_KEEP_SQL,
+        "neardup_keep_best": _KEEP_BEST_SQL,
         "corpus_interleave": _INTERLEAVE_SQL,
         # Gopher repetition rules: dup-line fraction via per-doc DISTINCT,
         # top-2-gram fraction via UNNEST-ed bigram counts; tokenization

@@ -818,3 +818,74 @@ def label_propagation(
             .materialize()
         )
     return labels
+
+
+def dedup_keep_best(
+    pairs: "ray.data.Dataset",
+    scores: "ray.data.Dataset",
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (doc_id, keep_id, keep): quality-aware near-dup representative —
+    within each connected component of the pair graph the member with the
+    HIGHEST ``score_col`` wins (ties → smallest id), instead of
+    `dedup_keep_list`'s min-id rule. This is the policy production
+    curation stacks actually run (RefinedWeb keeps the longest member,
+    Dolma the highest-quality): near-dup clusters usually contain one
+    full page and several truncated/boilerplate-wrapped copies, and
+    min-id keeps an arbitrary one.
+
+    Shape: components from the existing star rounds; scores attach via
+    one partitioned `hash_join` (component rows are pair-graph-sized —
+    docs never in any pair don't appear and are implicitly kept); ONE
+    coarse ``hash(component) % P`` shuffle colocates each component,
+    where a vectorized sort + groupby-transform('first') marks winners —
+    no per-component Python. Scores must be integer-or-exact (the
+    argmax compares them for equality across engines).
+    """
+    import pandas as pd
+
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.util import hash_partition
+
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    scored = hash_join(
+        comp, scores,
+        left_on="doc_id", right_on=id_col,
+        left_cols=["component"], right_cols=[score_col],
+        n_parts=n_parts,
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(hash_partition(
+                batch["component"].to_numpy(zero_copy_only=False), n_parts
+            )),
+        )
+
+    def pick(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(
+            ["component", score_col, "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        keep_id = g.groupby("component", sort=False)["doc_id"].transform(
+            "first"
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "keep_id": keep_id.to_numpy(),
+                "keep": (g["doc_id"] == keep_id).to_numpy(),
+            }
+        )
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+    )

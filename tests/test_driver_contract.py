@@ -146,6 +146,7 @@ _SQL_GATED = [
         "incremental_neardup_pairs",
         "events_global_quantiles",
         "countmin_heavy_estimates",
+        "neardup_keep_best",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

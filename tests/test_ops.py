@@ -2988,3 +2988,34 @@ def test_countmin_sketch_properties(ray_session):
     assert (tables[0] == tables[1]).all()
     with pytest.raises(ValueError):
         countmin_table(ray.data.from_pandas(docs), width=1000)
+
+
+def test_dedup_keep_best_policy(ray_session):
+    """Highest-score member wins per component (tie -> min id), across
+    transitive chains; min-id rule would pick differently."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import dedup_keep_best
+
+    # components: {1,2,3} via chain, {7,9}
+    pairs = pd.DataFrame({
+        "doc_id_a": [1, 2, 7],
+        "doc_id_b": [2, 3, 9],
+    })
+    scores = pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 9],
+        "q": [10, 99, 99, 5, 50],
+    })
+    out = (
+        dedup_keep_best(
+            ray.data.from_pandas(pairs).repartition(2),
+            ray.data.from_pandas(scores).repartition(2),
+            score_col="q", n_parts=4,
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # component {1,2,3}: 2 and 3 tie at 99 -> min id 2 wins (NOT min id 1)
+    assert out[out["doc_id"].isin([1, 2, 3])]["keep_id"].tolist() == [2, 2, 2]
+    # component {7,9}: 9 outscores 7 -> 9 wins (min-id would pick 7)
+    assert out[out["doc_id"].isin([7, 9])]["keep_id"].tolist() == [9, 9]
+    assert out[out["keep"]]["doc_id"].tolist() == [2, 9]
