@@ -146,6 +146,84 @@ def _local_union_find(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def _broadcast_cc_rounds(
+    edges: "ray.data.Dataset", max_rounds: int
+) -> "ray.data.Dataset":
+    """Min-label propagation with EDGES NEVER MOVING (the LPA broadcast
+    shape transferred to connected components): labels are the O(V)
+    driver-resident carrier; each round is ONE pure map over the static
+    max-min edge blocks (both directions computed in-kernel) emitting
+    map-combined per-node label minima that STREAM to the driver —
+    zero shuffles per round, vs the star rounds' two. Converges to the
+    component min in O(diameter) rounds — for dedup graphs (star-shaped
+    near-dup clusters, diameter ≤ 3) that beats the O(log n) star
+    alternation whose every round re-shuffles the edge multiset. Bound:
+    V must fit the driver (same contract as `_broadcast_label_rounds`);
+    for V beyond memory use the star rounds.
+    """
+    import ray
+
+    chunks = [
+        np.concatenate([
+            part["u"].to_numpy(), part["v"].to_numpy()
+        ])
+        for part in edges.iter_batches(batch_format="pandas", batch_size=None)
+    ]
+    nodes = (
+        np.unique(np.concatenate(chunks))
+        if chunks
+        else np.empty(0, dtype=np.int64)
+    )
+    lab = nodes.copy()
+    compact_cap = max(4 * len(nodes), 262_144)
+
+    for _ in range(max_rounds):
+        ref = ray.put((nodes, lab))
+
+        def vote(batch: pa.Table) -> pa.Table:
+            ns, ls = ray.get(ref)
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            m = np.minimum(ls[np.searchsorted(ns, u)],
+                           ls[np.searchsorted(ns, v)])
+            df = pd.DataFrame(
+                {"node": np.concatenate([u, v]),
+                 "m": np.concatenate([m, m])}
+            )
+            cnt = df.groupby("node", as_index=False)["m"].min()
+            return pa.table({"node": pa.array(cnt["node"].to_numpy()),
+                             "m": pa.array(cnt["m"].to_numpy())})
+
+        acc = [pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "m": pd.Series([], dtype=np.int64)})]
+        acc_rows = 0
+        for part in edges.map_batches(
+            vote, batch_format="pyarrow"
+        ).iter_batches(batch_format="pandas", batch_size=None):
+            acc.append(part)
+            acc_rows += len(part)
+            if acc_rows > compact_cap:
+                merged = (
+                    pd.concat(acc, ignore_index=True)
+                    .groupby("node", as_index=False)["m"].min()
+                )
+                acc, acc_rows = [merged], len(merged)
+        mins = (
+            pd.concat(acc, ignore_index=True)
+            .groupby("node", as_index=False)["m"].min()
+        )
+        new = lab.copy()
+        if len(mins):
+            idx = np.searchsorted(nodes, mins["node"].to_numpy())
+            new[idx] = np.minimum(new[idx], mins["m"].to_numpy())
+        if (new == lab).all():
+            break
+        lab = new
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes), "component": pa.array(lab)})
+    )
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_id_a",
@@ -154,6 +232,7 @@ def connected_components(
     n_blocks: int = 8,
     n_parts: int | None = None,
     small_graph_threshold: int = 1_000_000,
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
     """→ (doc_id, component): every node of the pair graph labeled with its
     component's min id. Alternating star rounds until the edge multiset is
@@ -181,13 +260,19 @@ def connected_components(
         # silently drop their nodes) — remove them up front
         return _as_max_min(t.filter(pa.compute.not_equal(t["u"], t["v"])))
 
+    if mode not in ("auto", "local", "broadcast", "stars"):
+        raise ValueError(f"unknown mode {mode!r}")
     edges = pairs.map_batches(
         to_edges, batch_format="pyarrow"
     ).repartition(n_blocks).materialize()
 
     n_edges = edges.count()
-    if n_edges <= small_graph_threshold:
+    if mode == "local" or (
+        mode == "auto" and n_edges <= small_graph_threshold
+    ):
         return _local_union_find(edges)
+    if mode == "broadcast":
+        return _broadcast_cc_rounds(edges, max_rounds)
 
     if n_parts is None:
         n_parts = int(np.clip(n_edges // 65536, 8, 256))

@@ -3019,3 +3019,41 @@ def test_dedup_keep_best_policy(ray_session):
     # component {7,9}: 9 outscores 7 -> 9 wins (min-id would pick 7)
     assert out[out["doc_id"].isin([7, 9])]["keep_id"].tolist() == [9, 9]
     assert out[out["keep"]]["doc_id"].tolist() == [2, 9]
+
+
+def test_connected_components_modes_agree(ray_session):
+    """local union-find, broadcast min-label rounds, and star rounds
+    produce identical component labelings on a random multi-component
+    graph with chains (diameter > 1)."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    rng = np.random.default_rng(17)
+    # 3 chains of 30 + random extra intra-chain edges + isolated pairs
+    edges = []
+    for c in range(3):
+        base = c * 100
+        edges += [(base + i, base + i + 1) for i in range(29)]
+        extra = rng.integers(0, 30, size=(10, 2))
+        edges += [(base + a, base + b) for a, b in extra if a != b]
+    edges += [(900, 901), (950, 951)]
+    pairs = pd.DataFrame({
+        "doc_id_a": [a for a, b in edges],
+        "doc_id_b": [b for a, b in edges],
+    })
+    outs = []
+    for mode in ("local", "broadcast", "stars"):
+        out = (
+            connected_components(
+                ray.data.from_pandas(pairs).repartition(3), mode=mode,
+                n_parts=4, n_blocks=2,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], obj="broadcast")
+    pd.testing.assert_frame_equal(outs[0], outs[2], obj="stars")
+    # chain components collapse to their min
+    lab = dict(zip(outs[0]["doc_id"], outs[0]["component"]))
+    assert lab[129] == 100 and lab[29] == 0 and lab[951] == 950
