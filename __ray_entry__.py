@@ -2273,6 +2273,30 @@ def _q_keep_best(sf_dir: str):
     )
 
 
+def _q_dedup_audit(sf_dir: str):
+    """Dedup accountability report: every doc in a verified near-dup
+    component with its representative, strongest direct evidence (max
+    exact Jaccard over its pairs) and partner count — the audit trail
+    production dedup ships with a keep-list. Pair-scale data only, one
+    coarse doc-hash shuffle."""
+    from ontocast_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+    from ontocast_ray.ops.graph_cc import dedup_audit, dedup_keep_list
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=64, bands=32, shingle_k=3, n_parts=16,
+        pair_mode="all",
+    )
+    verified = ngram_jaccard_verify(
+        docs, pairs, threshold=0.8, shingle_k=3, n_parts=16
+    ).materialize()
+    keep = dedup_keep_list(verified)
+    return dedup_audit(verified, keep, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2395,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_quantiles": _q_global_quantiles,
         "countmin_heavy_estimates": _q_countmin,
         "neardup_keep_best": _q_keep_best,
+        "dedup_audit_report": _q_dedup_audit,
     }
 
 
@@ -2573,6 +2598,35 @@ _KEEP_BEST_SQL = f"""
     best AS (SELECT component, doc_id AS keep_id FROM ranked WHERE rn = 1)
     SELECT r.doc_id, b.keep_id, r.doc_id = b.keep_id AS keep
     FROM ranked r JOIN best b USING (component)
+"""
+
+
+_AUDIT_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+        UNION
+        SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS comp FROM edges
+        UNION
+        SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    keepl AS (
+        SELECT node AS doc_id, min(comp) AS keep_id FROM reach GROUP BY node
+    ),
+    ev AS (
+        SELECT doc_id, max(j) AS max_jaccard,
+               CAST(count(*) AS BIGINT) AS n_partners
+        FROM (
+            SELECT doc_id_a AS doc_id, jaccard AS j FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS doc_id, jaccard AS j FROM pairs
+        ) GROUP BY doc_id
+    )
+    SELECT k.doc_id, k.keep_id, ev.max_jaccard, ev.n_partners
+    FROM keepl k JOIN ev USING (doc_id)
 """
 
 
@@ -3011,6 +3065,7 @@ def _sql_oracles() -> dict[str, str]:
         "minhash_dedup_pairs": _JACCARD_PAIRS_SQL,
         "neardup_keep_list": _NEARDUP_KEEP_SQL,
         "neardup_keep_best": _KEEP_BEST_SQL,
+        "dedup_audit_report": _AUDIT_SQL,
         "corpus_interleave": _INTERLEAVE_SQL,
         # Gopher repetition rules: dup-line fraction via per-doc DISTINCT,
         # top-2-gram fraction via UNNEST-ed bigram counts; tokenization

@@ -268,6 +268,26 @@ def _band_rows(batch: pa.Table, bands: int, n_parts: int) -> pa.Table:
     )
 
 
+def _bucket_all_pairs_partition(
+    group: pd.DataFrame, max_bucket: int = 256
+) -> pd.DataFrame:
+    """ALL within-bucket pairs (i < j), for evidence/audit outputs where
+    the pair LIST itself is the product — the star form below collapses
+    transitive pairs (fine for components, wrong for per-doc partner
+    counts). One vectorized self-merge per partition; buckets truncated
+    to ``max_bucket`` members (smallest ids) bound the quadratic blowup —
+    the documented LSH hot-bucket degradation."""
+    if group.empty:
+        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+    df = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+        ["band_key", "doc_id"], kind="stable"
+    )
+    df = df.groupby("band_key", sort=False).head(max_bucket)
+    m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    return m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+
+
 def _bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
     """All LSH buckets of one coarse partition in a single VECTORIZED pass:
     candidate star pairs (min-id representative → member) fall out of one
@@ -294,8 +314,17 @@ def minhash_lsh_candidates(
     concurrency: int = 4,
     n_parts: int = 64,
     shuffle_blocks: int | None = None,
+    pair_mode: str = "star",
 ) -> "ray.data.Dataset":
     """→ candidate near-dup pairs (doc_id_a, doc_id_b), deduped.
+
+    ``pair_mode="star"`` (default, the scale path) emits one
+    (bucket-min → member) pair per bucket member — sufficient for the
+    connected-components keep-list and linear in bucket size.
+    ``pair_mode="all"`` emits every within-bucket pair (quadratic,
+    truncated at 256 members/bucket) — required when the pair list
+    itself is the product (audit/evidence reports, pairwise verify
+    metrics).
 
     ``shuffle_blocks``: physical block count fed into the bucket groupby.
     The sort shuffle schedules O(blocks × reducers) tasks; coalescing the
@@ -314,8 +343,12 @@ def minhash_lsh_candidates(
     band_rows = sigs.map_batches(
         lambda b: _band_rows(b, bands, n_parts), batch_format="pyarrow"
     ).repartition(shuffle_blocks)
+    kernel = (
+        _bucket_pairs_partition if pair_mode == "star"
+        else _bucket_all_pairs_partition
+    )
     pairs = band_rows.groupby("bucket_part").map_groups(
-        _bucket_pairs_partition, batch_format="pandas"
+        kernel, batch_format="pandas"
     )
     # same pair can surface from several bands → distinct
     return pairs.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))

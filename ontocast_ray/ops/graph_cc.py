@@ -974,3 +974,72 @@ def dedup_keep_best(
         .groupby("part")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def dedup_audit(
+    verified_pairs: "ray.data.Dataset",
+    keep_list: "ray.data.Dataset",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (doc_id, keep_id, max_jaccard, n_partners): the accountability
+    report production dedup ships alongside a keep-list — for every doc
+    in a near-dup component, its strongest DIRECT evidence (max verified
+    Jaccard over its pairs) and partner count, so a dropped page can be
+    audited ("removed as a 0.97-Jaccard dup of keep_id") and transitive
+    merges (doc has no direct pair with its representative) are visible
+    as max_jaccard < threshold partners.
+
+    Shape: pairs explode to both orientations map-side (2 rows per
+    pair), ONE coarse ``hash(doc_id) % P`` shuffle groups a doc's
+    evidence next to its keep-list row (union-tag join, the hash_join
+    template); the kernel is two vectorized groupby reductions. Pair-
+    scale data only — the corpus never moves.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "j": pa.array(np.concatenate([j, j])),
+                "side": pa.array(np.zeros(len(doc), dtype=np.int8)),
+                "keep_id": pa.array(np.zeros(len(doc), dtype=np.int64)),
+                "part": pa.array(hash_partition(doc, n_parts)),
+            }
+        )
+
+    def tag_keep(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "j": pa.array(np.zeros(len(d), dtype=np.float64)),
+                "side": pa.array(np.ones(len(d), dtype=np.int8)),
+                "keep_id": batch["keep_id"].cast(pa.int64()),
+                "part": pa.array(hash_partition(d, n_parts)),
+            }
+        )
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        ev = df[df["side"] == 0]
+        kl = df[df["side"] == 1][["doc_id", "keep_id"]]
+        agg = ev.groupby("doc_id", as_index=False).agg(
+            max_jaccard=("j", "max"), n_partners=("j", "size")
+        )
+        out = kl.merge(agg, on="doc_id", how="left")
+        out["max_jaccard"] = out["max_jaccard"].fillna(0.0)
+        out["n_partners"] = (
+            out["n_partners"].fillna(0).astype(np.int64)
+        )
+        return out
+
+    tagged = verified_pairs.map_batches(
+        explode, batch_format="pyarrow"
+    ).union(keep_list.map_batches(tag_keep, batch_format="pyarrow"))
+    return tagged.groupby("part").map_groups(kern, batch_format="pandas")

@@ -147,6 +147,7 @@ _SQL_GATED = [
         "events_global_quantiles",
         "countmin_heavy_estimates",
         "neardup_keep_best",
+        "dedup_audit_report",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
