@@ -3057,3 +3057,17 @@ def test_connected_components_modes_agree(ray_session):
     # chain components collapse to their min
     lab = dict(zip(outs[0]["doc_id"], outs[0]["component"]))
     assert lab[129] == 100 and lab[29] == 0 and lab[951] == 950
+
+
+def test_diag_reports_stage_stats(ray_session):
+    """diag.run returns rows + per-operator stats for a Dataset query and
+    a sane placeholder for driver-side (pa.Table) results."""
+    from ontocast_ray.diag import run
+
+    r = run("token_stats", "/root/testdata/sf0.001")
+    assert r["rows"] == 500 and r["seconds"] > 0
+    assert "MapBatches" in r["stats"] or "ReadParquet" in r["stats"]
+
+    r2 = run("countmin_heavy_estimates", "/root/testdata/sf0.001")
+    assert r2["rows"] >= 0
+    assert "driver-side" in r2["stats"]
