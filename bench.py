@@ -326,6 +326,35 @@ def run_dsir() -> int:
     return dsir_select(docs, "src0", keep_frac=0.25).count()
 
 
+def run_global_quantiles() -> int:
+    from ontocast_ray.ops.windows import global_quantiles_exact
+
+    events = _read("events", columns=["value"])
+    return global_quantiles_exact(
+        events, quantiles=(0.25, 0.5, 0.95, 0.99)
+    ).count()
+
+
+def run_keep_best() -> int:
+    from ontocast_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+    from ontocast_ray.ops.graph_cc import dedup_keep_best
+
+    docs = _read("documents", columns=["doc_id", "text", "n_chars"])
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=64, bands=32, shingle_k=3, n_parts=32
+    )
+    verified = ngram_jaccard_verify(
+        docs, pairs, threshold=0.8, shingle_k=3, n_parts=32
+    )
+    scores = docs.select_columns(["doc_id", "n_chars"])
+    return dedup_keep_best(
+        verified, scores, score_col="n_chars", n_parts=32
+    ).count()
+
+
 def run_url_dedup() -> int:
     from ontocast_ray.ops.urls import url_dedup
 
@@ -565,6 +594,14 @@ def main() -> None:
     t = time.perf_counter()
     run_url_dedup()
     extras["url_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_global_quantiles()
+    extras["global_quantiles"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_keep_best()
+    extras["keep_best_dedup"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
     run_incremental_dedup()
