@@ -2297,6 +2297,16 @@ def _q_dedup_audit(sf_dir: str):
     return dedup_audit(verified, keep, n_parts=16)
 
 
+def _q_global_robust(sf_dir: str):
+    """Global robust standardization (v - median)/MAD via two radix
+    selections + one scaling map — zero shuffles, two scalar driver
+    values, bit-exact against the quantile_disc SQL mirror."""
+    from ontocast_ray.ops.windows import global_robust_scale
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    return global_robust_scale(events)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2420,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_heavy_estimates": _q_countmin,
         "neardup_keep_best": _q_keep_best,
         "dedup_audit_report": _q_dedup_audit,
+        "events_global_robust_scaled": _q_global_robust,
     }
 
 
@@ -3942,6 +3953,20 @@ def _sql_oracles() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.95, 0.99]) AS q,
                    unnest(quantile_disc(value, [0.25, 0.5, 0.95, 0.99]))
                        AS value
+            FROM events
+        """,
+        "events_global_robust_scaled": r"""
+            WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
+            d AS (
+                SELECT quantile_disc(abs(value - (SELECT med FROM m)), 0.5)
+                    AS mad
+                FROM events
+            )
+            SELECT event_id, value,
+                   CASE WHEN (SELECT mad FROM d) <> 0.0
+                        THEN (value - (SELECT med FROM m))
+                             / (SELECT mad FROM d)
+                        ELSE 0.0 END AS robust_z
             FROM events
         """,
         "url_dedup": r"""

@@ -623,3 +623,49 @@ def global_quantiles_exact(
             }
         )
     )
+
+
+def global_robust_scale(
+    ds: "ray.data.Dataset",
+    value_col: str = "value",
+    out_col: str = "robust_z",
+) -> "ray.data.Dataset":
+    """→ input + ``out_col`` = (v - median) / MAD: GLOBAL robust
+    standardization (the outlier-insensitive z-score every feature
+    pipeline wants when means/stds are poisoned by heavy tails) — the
+    global companion of `ops.features.mad_outliers`' per-key rule.
+
+    Composition of two `global_quantiles_exact` radix selections (the
+    global median, then the median absolute deviation via a mapped
+    |v - med| pass) plus one pure scaling map: ~9 map passes total,
+    ZERO shuffles, driver state two float64 scalars. med and MAD are
+    exact multiset elements, and IEEE subtract/divide of identical
+    operands is deterministic — so the result is bit-exact vs the SQL
+    ``quantile_disc`` mirror. MAD = 0 (constant column) yields 0.0, the
+    `mad_outliers` convention.
+    """
+    import numpy as np
+
+    med = global_quantiles_exact(
+        ds, value_col=value_col, quantiles=(0.5,)
+    ).take_all()[0]["value"]
+
+    def dev(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table({"value": pa.array(np.abs(v - med))})
+
+    mad = global_quantiles_exact(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        value_col="value", quantiles=(0.5,),
+    ).take_all()[0]["value"]
+
+    def scale(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        z = (v - med) / mad if mad != 0.0 else np.zeros_like(v)
+        return batch.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(scale, batch_format="pyarrow")

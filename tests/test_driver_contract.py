@@ -148,6 +148,7 @@ _SQL_GATED = [
         "countmin_heavy_estimates",
         "neardup_keep_best",
         "dedup_audit_report",
+        "events_global_robust_scaled",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
