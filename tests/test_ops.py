@@ -3071,3 +3071,25 @@ def test_diag_reports_stage_stats(ray_session):
     r2 = run("countmin_heavy_estimates", "/root/testdata/sf0.001")
     assert r2["rows"] >= 0
     assert "driver-side" in r2["stats"]
+
+
+def test_ann_index_job_idempotent(ray_session, tmp_path):
+    """The job builds a searchable IVF layout, writes the manifest LAST,
+    and a re-run skips via the manifest."""
+    import json
+
+    from jobs.ann_index_job import main
+    from ontocast_ray.ops.similarity import knn_ivf_search
+
+    idx = str(tmp_path / "ivf")
+    args = ["--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--index-dir", idx, "--clusters", "4", "--sample", "300"]
+    assert main(args) == 0
+    man = json.load(open(f"{idx}/_MANIFEST.json"))
+    assert man["status"] == "built" and man["rows"] == 500
+    assert main(args) == 0  # second run: manifest short-circuits
+
+    q = np.zeros((1, man["dim"]), dtype=np.float32)
+    q[0, 0] = 1.0
+    out = knn_ivf_search(idx, q, k=3, n_probe=2)
+    assert out.count() == 3
