@@ -3093,3 +3093,22 @@ def test_ann_index_job_idempotent(ray_session, tmp_path):
     q[0, 0] = 1.0
     out = knn_ivf_search(idx, q, k=3, n_probe=2)
     assert out.count() == 3
+
+
+def test_compact_parquet(ray_session, tmp_path):
+    """Hundreds of tiny files collapse to few; rows and values survive."""
+    import ray
+
+    from ontocast_ray.sources.io import compact_parquet
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compact")
+    df = pd.DataFrame({"a": range(5000), "b": [str(i) for i in range(5000)]})
+    ray.data.from_pandas(df).repartition(50).write_parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) >= 40
+    stats = compact_parquet(src, dst, min_rows_per_file=5000)
+    assert stats["rows"] == 5000
+    assert stats["files_out"] <= 2
+    back = ray.data.read_parquet(dst).to_pandas().sort_values("a")
+    assert back["a"].tolist() == list(range(5000))
