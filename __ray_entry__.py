@@ -903,6 +903,116 @@ def _cms_sql(depth: int = 4, width: int = 1024, threshold: int = 100) -> str:
     """
 
 
+def _web_pipeline_sql() -> str:
+    """Chained oracle for the full web front-half: every CTE is the
+    already-proven fragment from url_dedup / blocked_domain_survivors /
+    html_extracted_text / curated_packing, composed."""
+    entity_quote = "'" * 4  # '' escape of a single quote inside SQL
+    return r"""
+        WITH raw AS (
+            SELECT doc_id, text,
+                   'HTTP://WWW.Site' || (doc_id % 5)
+                   || '.Example.COM:80/p/' || (doc_id % 7)
+                   || '/?b=' || (doc_id % 3)
+                   || '&utm_source=feed&a=' || (doc_id % 2)
+                   || '#s' || doc_id AS url,
+                   '<HTML><head><script>var x=1;</script></head><body>'
+                   || '<NAV id="n">menu</NAV><p class="a">' || text
+                   || ' &nbsp;&amp; more</p><br/>'
+                   || '<footer>(c) site</footer></body></html>' AS html
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\d+)', 1)
+                       AS port,
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
+                       AS path,
+                   regexp_extract(url, '\?([^#]*)', 1) AS q
+            FROM raw
+        ), qs AS (
+            SELECT *, array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> x <> '' AND NOT starts_with(x, 'utm_')
+                            AND NOT starts_with(x, 'fbclid')
+                            AND NOT starts_with(x, 'gclid'))), '&')
+                       AS qsorted
+            FROM p
+        ), canon AS (
+            SELECT doc_id,
+                   CASE WHEN host LIKE 'www.%' THEN substr(host, 5)
+                        ELSE host END AS nhost,
+                   scheme || '://'
+                   || (CASE WHEN host LIKE 'www.%' THEN substr(host, 5)
+                            ELSE host END)
+                   || (CASE WHEN port <> '' AND NOT (
+                                (scheme = 'http' AND port = '80') OR
+                                (scheme = 'https' AND port = '443'))
+                            THEN ':' || port ELSE '' END)
+                   || (CASE WHEN regexp_replace(path, '/+$', '') = ''
+                            THEN '/'
+                            ELSE regexp_replace(path, '/+$', '') END)
+                   || (CASE WHEN qsorted <> '' THEN '?' || qsorted
+                            ELSE '' END) AS url_canon
+            FROM qs
+        ), urlkeep AS (
+            SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon
+        ), unblocked AS (
+            SELECT r.doc_id, r.html
+            FROM raw r
+            JOIN urlkeep USING (doc_id)
+            JOIN canon c ON c.doc_id = r.doc_id
+            WHERE c.nhost NOT IN ('site1.example.com')
+              AND NOT (c.nhost LIKE '%.site1.example.com')
+        ), ext AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '<(script|style|nav|header|footer|aside)\b[^>]*>.*?</(?:script|style|nav|header|footer|aside)>',
+                                   ' ', 'gis'),
+                               '<[^>]*>', ' ', 'gs'),
+                           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                           '&gt;', '>'), '&quot;', '"'), '&#39;', QUOTEREPL),
+                       '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text
+            FROM unblocked
+        ), gated AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS tok
+            FROM ext
+            WHERE len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+                  / greatest(length(text), 1) >= 0.6
+        ), winners AS (
+            SELECT min(doc_id) AS doc_id, min(tok) AS n_tokens
+            FROM gated GROUP BY text
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS goff
+            FROM winners
+        )
+        SELECT doc_id,
+               doc_id // 100 AS shard,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(goff AS BIGINT) AS global_offset,
+               CAST(goff // 64 AS BIGINT) AS first_bin,
+               CAST((goff + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END)
+                    // 64 AS BIGINT) AS last_bin,
+               CAST(goff % 64 AS BIGINT) AS offset_in_bin
+        FROM cum
+    """.replace("QUOTEREPL", entity_quote)
+
+
 def _quality_clf_ctes() -> str:
     """CTE chain of the hashed-feature classifier (shared by the
     standalone oracle and the chained curation oracle)."""
@@ -2307,6 +2417,40 @@ def _q_global_robust(sf_dir: str):
     return global_robust_scale(events)
 
 
+def _q_web_pipeline(sf_dir: str):
+    """The full web-crawl curation front-half, end-to-end verified: synth
+    crawl pages (colliding URLs + HTML junk wrappers per doc) → URL
+    dedup → domain blocklist (site1 banned) → HTML→text extraction →
+    alpha-ratio gate → exact content dedup → 64-token packing. ONE
+    streaming pipeline, ONE chained SQL oracle re-deriving every stage."""
+    from ontocast_ray.pipelines.web import curate_web_corpus
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        d = df["doc_id"]
+        df["url"] = (
+            "HTTP://WWW.Site" + (d % 5).astype(str)
+            + ".Example.COM:80/p/" + (d % 7).astype(str)
+            + "/?b=" + (d % 3).astype(str)
+            + "&utm_source=feed&a=" + (d % 2).astype(str)
+            + "#s" + d.astype(str)
+        )
+        df["html"] = (
+            '<HTML><head><script>var x=1;</script></head><body>'
+            '<NAV id="n">menu</NAV><p class="a">'
+            + df["text"] + " &nbsp;&amp; more</p><br/>"
+            '<footer>(c) site</footer></body></html>'
+        )
+        return df[["doc_id", "url", "html"]]
+
+    pages = docs.map_batches(synth, batch_format="pandas")
+    return curate_web_corpus(
+        pages, {"site1.example.com"},
+        min_alpha_ratio=0.6, capacity=64, shard_span=100, n_parts=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2431,6 +2575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_best": _q_keep_best,
         "dedup_audit_report": _q_dedup_audit,
         "events_global_robust_scaled": _q_global_robust,
+        "web_curated_packing": _q_web_pipeline,
     }
 
 
@@ -3077,6 +3222,7 @@ def _sql_oracles() -> dict[str, str]:
         "neardup_keep_list": _NEARDUP_KEEP_SQL,
         "neardup_keep_best": _KEEP_BEST_SQL,
         "dedup_audit_report": _AUDIT_SQL,
+        "web_curated_packing": _web_pipeline_sql(),
         "corpus_interleave": _INTERLEAVE_SQL,
         # Gopher repetition rules: dup-line fraction via per-doc DISTINCT,
         # top-2-gram fraction via UNNEST-ed bigram counts; tokenization

@@ -149,6 +149,7 @@ _SQL_GATED = [
         "neardup_keep_best",
         "dedup_audit_report",
         "events_global_robust_scaled",
+        "web_curated_packing",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
