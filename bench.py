@@ -326,6 +326,15 @@ def run_dsir() -> int:
     return dsir_select(docs, "src0", keep_frac=0.25).count()
 
 
+def run_web_pipeline() -> int:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    return _entry.queries()["web_curated_packing"](SF_DIR).count()
+
+
 def run_global_quantiles() -> int:
     from ontocast_ray.ops.windows import global_quantiles_exact
 
@@ -594,6 +603,10 @@ def main() -> None:
     t = time.perf_counter()
     run_url_dedup()
     extras["url_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_web_pipeline()
+    extras["web_pipeline"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
     run_global_quantiles()
