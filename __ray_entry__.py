@@ -978,8 +978,8 @@ def _web_pipeline_sql() -> str:
                                    '<(script|style|nav|header|footer|aside)\b[^>]*>.*?</(?:script|style|nav|header|footer|aside)>',
                                    ' ', 'gis'),
                                '<[^>]*>', ' ', 'gs'),
-                           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                           '&gt;', '>'), '&quot;', '"'), '&#39;', QUOTEREPL),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', QUOTEREPL), '&amp;', '&'),
                        '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text
             FROM unblocked
         ), gated AS (
@@ -3925,8 +3925,8 @@ def _sql_oracles() -> dict[str, str]:
                                    '<(script|style|nav|header|footer|aside)\b[^>]*>.*?</(?:script|style|nav|header|footer|aside)>',
                                    ' ', 'gis'),
                                '<[^>]*>', ' ', 'gs'),
-                           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                           '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                        '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS text
             FROM raw
         """,

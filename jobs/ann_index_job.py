@@ -51,6 +51,17 @@ def main(argv=None) -> int:
             ray.shutdown()
         return 0
 
+    # a crashed build (no manifest) or --force leaves stale parquet in
+    # cluster=NN/ dirs; write_parquet APPENDS uniquely-named files, so
+    # stale partitions must be removed or the index holds duplicates
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(args.index_dir, "cluster=*")):
+        _shutil.rmtree(stale)
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
+
     from ontocast_ray.ops.similarity import build_ivf_index
     from ontocast_ray.sources.io import read_documents
 

@@ -481,12 +481,15 @@ def html_extract_text(
         s = (
             s.str.replace(drop_re, " ", regex=True, flags=re.S | re.I)
             .str.replace(r"<[^>]*>", " ", regex=True)
+            # entity decode order matters: '&amp;' must decode LAST or
+            # escaped markup ('&amp;lt;script&amp;gt;') double-decodes
+            # into live tags
             .str.replace("&nbsp;", " ", regex=False)
-            .str.replace("&amp;", "&", regex=False)
             .str.replace("&lt;", "<", regex=False)
             .str.replace("&gt;", ">", regex=False)
             .str.replace("&quot;", '"', regex=False)
             .str.replace("&#39;", "'", regex=False)
+            .str.replace("&amp;", "&", regex=False)
             .str.replace(r"[ \t\n\r\f\v]+", " ", regex=True)
             .str.strip(" ")
         )

@@ -343,6 +343,8 @@ def minhash_lsh_candidates(
     band_rows = sigs.map_batches(
         lambda b: _band_rows(b, bands, n_parts), batch_format="pyarrow"
     ).repartition(shuffle_blocks)
+    if pair_mode not in ("star", "all"):
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
     kernel = (
         _bucket_pairs_partition if pair_mode == "star"
         else _bucket_all_pairs_partition

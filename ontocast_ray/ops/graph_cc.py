@@ -163,11 +163,28 @@ def _broadcast_cc_rounds(
     """
     import ray
 
+    # per-block unique BEFORE anything reaches the driver: each chunk is
+    # ≤ the block's distinct endpoints, so driver transient memory is
+    # O(V · blocks-per-node), not O(E)
+    def block_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            batch["u"].to_numpy(zero_copy_only=False),
+                            batch["v"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+
     chunks = [
-        np.concatenate([
-            part["u"].to_numpy(), part["v"].to_numpy()
-        ])
-        for part in edges.iter_batches(batch_format="pandas", batch_size=None)
+        part["node"].to_numpy()
+        for part in edges.map_batches(
+            block_nodes, batch_format="pyarrow"
+        ).iter_batches(batch_format="pandas", batch_size=None)
     ]
     nodes = (
         np.unique(np.concatenate(chunks))
@@ -219,6 +236,12 @@ def _broadcast_cc_rounds(
         if (new == lab).all():
             break
         lab = new
+    else:
+        raise RuntimeError(
+            f"broadcast CC did not converge in {max_rounds} rounds — "
+            "graph diameter exceeds max_rounds; raise max_rounds or use "
+            "the star rounds (mode='stars')"
+        )
     return ray.data.from_arrow(
         pa.table({"doc_id": pa.array(nodes), "component": pa.array(lab)})
     )
@@ -370,9 +393,14 @@ def apply_keep_list(
     if dropped.count() == 0:
         return docs
 
+    from ontocast_ray.util import to_arrow_type
+
     bloom_ref = ray.put(_bloom_build_cols(dropped, [id_col]))
     doc_schema = docs.schema()
-    doc_fields = list(zip(doc_schema.names, doc_schema.types))
+    doc_fields = [
+        (n, to_arrow_type(t))
+        for n, t in zip(doc_schema.names, doc_schema.types)
+    ]
     id_type = dict(doc_fields)[id_col]
 
     class PassThrough:
@@ -937,10 +965,14 @@ def dedup_keep_best(
     from ontocast_ray.util import hash_partition
 
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    # LEFT join: a member with no score row must still appear (absence
+    # would read as implicitly-kept downstream, silently disabling the
+    # dedup for its component); unscored members rank lowest
     scored = hash_join(
         comp, scores,
         left_on="doc_id", right_on=id_col,
         left_cols=["component"], right_cols=[score_col],
+        how="left",
         n_parts=n_parts,
     )
 
@@ -953,6 +985,10 @@ def dedup_keep_best(
         )
 
     def pick(group: "pd.DataFrame") -> "pd.DataFrame":
+        group = group.copy()
+        group[score_col] = group[score_col].fillna(
+            np.iinfo(np.int64).min
+        )
         g = group.sort_values(
             ["component", score_col, "doc_id"],
             ascending=[True, False, True],

@@ -205,17 +205,11 @@ def hash_join(
         )
     if how in ("semi", "anti") and right_cols:
         raise ValueError("semi/anti joins return left columns only")
-    def _pa_type(t):
-        # pandas-block datasets report numpy dtypes; normalize to arrow
-        if isinstance(t, pa.DataType):
-            return t
-        if np.dtype(t) == np.dtype("O"):
-            return pa.string()
-        return pa.from_numpy_dtype(t)
+    from ontocast_ray.util import to_arrow_type
 
     _lsch, _rsch = left.schema(), right.schema()
-    _ltypes = {n: _pa_type(t) for n, t in zip(_lsch.names, _lsch.types)}
-    _rtypes = {n: _pa_type(t) for n, t in zip(_rsch.names, _rsch.types)}
+    _ltypes = {n: to_arrow_type(t) for n, t in zip(_lsch.names, _lsch.types)}
+    _rtypes = {n: to_arrow_type(t) for n, t in zip(_rsch.names, _rsch.types)}
     lcols = [c for c in left_cols if c != left_on]
     rcols = [c for c in right_cols if c != right_on]
 

@@ -141,6 +141,15 @@ def url_dedup(
         canon = _canon_series(
             df[url_col].astype("string").astype(object), _TRACKING_PREFIXES
         )
+        # null URLs pass through as their own keepers (one synthetic
+        # canonical per row — groupby would silently DROP the NA key,
+        # breaking the never-drop contract)
+        # \x01 prefix: cannot collide with any parsed canonical form
+        # (those contain '://'); NB a \x00 prefix would NOT work — pandas
+        # groupby hashes object strings C-string-style and truncates at
+        # embedded NULs, silently merging distinct keys
+        repl = "\x01nourl:" + df[id_col].astype(str)
+        canon = canon.where(canon.notna(), repl)
         g = (
             pd.DataFrame({"url_canon": canon, id_col: df[id_col].to_numpy()})
             .groupby("url_canon", as_index=False)
@@ -204,3 +213,61 @@ def filter_blocked_domains(
         return df[~bad]
 
     return docs.map_batches(kern, batch_format="pandas")
+
+
+def url_dedup_flags(
+    docs: "ray.data.Dataset",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (id_col, keep_id, keep): per-ROW URL-dedup verdicts — the
+    `dedup_keep_list`-shaped companion of `url_dedup`, for feeding
+    `apply_keep_list` (whose Bloom path then shuffles only the DROPPED
+    documents' payload, instead of a semi join moving every page body).
+
+    The shuffle carries one (url_canon, id) row per input row — URL
+    strings only, never the document — on the coarse
+    ``hash(url_canon) % P`` key; the kernel marks ``keep = id == min``
+    per canonical URL in one vectorized transform. Null/unparseable URLs
+    are their own keepers (pass-through contract).
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        canon = _canon_series(
+            df[url_col].astype("string").astype(object), _TRACKING_PREFIXES
+        )
+        # \x01 prefix: cannot collide with any parsed canonical form
+        # (those contain '://'); NB a \x00 prefix would NOT work — pandas
+        # groupby hashes object strings C-string-style and truncates at
+        # embedded NULs, silently merging distinct keys
+        repl = "\x01nourl:" + df[id_col].astype(str)
+        canon = canon.where(canon.notna(), repl)
+        out = pd.DataFrame({
+            "url_canon": canon, id_col: df[id_col].to_numpy()
+        })
+        out["part"] = (
+            hash_u64(out["url_canon"].to_numpy()) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return out
+
+    def mark(group: "pd.DataFrame") -> "pd.DataFrame":
+        keep_id = group.groupby("url_canon", sort=False)[id_col].transform(
+            "min"
+        )
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(),
+                "keep_id": keep_id.to_numpy(),
+                "keep": (group[id_col] == keep_id).to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(mark, batch_format="pandas")
+    )

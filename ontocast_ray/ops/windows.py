@@ -646,6 +646,8 @@ def global_robust_scale(
     """
     import numpy as np
 
+    # consumed three times (median, MAD, scale) — pin the lineage once
+    ds = ds.materialize()
     med = global_quantiles_exact(
         ds, value_col=value_col, quantiles=(0.5,)
     ).take_all()[0]["value"]

@@ -57,3 +57,15 @@ def pool(n) -> tuple[int, int]:
     if isinstance(n, tuple):
         return n
     return (1, max(1, int(n)))
+
+
+def to_arrow_type(t):
+    """Normalize a Dataset schema type to pyarrow: pandas-block datasets
+    report numpy dtypes (object → string)."""
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        return t
+    if np.dtype(t) == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(t)

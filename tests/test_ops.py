@@ -2699,6 +2699,9 @@ def test_html_extract_text_rules(ray_session):
          "body"),
         ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
          'a & b <c> "d" \'e\' f'),
+        # escaped markup must decode to LITERAL text, not live tags
+        # ('&amp;' decodes last)
+        ("code: &amp;lt;script&amp;gt;", "code: &lt;script&gt;"),
         ("  spaced   \t out \n text  ", "spaced out text"),
         ("<style>p{}</style><aside>x</aside><header>h</header>ok", "ok"),
     ]
@@ -3112,3 +3115,70 @@ def test_compact_parquet(ray_session, tmp_path):
     assert stats["files_out"] <= 2
     back = ray.data.read_parquet(dst).to_pandas().sort_values("a")
     assert back["a"].tolist() == list(range(5000))
+
+
+def test_url_dedup_null_passthrough(ray_session):
+    """Rows with null/missing URLs are their own keepers — never dropped
+    (the fail-open contract), in both the keepers and flags forms."""
+    import ray
+
+    from ontocast_ray.ops.urls import url_dedup, url_dedup_flags
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["http://a.com/x", "http://a.com/x/", None, None],
+    })
+    out = (
+        url_dedup(ray.data.from_pandas(df).repartition(2), n_parts=4)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 3, 4]   # nulls both kept
+    assert out["n_copies"].tolist() == [2, 1, 1]
+
+    flags = (
+        url_dedup_flags(ray.data.from_pandas(df).repartition(2), n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert flags["doc_id"].tolist() == [1, 2, 3, 4]
+    assert flags["keep"].tolist() == [True, False, True, True]
+    assert flags["keep_id"].tolist() == [1, 1, 3, 4]
+
+
+def test_broadcast_cc_nonconvergence_raises(ray_session):
+    """A path graph longer than max_rounds must raise, not return wrong
+    labels silently."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import connected_components
+
+    chain = pd.DataFrame({
+        "doc_id_a": list(range(0, 12)),
+        "doc_id_b": list(range(1, 13)),
+    })
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            ray.data.from_pandas(chain), mode="broadcast", max_rounds=3,
+        ).materialize()
+    ok = connected_components(
+        ray.data.from_pandas(chain), mode="broadcast", max_rounds=20,
+    ).to_pandas()
+    assert (ok["component"] == 0).all()
+
+
+def test_dedup_keep_best_missing_scores(ray_session):
+    """Members without a score row still appear (keep=False unless alone)
+    and rank lowest — absence would silently disable the dedup."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import dedup_keep_best
+
+    pairs = pd.DataFrame({"doc_id_a": [1], "doc_id_b": [2]})
+    scores = pd.DataFrame({"doc_id": [2], "q": [5]})  # doc 1 unscored
+    out = (
+        dedup_keep_best(
+            ray.data.from_pandas(pairs), ray.data.from_pandas(scores),
+            score_col="q", n_parts=2,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["keep"].tolist() == [False, True]
