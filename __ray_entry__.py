@@ -2451,6 +2451,21 @@ def _q_web_pipeline(sf_dir: str):
     )
 
 
+def _q_stratified_split(sf_dir: str):
+    """EXACT per-source train/val/test split (80/10/10, floor-cumulative
+    boundaries over the splitmix rank within each group) — the exact-
+    proportions companion to the Bernoulli split_assign. One coarse
+    group-hash shuffle; ROW_NUMBER-over-same-mix SQL replay (ordered by
+    the raw UBIGINT mix, not its float projection)."""
+    from ontocast_ray.ops.interleave import stratified_split
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_split(
+        docs, group_col="source", fracs=(0.8, 0.1, 0.1), seed=41,
+        n_parts=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2576,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_audit_report": _q_dedup_audit,
         "events_global_robust_scaled": _q_global_robust,
         "web_curated_packing": _q_web_pipeline,
+        "stratified_split_exact": _q_stratified_split,
     }
 
 
@@ -2675,7 +2691,8 @@ def _splitmix_sql(seed: int, sfx: str = "") -> str:
             SELECT doc_id, {mul_mod("xor(z, z >> 27)", m2)} AS z FROM s1{sfx}
         ), mixed{sfx} AS (
             SELECT doc_id,
-                   CAST(xor(z, z >> 31) AS DOUBLE) / {T}.0 AS u
+                   CAST(xor(z, z >> 31) AS DOUBLE) / {T}.0 AS u,
+                   xor(z, z >> 31) AS zr
             FROM s2{sfx}
         )"""
 
@@ -4114,6 +4131,22 @@ def _sql_oracles() -> dict[str, str]:
                              / (SELECT mad FROM d)
                         ELSE 0.0 END AS robust_z
             FROM events
+        """,
+        "stratified_split_exact": f"""
+            WITH {_splitmix_sql(41)},
+            r AS (
+                SELECT d.doc_id, d.source,
+                       row_number() OVER (PARTITION BY d.source
+                                          ORDER BY m.zr, d.doc_id) - 1
+                           AS rk,
+                       count(*) OVER (PARTITION BY d.source) AS n
+                FROM documents d JOIN mixed m USING (doc_id)
+            )
+            SELECT doc_id, source,
+                   CASE WHEN rk < floor(0.8 * n) THEN 'train'
+                        WHEN rk < floor(0.9 * n) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -238,3 +238,67 @@ def temperature_mix(
         docs, rate_col=group_col, rates=rates, default_rate=1.0,
         seed=seed, id_col=id_col,
     )
+
+
+def stratified_split(
+    docs: "ray.data.Dataset",
+    group_col: str,
+    fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 41,
+    id_col: str = "doc_id",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (id_col, group_col, split): EXACT per-group train/val/test
+    assignment — every group contributes ⌈f·n⌉-floored cumulative
+    proportions exactly (vs `split_assign`'s Bernoulli draws, whose
+    per-group counts fluctuate ±√n; small groups need the exact rule or
+    a 5-doc language can land entirely in test).
+
+    Members are ranked inside their group by ``splitmix64(seed, id)``
+    (ties → id), then split at cumulative boundaries
+    ``floor(cum_frac·n)`` — fully deterministic, parallelism-invariant,
+    and SQL-replayable (ROW_NUMBER over the same mix). ONE coarse
+    ``hash(group) % P`` shuffle of (group, id, u) rows colocates each
+    group; the kernel ranks all groups of the partition in one
+    vectorized groupby.cumcount.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    cum = np.cumsum(np.asarray(fracs, dtype=np.float64))
+    if not np.isclose(cum[-1], 1.0):
+        raise ValueError("fracs must sum to 1")
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            group_col: df[group_col].to_numpy(),
+            "_u": splitmix64(ids, seed),
+        })
+        out["part"] = hash_partition(out[group_col].to_numpy(), n_parts)
+        return out
+
+    def assign(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values([group_col, "_u", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy()
+        n = g.groupby(group_col, sort=False)[id_col].transform(
+            "size"
+        ).to_numpy().astype(np.float64)
+        split = np.full(len(g), names[-1], dtype=object)
+        # walk boundaries high→low so earlier splits overwrite later ones
+        for b, name in zip(cum[-2::-1], names[-2::-1]):
+            split[rank < np.floor(b * n)] = name
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            group_col: g[group_col].to_numpy(),
+            "split": split,
+        })
+
+    return (
+        docs.map_batches(prep, batch_format="pandas")
+        .groupby("part")
+        .map_groups(assign, batch_format="pandas")
+    )

@@ -150,6 +150,7 @@ _SQL_GATED = [
         "dedup_audit_report",
         "events_global_robust_scaled",
         "web_curated_packing",
+        "stratified_split_exact",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3182,3 +3182,33 @@ def test_dedup_keep_best_missing_scores(ray_session):
     )
     assert out["doc_id"].tolist() == [1, 2]
     assert out["keep"].tolist() == [False, True]
+
+
+def test_stratified_split_exact_proportions(ray_session):
+    """Per-group counts hit the floor-cumulative boundaries exactly, at
+    any partitioning; tiny groups keep at least their test member."""
+    import ray
+
+    from ontocast_ray.ops.interleave import stratified_split
+
+    df = pd.DataFrame({
+        "doc_id": range(125),
+        "g": ["big"] * 100 + ["mid"] * 20 + ["tiny"] * 5,
+    })
+    outs = []
+    for parts in (1, 5):
+        out = (
+            stratified_split(
+                ray.data.from_pandas(df).repartition(parts),
+                group_col="g", fracs=(0.8, 0.1, 0.1), seed=41, n_parts=4,
+            ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    vc = outs[0].groupby(["g", "split"]).size().to_dict()
+    assert vc[("big", "train")] == 80 and vc[("big", "val")] == 10
+    assert vc[("big", "test")] == 10
+    assert vc[("mid", "train")] == 16 and vc[("mid", "val")] == 2
+    # tiny n=5: floor(.8*5)=4 train, floor(.9*5)=4 -> 0 val, 1 test
+    assert vc[("tiny", "train")] == 4 and vc[("tiny", "test")] == 1
+    assert ("tiny", "val") not in vc
