@@ -2466,6 +2466,46 @@ def _q_stratified_split(sf_dir: str):
     )
 
 
+def _q_incremental_embedding(sf_dir: str):
+    """Incremental EMBEDDING near-dup (semantic member of the incremental
+    family): 'new batch' = odd vecs + re-tagged copies of even%10==0 vecs
+    (known semantic dups, cosine 1.0); 'index' = even vecs, probed via
+    the SAME seeded hyperplane buckets it was built with — never
+    re-deduped against itself. Seed-deterministic → golden."""
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.dedup import incremental_embedding_dedup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    index = emb.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["vec_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = emb.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["vec_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+
+    def _copies(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array((ids % 10) == 0))
+        return f.set_column(
+            f.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(f["vec_id"], 1_000_000),
+        )
+
+    new = odd.union(emb.map_batches(_copies, batch_format="pyarrow"))
+    return incremental_embedding_dedup(
+        new, index, threshold=0.95, n_planes=16, bands=2, seed=5,
+        n_parts=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2592,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_robust_scaled": _q_global_robust,
         "web_curated_packing": _q_web_pipeline,
         "stratified_split_exact": _q_stratified_split,
+        "incremental_embedding_pairs": _q_incremental_embedding,
     }
 
 
@@ -2621,6 +2662,7 @@ _GOLDEN_QUERIES = [
     "packed_bpe",
     "knn_ivf_join_top5",
     "knn_ivf_recall10",
+    "incremental_embedding_pairs",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

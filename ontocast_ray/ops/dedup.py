@@ -1296,3 +1296,127 @@ def incremental_minhash_candidates(
         cross_pairs, batch_format="pandas"
     )
     return distinct_on(pairs, ["doc_id_a", "doc_id_b"], n_parts=n_parts)
+
+
+def incremental_embedding_dedup(
+    new_embs: "ray.data.Dataset",
+    index_embs: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 2,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_parts: int = 64,
+    max_bucket_side: int = 2048,
+    chunk: int = 512,
+) -> "ray.data.Dataset":
+    """→ (id_a=index vec, id_b=new vec, cosine): cross-side embedding
+    near-dups between a new batch and the existing index — the semantic
+    member of the incremental family (`incremental_dedup` exact,
+    `incremental_minhash_candidates` lexical). The index is probed,
+    never re-deduped against itself.
+
+    Same banded random-hyperplane LSH as `embedding_dedup_candidates`
+    (identical planes for identical seed, so a vector buckets the same
+    whether it arrived today or last month — the property that makes the
+    index reusable); the per-bucket kernel cross-multiplies the two
+    sides only (chunked (new × index) matmul, never within-side pairs),
+    each side truncated at ``max_bucket_side`` (smallest ids,
+    deterministic — the documented hot-bucket degradation).
+    """
+    import ray
+
+    from ontocast_ray.util import vectors_2d
+
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    first = index_embs.take(1) or new_embs.take(1)
+    dim = len(first[0][vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    ppb = n_planes // bands
+    if ppb > 56:
+        raise ValueError("planes per band must fit a packed uint64")
+    planes_ref = ray.put(planes)
+
+    def bucket(side: int):
+        def _b(batch: pa.Table) -> pa.Table:
+            pl = ray.get(planes_ref)
+            n = len(batch)
+            if n == 0:
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=pa.int64()),
+                     vec_col: pa.array([], type=batch[vec_col].type),
+                     "side": pa.array([], type=pa.int8()),
+                     "bucket_part": pa.array([], type=pa.int32())}
+                )
+            vecs = vectors_2d(batch[vec_col])
+            signs = (vecs @ pl) > 0
+            keys = np.empty((n, bands), dtype=np.uint64)
+            for b in range(bands):
+                sub = signs[:, b * ppb:(b + 1) * ppb]
+                packed = np.packbits(sub, axis=1, bitorder="little")
+                padded = np.zeros((n, 8), dtype=np.uint8)
+                padded[:, : packed.shape[1]] = packed
+                keys[:, b] = padded.view(np.uint64).reshape(-1) | (
+                    np.uint64(b) << np.uint64(56)
+                )
+            flat = keys.reshape(-1)
+            with np.errstate(over="ignore"):
+                parts = (
+                    (flat * _GOLDEN64) >> np.uint64(33)
+                ) % np.uint64(n_parts)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            return pa.table(
+                {
+                    "bucket": pa.array(flat.view(np.int64)),
+                    id_col: batch[id_col].cast(pa.int64()).take(idx),
+                    vec_col: batch[vec_col].take(idx),
+                    "side": pa.array(
+                        np.full(n * bands, side, dtype=np.int8)
+                    ),
+                    "bucket_part": pa.array(parts.astype(np.int32)),
+                }
+            )
+
+        return _b
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, s_out = [], [], []
+        for _, rows in group.groupby("bucket", sort=False):
+            idxs = rows[rows["side"] == 0].drop_duplicates(id_col)
+            news = rows[rows["side"] == 1].drop_duplicates(id_col)
+            if idxs.empty or news.empty:
+                continue
+            idxs = idxs.nsmallest(max_bucket_side, id_col)
+            news = news.nsmallest(max_bucket_side, id_col)
+            ia = idxs[id_col].to_numpy()
+            ib = news[id_col].to_numpy()
+            va = np.array(idxs[vec_col].tolist(), dtype=np.float32)
+            vb = np.array(news[vec_col].tolist(), dtype=np.float32)
+            for v in (va, vb):
+                nrm = np.linalg.norm(v, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                v /= nrm
+            for start in range(0, len(ib), chunk):
+                sims = vb[start:start + chunk] @ va.T
+                rs, cs = np.nonzero(sims >= threshold)
+                for r, c in zip(rs, cs):
+                    a_out.append(ia[c])
+                    b_out.append(ib[r + start])
+                    s_out.append(round(float(sims[r, c]), 6))
+        return pd.DataFrame(
+            {"id_a": a_out, "id_b": b_out, "cosine": s_out}
+        )
+
+    rows = index_embs.map_batches(bucket(0), batch_format="pyarrow").union(
+        new_embs.map_batches(bucket(1), batch_format="pyarrow")
+    )
+    pairs = rows.groupby("bucket_part").map_groups(
+        cross_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )

@@ -3212,3 +3212,50 @@ def test_stratified_split_exact_proportions(ray_session):
     # tiny n=5: floor(.8*5)=4 train, floor(.9*5)=4 -> 0 val, 1 test
     assert vc[("tiny", "train")] == 4 and vc[("tiny", "test")] == 1
     assert ("tiny", "val") not in vc
+
+
+def test_incremental_embedding_dedup(ray_session):
+    """Cross-side only (a=index, b=new); planted copies are found with
+    cosine 1.0; parallelism invariant."""
+    import ray
+
+    from ontocast_ray.ops.dedup import incremental_embedding_dedup
+
+    rng = np.random.default_rng(9)
+    idx_vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    idx = pa.table({
+        "vec_id": pa.array(np.arange(0, 80, 2)),
+        "embedding": pa.array([v.tolist() for v in idx_vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    # new: 10 fresh random + exact copies of index vecs 0 and 10
+    new_vecs = rng.normal(size=(10, 16)).astype(np.float32)
+    new = pa.table({
+        "vec_id": pa.array(
+            list(range(101, 111)) + [1000, 1010]
+        ),
+        "embedding": pa.array(
+            [v.tolist() for v in new_vecs]
+            + [idx_vecs[0].tolist(), idx_vecs[5].tolist()],
+            type=pa.list_(pa.float32()),
+        ),
+    })
+    got = None
+    for parts in (1, 3):
+        out = (
+            incremental_embedding_dedup(
+                ray.data.from_arrow(new).repartition(parts),
+                ray.data.from_arrow(idx).repartition(parts),
+                threshold=0.95, n_planes=16, bands=2, seed=5, n_parts=4,
+            ).to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1000) in pairs and (10, 1010) in pairs
+        assert ((out["id_a"] % 2) == 0).all()      # a always index-side
+        assert (out["id_b"] > 100).all()           # b always new-side
+        assert (out[out["id_b"] >= 1000]["cosine"] == 1.0).all()
+        if got is None:
+            got = out
+        else:
+            pd.testing.assert_frame_equal(got, out)
