@@ -2506,6 +2506,69 @@ def _q_incremental_embedding(sf_dir: str):
     )
 
 
+def _q_neighbor_agg(sf_dir: str):
+    """2-hop GNN-style neighbor feature aggregation over the supplier↔
+    customer bipartite graph: integer features (acctbal cents via exact
+    floor), one feature-carrier join + coarse dst-sum per hop; (A^T)² f
+    exactly, mirrored by a two-join SQL chain."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.graph_cc import neighbor_feature_sum
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks()
+        c = pc.cast(
+            pc.add(b["o_custkey"], 1_000_000), pa.int64()
+        ).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([s, c]),
+             "dst": pa.concat_arrays([c, s])}
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def s_feat(b):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table({
+            "node": b["s_suppkey"].cast(pa.int64()),
+            "f": pa.array(np.floor(
+                b["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    def c_feat(b):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": pc.add(b["c_custkey"], 1_000_000).cast(pa.int64()),
+            "f": pa.array(np.floor(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)),
+        })
+
+    feats = supp.map_batches(s_feat, batch_format="pyarrow").union(
+        cust.map_batches(c_feat, batch_format="pyarrow")
+    ).materialize()
+    return neighbor_feature_sum(edges, feats, hops=2, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2633,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_curated_packing": _q_web_pipeline,
         "stratified_split_exact": _q_stratified_split,
         "incremental_embedding_pairs": _q_incremental_embedding,
+        "neighbor_feature_agg": _q_neighbor_agg,
     }
 
 
@@ -4189,6 +4253,36 @@ def _sql_oracles() -> dict[str, str]:
                         WHEN rk < floor(0.9 * n) THEN 'val'
                         ELSE 'test' END AS split
             FROM r
+        """,
+        "neighbor_feature_agg": r"""
+            WITH feats AS (
+                SELECT s_suppkey AS node,
+                       CAST(floor(s_acctbal * 100.0) AS BIGINT) AS f
+                FROM supplier
+                UNION ALL
+                SELECT c_custkey + 1000000 AS node,
+                       CAST(floor(c_acctbal * 100.0) AS BIGINT) AS f
+                FROM customer
+            ), pairs AS (
+                SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), edges AS (
+                SELECT s AS src, c + 1000000 AS dst FROM pairs
+                UNION ALL
+                SELECT c + 1000000 AS src, s AS dst FROM pairs
+            ), h1 AS (
+                SELECT e.dst AS node, sum(f.f) AS f, count(*) AS n
+                FROM edges e JOIN feats f ON f.node = e.src
+                GROUP BY e.dst
+            ), h2 AS (
+                SELECT e.dst AS node, sum(h1.f) AS f, count(*) AS n
+                FROM edges e JOIN h1 ON h1.node = e.src
+                GROUP BY e.dst
+            )
+            SELECT fe.node,
+                   CAST(COALESCE(h2.f, 0) AS BIGINT) AS h_sum,
+                   CAST(COALESCE(h2.n, 0) AS BIGINT) AS n_msgs
+            FROM feats fe LEFT JOIN h2 USING (node)
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -151,6 +151,7 @@ _SQL_GATED = [
         "events_global_robust_scaled",
         "web_curated_packing",
         "stratified_split_exact",
+        "neighbor_feature_agg",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3259,3 +3259,41 @@ def test_incremental_embedding_dedup(ray_session):
             got = out
         else:
             pd.testing.assert_frame_equal(got, out)
+
+
+def test_neighbor_feature_sum_two_hops(ray_session):
+    """(A^T)^2 f on a hand graph: star 0<-{1,2}, chain 3->4->5; inner-join
+    hop semantics; isolated feature nodes appear with 0."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import neighbor_feature_sum
+
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 4],
+        "dst": [0, 0, 4, 5],
+    })
+    feats = pd.DataFrame({"node": [0, 1, 2, 3, 4, 5, 9],
+                          "f": [10, 100, 200, 7, 50, 3, 999]})
+    out = (
+        neighbor_feature_sum(
+            ray.data.from_pandas(edges).repartition(2),
+            ray.data.from_pandas(feats).repartition(2),
+            hops=2, n_parts=4,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    got = dict(zip(out["node"], zip(out["h_sum"], out["n_msgs"])))
+    # h1: 0 <- 100+200=300(n2), 4 <- 7(n1), 5 <- 50(n1)
+    # h2: 0 <- h1[1]+h1[2] = nothing (1,2 got no h1) -> 0
+    #     4 <- h1[3] = none -> 0 ; 5 <- h1[4] = 7 (n1)
+    assert got[5] == (7, 1)
+    assert got[0] == (0, 0) and got[4] == (0, 0)
+    assert got[9] == (0, 0)
+    # one hop sanity
+    h1 = (
+        neighbor_feature_sum(
+            ray.data.from_pandas(edges), ray.data.from_pandas(feats),
+            hops=1, n_parts=4,
+        ).to_pandas()
+    )
+    g1 = dict(zip(h1["node"], zip(h1["h_sum"], h1["n_msgs"])))
+    assert g1[0] == (300, 2) and g1[4] == (7, 1) and g1[5] == (50, 1)
