@@ -2569,6 +2569,16 @@ def _q_neighbor_agg(sf_dir: str):
     return neighbor_feature_sum(edges, feats, hops=2, n_parts=16)
 
 
+def _q_weekly_retention(sf_dir: str):
+    """Week-over-week cohort retention: distinct (user, ISO week) pairs
+    map-side, one coarse user-hash colocate flags retained weeks via a
+    sorted 7-day diff, tiny week-keyed sum. EXISTS-subquery SQL mirror."""
+    from ontocast_ray.ops.windows import weekly_retention
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return weekly_retention(events, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2697,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split_exact": _q_stratified_split,
         "incremental_embedding_pairs": _q_incremental_embedding,
         "neighbor_feature_agg": _q_neighbor_agg,
+        "weekly_retention": _q_weekly_retention,
     }
 
 
@@ -4283,6 +4294,29 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(COALESCE(h2.f, 0) AS BIGINT) AS h_sum,
                    CAST(COALESCE(h2.n, 0) AS BIGINT) AS n_msgs
             FROM feats fe LEFT JOIN h2 USING (node)
+        """,
+        "weekly_retention": r"""
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('week', ts) AS week_start
+                FROM events
+            ), r AS (
+                SELECT a.week_start,
+                       count(*) AS n_active,
+                       sum(CASE WHEN EXISTS (
+                               SELECT 1 FROM uw b
+                               WHERE b.user_id = a.user_id
+                                 AND b.week_start =
+                                     a.week_start + INTERVAL 7 DAY
+                           ) THEN 1 ELSE 0 END) AS n_retained
+                FROM uw a GROUP BY a.week_start
+            )
+            SELECT CAST(week_start AS TIMESTAMP) AS week_start,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(n_retained AS BIGINT) AS n_retained,
+                   CAST(n_retained AS DOUBLE)
+                       / greatest(n_active, 1) AS retention
+            FROM r
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -671,3 +671,96 @@ def global_robust_scale(
         return batch.append_column(out_col, pa.array(z))
 
     return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def weekly_retention(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (week_start, n_active, n_retained, retention): classic cohort
+    week-over-week retention — of the users active in ISO week w, how
+    many are also active in w+1.
+
+    Shape: `distinct_on` collapses the event stream to (user, week)
+    pairs map-side (shuffle carries one row per active user-week, never
+    events); ONE coarse ``hash(user) % P`` colocate lets a vectorized
+    kernel flag retained weeks per user (sorted diff == 7 days — no
+    per-user Python); per-partition partial counts then sum in a tiny
+    week-keyed groupby (weeks are calendar-few by definition). Week
+    truncation is ISO-Monday on both engines (pandas weekday arithmetic
+    == DuckDB date_trunc('week')).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.ops.joins import distinct_on
+    from ontocast_ray.util import hash_partition
+    from ray.data.aggregate import Sum
+
+    def to_week(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_pandas()
+        ws = (
+            ts - pd.to_timedelta(ts.dt.weekday, unit="D")
+        ).dt.normalize()
+        return pa.table(
+            {
+                user_col: batch[user_col],
+                "week_start": pa.Array.from_pandas(ws),
+            }
+        )
+
+    uw = distinct_on(
+        events.map_batches(to_week, batch_format="pyarrow"),
+        [user_col, "week_start"],
+        n_parts=n_parts,
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(hash_partition(
+                batch[user_col].to_numpy(zero_copy_only=False), n_parts
+            )),
+        )
+
+    week = pd.Timedelta(days=7)
+
+    def flag(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values([user_col, "week_start"], kind="mergesort")
+        nxt = g.groupby(user_col, sort=False)["week_start"].shift(-1)
+        retained = (nxt - g["week_start"]) == week
+        part = pd.DataFrame({
+            "week_start": g["week_start"].to_numpy(),
+            "n_active": np.ones(len(g), dtype=np.int64),
+            "n_retained": retained.fillna(False).to_numpy().astype(np.int64),
+        })
+        return part.groupby("week_start", as_index=False).sum()
+
+    counts = (
+        uw.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag, batch_format="pandas")
+        .groupby("week_start")
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        a = batch["n_active"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["n_retained"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "week_start": batch["week_start"],
+                "n_active": pa.array(a),
+                "n_retained": pa.array(r),
+                "retention": pa.array(r / np.maximum(a, 1)),
+            }
+        )
+
+    return counts.map_batches(ratio, batch_format="pyarrow")

@@ -152,6 +152,7 @@ _SQL_GATED = [
         "web_curated_packing",
         "stratified_split_exact",
         "neighbor_feature_agg",
+        "weekly_retention",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3297,3 +3297,34 @@ def test_neighbor_feature_sum_two_hops(ray_session):
     )
     g1 = dict(zip(h1["node"], zip(h1["h_sum"], h1["n_msgs"])))
     assert g1[0] == (300, 2) and g1[4] == (7, 1) and g1[5] == (50, 1)
+
+
+def test_weekly_retention_counts(ray_session):
+    """Hand-built cohort: user A active 2 consecutive weeks, user B one
+    week, user C weeks 1 and 3 (gap -> not retained at week 1)."""
+    import ray
+
+    from ontocast_ray.ops.windows import weekly_retention
+
+    w1 = pd.Timestamp("2026-01-05")   # a Monday
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": [
+            w1 + pd.Timedelta(hours=5),            # A week1 (twice)
+            w1 + pd.Timedelta(days=2),
+            w1 + pd.Timedelta(days=8),             # A week2
+            w1 + pd.Timedelta(days=1),             # B week1
+            w1 + pd.Timedelta(days=3),             # C week1
+            w1 + pd.Timedelta(days=15),            # C week3
+        ],
+    })
+    out = (
+        weekly_retention(ray.data.from_pandas(df).repartition(2), n_parts=4)
+        .to_pandas().sort_values("week_start").reset_index(drop=True)
+    )
+    assert out["week_start"].tolist() == [
+        w1, w1 + pd.Timedelta(days=7), w1 + pd.Timedelta(days=14)
+    ]
+    assert out["n_active"].tolist() == [3, 1, 1]
+    assert out["n_retained"].tolist() == [1, 0, 0]
+    assert out["retention"].tolist() == [1 / 3, 0.0, 0.0]
