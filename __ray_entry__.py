@@ -2579,6 +2579,17 @@ def _q_weekly_retention(sf_dir: str):
     return weekly_retention(events, n_parts=16)
 
 
+def _q_quantile_buckets(sf_dir: str):
+    """Equal-frequency feature binning (decile buckets of event value):
+    exact boundaries from one radix-selection pass, then a pure
+    searchsorted map — no sort, no shuffle. Oracle counts boundary-list
+    membership per row against the same quantile_disc boundaries."""
+    from ontocast_ray.ops.windows import quantile_bucketize
+
+    events = _read(sf_dir, "events", columns=["event_id", "value"])
+    return quantile_bucketize(events, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2708,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_embedding_pairs": _q_incremental_embedding,
         "neighbor_feature_agg": _q_neighbor_agg,
         "weekly_retention": _q_weekly_retention,
+        "event_value_deciles": _q_quantile_buckets,
     }
 
 
@@ -4317,6 +4329,18 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(n_retained AS DOUBLE)
                        / greatest(n_active, 1) AS retention
             FROM r
+        """,
+        "event_value_deciles": r"""
+            WITH b AS (
+                SELECT quantile_disc(value,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                FROM events
+            )
+            SELECT event_id, value,
+                   CAST(len(list_filter((SELECT bs FROM b),
+                                        x -> value >= x)) AS BIGINT)
+                       AS bucket
+            FROM events
         """,
         "url_dedup": r"""
             WITH raw AS (

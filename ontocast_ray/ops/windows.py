@@ -764,3 +764,42 @@ def weekly_retention(
         )
 
     return counts.map_batches(ratio, batch_format="pyarrow")
+
+
+def quantile_bucketize(
+    ds: "ray.data.Dataset",
+    value_col: str = "value",
+    k: int = 10,
+    out_col: str = "bucket",
+) -> "ray.data.Dataset":
+    """→ input + ``out_col`` ∈ [0, k): equal-frequency feature binning —
+    each row's bucket is the number of exact global quantile boundaries
+    (p = 1/k … (k-1)/k, `global_quantiles_exact`) at or below its value.
+    The standard quantile-binning transform of feature pipelines, exact
+    at any scale: one radix-selection pass for the k-1 boundaries (zero
+    shuffles), then a pure ``searchsorted`` map. Heavy duplication makes
+    buckets unequal exactly the way SQL's comparison rule does — the
+    mirror is a boundary-list membership count, bit-identical.
+    """
+    import numpy as np
+
+    ds = ds.materialize()  # consumed by the boundary pass and the map
+    qs = tuple(i / k for i in range(1, k))
+    rows = global_quantiles_exact(
+        ds, value_col=value_col, quantiles=qs
+    ).take_all()
+    bounds = np.array(
+        [r["value"] for r in sorted(rows, key=lambda r: r["q"])],
+        dtype=np.float64,
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        b = np.searchsorted(bounds, v, side="right")
+        return batch.append_column(
+            out_col, pa.array(b.astype(np.int64))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

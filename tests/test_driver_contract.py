@@ -153,6 +153,7 @@ _SQL_GATED = [
         "stratified_split_exact",
         "neighbor_feature_agg",
         "weekly_retention",
+        "event_value_deciles",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

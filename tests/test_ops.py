@@ -3328,3 +3328,32 @@ def test_weekly_retention_counts(ray_session):
     assert out["n_active"].tolist() == [3, 1, 1]
     assert out["n_retained"].tolist() == [1, 0, 0]
     assert out["retention"].tolist() == [1 / 3, 0.0, 0.0]
+
+
+def test_quantile_bucketize(ray_session):
+    """Deciles are near-equal-frequency on continuous data; duplicated
+    masses collapse buckets the SQL way; parallelism invariant."""
+    import ray
+
+    from ontocast_ray.ops.windows import quantile_bucketize
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=5000)
+    outs = []
+    for parts in (1, 4):
+        out = (
+            quantile_bucketize(
+                ray.data.from_pandas(
+                    pd.DataFrame({"event_id": range(len(v)), "value": v})
+                ).repartition(parts),
+                k=10,
+            ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    vc = outs[0]["bucket"].value_counts()
+    assert set(vc.index) == set(range(10))
+    assert vc.max() - vc.min() <= 2  # near-equal frequency
+    # monotone: bucket order respects value order
+    s = outs[0].sort_values("value")
+    assert (np.diff(s["bucket"].to_numpy()) >= 0).all()
