@@ -2590,6 +2590,39 @@ def _q_quantile_buckets(sf_dir: str):
     return quantile_bucketize(events, k=10)
 
 
+def _q_ppr(sf_dir: str):
+    """Personalized integer PageRank (random walk with restart): teleport
+    + dangling mass flow only to even-id nodes — the seed set is a pure
+    node predicate (no broadcast), so the floor-division spec stays
+    bit-exact and the SQL mirror replays it verbatim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.ops.pagerank import pagerank_int
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(
+            batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000
+        )
+        return pa.table(
+            {"src": pa.concat_arrays([s, c]),
+             "dst": pa.concat_arrays([c, s])}
+        )
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, n_iters=3, seed_mod=2, seed_rem=0)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2720,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_feature_agg": _q_neighbor_agg,
         "weekly_retention": _q_weekly_retention,
         "event_value_deciles": _q_quantile_buckets,
+        "ppr_even_seeds": _q_ppr,
     }
 
 
@@ -3046,6 +3080,73 @@ def _pagerank_sql(
         SELECT n.node,
                CAST({teleport}
                     + ({d_num} * (COALESCE(s.s, 0) + d.dm // c.n)) // {d_den}
+                    AS BIGINT) AS r
+        FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, d{i} d, const c
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, r AS rank FROM r{n_iters}"
+    )
+
+
+def _ppr_sql(
+    n_iters: int = 3, mass: int = 10**12, d_num: int = 17, d_den: int = 20,
+    seed_mod: int = 2, seed_rem: int = 0,
+) -> str:
+    """Personalized integer PageRank in SQL — teleport + dangling mass
+    flow only to seed nodes (node % seed_mod == seed_rem, split over
+    |S|); same floor-division spec as `_pagerank_sql` otherwise."""
+    is_seed = f"(n.node % {seed_mod} = {seed_rem})"
+    tele = f"(({mass} - ({d_num} * {mass}) // {d_den}) // c.ns)"
+    parts = [
+        """pairs AS (
+        SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )""",
+        """edges AS (
+        SELECT s AS src, c + 1000000 AS dst FROM pairs
+        UNION ALL
+        SELECT c + 1000000 AS src, s AS dst FROM pairs
+    )""",
+        """nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    )""",
+        """deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    )""",
+        f"""const AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(greatest(sum(CASE WHEN node % {seed_mod} = {seed_rem}
+                                      THEN 1 ELSE 0 END), 1) AS BIGINT)
+                   AS ns
+        FROM nodes
+    )""",
+        f"""r0 AS (
+        SELECT node, CAST({mass} // c.n AS BIGINT) AS r FROM nodes, const c
+    )""",
+    ]
+    for i in range(n_iters):
+        parts.append(f"""g{i} AS (
+        SELECT r.node, r.r // d.outdeg AS give
+        FROM r{i} r JOIN deg d ON r.node = d.node
+    )""")
+        parts.append(f"""d{i} AS (
+        SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dm
+        FROM r{i} r LEFT JOIN deg d ON r.node = d.node
+        WHERE d.node IS NULL
+    )""")
+        parts.append(f"""s{i} AS (
+        SELECT e.dst AS node, CAST(sum(g.give) AS BIGINT) AS s
+        FROM edges e JOIN g{i} g ON g.node = e.src GROUP BY e.dst
+    )""")
+        parts.append(f"""r{i + 1} AS (
+        SELECT n.node,
+               CAST(CASE WHEN {is_seed} THEN {tele} ELSE 0 END
+                    + ({d_num} * (COALESCE(s.s, 0)
+                       + CASE WHEN {is_seed} THEN d.dm // c.ns
+                              ELSE 0 END)) // {d_den}
                     AS BIGINT) AS r
         FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, d{i} d, const c
     )""")
@@ -4032,6 +4133,7 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "ppr_even_seeds": _ppr_sql(n_iters=3, seed_mod=2, seed_rem=0),
         "countmin_heavy_estimates": _cms_sql(depth=4, width=1024,
                                              threshold=100),
         "token_windows": r"""

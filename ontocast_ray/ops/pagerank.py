@@ -69,9 +69,12 @@ _SMALL_EDGE_LIMIT = 2_000_000
 
 
 def _pagerank_driver(
-    edges: "ray.data.Dataset", n_iters: int, mass: int, d_num: int, d_den: int
+    edges: "ray.data.Dataset", n_iters: int, mass: int, d_num: int,
+    d_den: int, seed_mod: int | None = None, seed_rem: int = 0
 ) -> "ray.data.Dataset":
-    """Bounded-size fast path: vectorized integer PageRank on the driver."""
+    """Bounded-size fast path: vectorized integer PageRank on the driver.
+    With ``seed_mod`` set, teleport + dangling mass flow ONLY to nodes
+    with ``node % seed_mod == seed_rem`` (personalized PageRank)."""
     rows = edges.take_all()
     src = np.asarray([r["src"] for r in rows], dtype=np.int64)
     dst = np.asarray([r["dst"] for r in rows], dtype=np.int64)
@@ -79,14 +82,20 @@ def _pagerank_driver(
     src_i, dst_i = inv[: len(src)], inv[len(src):]
     n = len(nodes)
     outdeg = np.bincount(src_i, minlength=n).astype(np.int64)
-    teleport = (mass - (d_num * mass) // d_den) // n
+    if seed_mod is None:
+        seed = np.ones(n, dtype=bool)
+        n_t = n
+    else:
+        seed = (nodes % seed_mod) == seed_rem
+        n_t = max(int(seed.sum()), 1)
+    tele = np.where(seed, (mass - (d_num * mass) // d_den) // n_t, 0)
     r = np.full(n, mass // n, dtype=np.int64)
     for _ in range(n_iters):
         give = np.where(outdeg > 0, r // np.maximum(outdeg, 1), 0)
         dangling = int(r[outdeg == 0].sum())
         s = np.zeros(n, dtype=np.int64)
         np.add.at(s, dst_i, give[src_i])
-        r = teleport + (d_num * (s + dangling // n)) // d_den
+        r = tele + (d_num * (s + np.where(seed, dangling // n_t, 0))) // d_den
     return ray.data.from_arrow(
         pa.table({"node": pa.array(nodes), "rank": pa.array(r)})
     )
@@ -100,15 +109,27 @@ def pagerank_int(
     d_den: int = 20,
     n_parts: int = 16,
     small_edge_limit: int = _SMALL_EDGE_LIMIT,
+    seed_mod: int | None = None,
+    seed_rem: int = 0,
 ) -> "ray.data.Dataset":
-    """→ (node, rank): integer PageRank after ``n_iters`` exact rounds."""
+    """→ (node, rank): integer PageRank after ``n_iters`` exact rounds.
+
+    ``seed_mod``/``seed_rem`` switch to PERSONALIZED PageRank: teleport
+    and dangling mass flow only to seed nodes (``node % seed_mod ==
+    seed_rem``), split evenly over |S| — random-walk-with-restart
+    relevance to the seed set, the recommendation/similar-entities
+    primitive. The seed set is a pure node PREDICATE (no broadcast set,
+    SQL-replayable verbatim); initial rank stays uniform M // N (spec
+    choice, mirrored)."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Sum
 
     edges = edges.select_columns(["src", "dst"]).materialize()
     if edges.count() <= small_edge_limit:
-        return _pagerank_driver(edges, n_iters, mass, d_num, d_den)
+        return _pagerank_driver(
+            edges, n_iters, mass, d_num, d_den, seed_mod, seed_rem
+        )
     outdeg = (
         edges.groupby("src")
         .count()
@@ -141,7 +162,20 @@ def pagerank_int(
         batch_format="pandas",
     ).materialize()
     n = state.count()
-    teleport = (mass - (d_num * mass) // d_den) // n
+    if seed_mod is None:
+        n_t = n
+    else:
+        n_t = max(
+            state.map_batches(
+                lambda b: pa.table({"is_seed": pa.array(
+                    ((b["node"].to_numpy(zero_copy_only=False)
+                      % seed_mod) == seed_rem).astype(np.int64)
+                )}),
+                batch_format="pyarrow",
+            ).sum("is_seed") or 0,
+            1,
+        )
+    teleport = (mass - (d_num * mass) // d_den) // n_t
     r0 = mass // n
 
     # static carrier rows: one per node, give=0, real outdeg — the groupby
@@ -189,7 +223,7 @@ def pagerank_int(
             .aggregate(Sum("r_dangling", alias_name="d"))["d"]
             or 0
         )
-        share = dangling // n
+        share = dangling // n_t
 
         contrib = hash_join(
             edges,
@@ -219,7 +253,15 @@ def pagerank_int(
 
         def update(batch: pa.Table, _share: int = share) -> pa.Table:
             s = batch["s"].to_numpy(zero_copy_only=False)
-            r = teleport + (d_num * (s + _share)) // d_den
+            if seed_mod is None:
+                r = teleport + (d_num * (s + _share)) // d_den
+            else:
+                node = batch["node"].to_numpy(zero_copy_only=False)
+                is_seed = (node % seed_mod) == seed_rem
+                r = (
+                    np.where(is_seed, teleport, 0)
+                    + (d_num * (s + np.where(is_seed, _share, 0))) // d_den
+                )
             return pa.table(
                 {"node": batch["node"], "r": pa.array(r),
                  "outdeg": batch["outdeg"].cast(pa.int64())}

@@ -154,6 +154,7 @@ _SQL_GATED = [
         "neighbor_feature_agg",
         "weekly_retention",
         "event_value_deciles",
+        "ppr_even_seeds",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

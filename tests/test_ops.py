@@ -3357,3 +3357,32 @@ def test_quantile_bucketize(ray_session):
     # monotone: bucket order respects value order
     s = outs[0].sort_values("value")
     assert (np.diff(s["bucket"].to_numpy()) >= 0).all()
+
+
+def test_personalized_pagerank_paths_agree(ray_session):
+    """Driver fallback and the distributed rounds produce identical PPR;
+    non-seed sinks get zero teleport."""
+    import ray
+
+    from ontocast_ray.ops.pagerank import pagerank_int
+
+    # 1 -> 2 -> 3 (odd sink), 4 -> 2; seeds = even nodes {2, 4}
+    edges = pd.DataFrame({"src": [1, 2, 4], "dst": [2, 3, 2]})
+    outs = []
+    for limit in (2_000_000, 0):   # driver path, then forced distributed
+        out = (
+            pagerank_int(
+                ray.data.from_pandas(edges).repartition(2),
+                n_iters=3, seed_mod=2, seed_rem=0,
+                small_edge_limit=limit, n_parts=4,
+            ).to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    r = dict(zip(outs[0]["node"], outs[0]["rank"]))
+    # node 1: odd, no in-edges -> rank 0 under personalization
+    assert r[1] == 0
+    # both seeds get teleport mass; 2 (fed by 1 and 4) beats 4 (teleport
+    # only); 3 is odd but fed by seed 2, so it holds walk mass, not zero
+    assert r[2] > r[4] > 0
+    assert r[3] > 0
