@@ -2535,7 +2535,10 @@ def _q_neighbor_agg(sf_dir: str):
              "dst": pa.concat_arrays([c, s])}
         )
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    edges = (
+        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        .materialize().repartition(8)
+    )
 
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
@@ -2563,9 +2566,11 @@ def _q_neighbor_agg(sf_dir: str):
             ).astype(np.int64)),
         })
 
-    feats = supp.map_batches(s_feat, batch_format="pyarrow").union(
-        cust.map_batches(c_feat, batch_format="pyarrow")
-    ).materialize()
+    feats = (
+        supp.map_batches(s_feat, batch_format="pyarrow")
+        .union(cust.map_batches(c_feat, batch_format="pyarrow"))
+        .materialize().repartition(4)
+    )
     return neighbor_feature_sum(edges, feats, hops=2, n_parts=16)
 
 

@@ -1137,10 +1137,16 @@ def neighbor_feature_sum(
                 }
             )
 
+        # consolidate the V-sized carrier between hops: the groupby
+        # leaves ~n_parts near-empty blocks and the next hop's join
+        # would double them again (tiny-blocks snowball — measured 65 s
+        # vs 9 s on the 1600-node gate graph)
         cur = (
             contrib.map_batches(partial, batch_format="pandas")
             .groupby("part")
             .map_groups(combine, batch_format="pandas")
+            .materialize()
+            .repartition(max(2, n_parts // 4))
         )
 
     final = hash_join(
