@@ -2628,6 +2628,17 @@ def _q_ppr(sf_dir: str):
     return pagerank_int(edges, n_iters=3, seed_mod=2, seed_rem=0)
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-doc keyword extraction: top-3 terms by (tf DESC, df ASC,
+    term ASC) — the TF-IDF ordering made integer-exact (no float log).
+    Term shuffle carries per-doc combined (doc, term, tf) rows once;
+    ROW_NUMBER SQL mirror."""
+    from ontocast_ray.ops.text import doc_keywords
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_keywords(docs, k=3, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2759,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_retention": _q_weekly_retention,
         "event_value_deciles": _q_quantile_buckets,
         "ppr_even_seeds": _q_ppr,
+        "doc_keywords_top3": _q_doc_keywords,
     }
 
 
@@ -4448,6 +4460,27 @@ def _sql_oracles() -> dict[str, str]:
                                         x -> value >= x)) AS BIGINT)
                        AS bucket
             FROM events
+        """,
+        "doc_keywords_top3": r"""
+            WITH toks AS (
+                SELECT doc_id, w AS term FROM documents,
+                     UNNEST(regexp_extract_all(lower(text), '[a-z]+')) t(w)
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term
+            ), ranked AS (
+                SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, d.df ASC, tf.term ASC
+                       ) AS rank
+                FROM tf JOIN dfreq d USING (term)
+            )
+            SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -788,3 +788,103 @@ def diversity_stats(batch: pa.Table) -> pa.Table:
             "distinct_trigram_frac": pa.array(tfrac),
         }
     )
+
+
+def doc_keywords(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """→ (doc_id, term, tf, df, rank≤k): per-document keywords by the
+    TF-IDF ORDER without TF-IDF's float log — rank terms by (tf DESC,
+    df ASC, term ASC). log(N/df) is monotone-decreasing in df, so for a
+    FIXED doc the ranking by (tf, -df) agrees with tf·idf whenever tf
+    ties break by rarity — and it is integer-exact, so the SQL mirror
+    matches bit-for-bit (a float tf·log(N/df) score would drift in the
+    last ulp between libm implementations).
+
+    Shape: per-batch (doc, term, tf) combiners (term strings shuffle
+    once, pre-compressed per doc); DF = per-term distinct-doc counts on
+    a term-hash shuffle of the SAME rows; one partitioned join back on
+    term; final per-doc top-k inside a coarse ``hash(doc) % P`` kernel
+    (sort + groupby.head — no per-doc Python). Tokenization is the
+    term-counts rule (``[a-z]+`` on lowered text).
+    """
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.util import hash_partition, hash_u64
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        if len(vals) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "term": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({id_col: ids[idx], "term": vals})
+        g = df.groupby([id_col, "term"], as_index=False).size()
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy().astype(np.int64)),
+                "term": pa.array(g["term"].to_numpy().astype(object)),
+                "tf": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def df_partial(df_: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df_["term"].value_counts()  # rows are (doc, term)-distinct
+        out = pd.DataFrame({"term": vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype(np.int64)})
+        out["part"] = (
+            hash_u64(out["term"].to_numpy()) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return out
+
+    def df_final(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("term", as_index=False)["n"].sum()
+        return out.rename(columns={"n": "df"})
+
+    dfreq = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(df_final, batch_format="pandas")
+    )
+
+    joined = hash_join(
+        tf, dfreq,
+        left_on="term", right_on="term",
+        left_cols=[id_col, "tf"], right_cols=["df"],
+        n_parts=n_parts,
+    )
+
+    def topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(
+            [id_col, "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g = g.groupby(id_col, sort=False).head(k).copy()
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        return g[[id_col, "term", "tf", "df", "rank"]].astype(
+            {id_col: np.int64, "tf": np.int64, "df": np.int64,
+             "rank": np.int64}
+        )
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(hash_partition(
+                batch[id_col].to_numpy(zero_copy_only=False), n_parts
+            )),
+        )
+
+    return (
+        joined.map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+    )

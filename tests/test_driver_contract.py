@@ -155,6 +155,7 @@ _SQL_GATED = [
         "weekly_retention",
         "event_value_deciles",
         "ppr_even_seeds",
+        "doc_keywords_top3",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

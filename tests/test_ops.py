@@ -3386,3 +3386,33 @@ def test_personalized_pagerank_paths_agree(ray_session):
     # only); 3 is odd but fed by seed 2, so it holds walk mass, not zero
     assert r[2] > r[4] > 0
     assert r[3] > 0
+
+
+def test_doc_keywords_ranking(ray_session):
+    """(tf desc, df asc, term asc) ordering: frequent-but-common words
+    lose to equally-frequent rare ones; ties break lexically."""
+    import ray
+
+    from ontocast_ray.ops.text import doc_keywords
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "apple apple zebra common common",   # tf: apple2 common2 zebra1
+            "common banana banana",
+            "common common common",
+        ],
+    })
+    out = (
+        doc_keywords(ray.data.from_pandas(docs).repartition(2), k=2,
+                     n_parts=4)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    # apple (df=1) outranks common (df=3) at equal tf=2
+    assert d0["term"].tolist() == ["apple", "common"]
+    assert d0["df"].tolist() == [1, 3]
+    d1 = out[out["doc_id"] == 1]
+    assert d1["term"].tolist() == ["banana", "common"]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["term"].tolist() == ["common"]
