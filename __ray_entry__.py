@@ -2639,6 +2639,39 @@ def _q_doc_keywords(sf_dir: str):
     return doc_keywords(docs, k=3, n_parts=16)
 
 
+def _q_rrf(sf_dir: str):
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 top-20 and
+    the exact dense-kNN top-20 (query vector 0) — rrf = 1/(60+r_bm25) +
+    1/(60+r_knn), fixed fold order, bit-exact COALESCE-chain mirror.
+    Both retrievers scan distributed; the fuse merges two k-bounded
+    lists."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.relevance import bm25_topk, reciprocal_rank_fusion
+    from ontocast_ray.ops.similarity import knn_bruteforce
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bm_rows = sorted(
+        bm25_topk(docs, terms=_BM25_TERMS, k=20).take_all(),
+        key=lambda r: (-r["bm25"], r["doc_id"]),
+    )
+    bm_ranked = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in bm_rows], type=pa.int64()),
+        "r": pa.array(range(1, len(bm_rows) + 1), type=pa.int64()),
+    }))
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    knn = knn_bruteforce(emb, _query_vectors(emb, n=1), k=20)
+    knn_ranked = knn.map_batches(
+        lambda b: pa.table({"doc_id": b["vec_id"].cast(pa.int64()),
+                            "r": b["rank"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return reciprocal_rank_fusion([bm_ranked, knn_ranked], k0=60, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2771,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_deciles": _q_quantile_buckets,
         "ppr_even_seeds": _q_ppr,
         "doc_keywords_top3": _q_doc_keywords,
+        "hybrid_rrf_top10": _q_rrf,
     }
 
 
@@ -3255,6 +3289,34 @@ def _sql_oracles() -> dict[str, str]:
             FROM cum
         """,
         "bm25_top20": _bm25_sql(),
+        "hybrid_rrf_top10": f"""
+            WITH rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                FROM ({_bm25_sql(k=20)})
+            ), rk AS (
+                SELECT vec_id AS doc_id, rank AS r FROM (
+                    SELECT e.vec_id,
+                           row_number() OVER (
+                               ORDER BY list_cosine_similarity(
+                                   q.embedding, e.embedding) DESC,
+                               e.vec_id ASC) AS rank
+                    FROM (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    CROSS JOIN embeddings e
+                ) WHERE rank <= 20
+            ), f AS (
+                SELECT COALESCE(rb.doc_id, rk.doc_id) AS doc_id,
+                       COALESCE(1.0 / (60 + rb.r), 0)
+                       + COALESCE(1.0 / (60 + rk.r), 0) AS rrf
+                FROM rb FULL OUTER JOIN rk USING (doc_id)
+            )
+            SELECT doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT doc_id, rrf,
+                       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+                FROM f
+            ) WHERE rank <= 10
+        """,
         # DDSketch re-derived exactly: same log-spaced buckets
         # (ceil(ln(v)/ln(gamma)), gamma=(1+0.01)/(1-0.01)), same
         # rank-exceeds-cumulative walk (rank forced to DOUBLE to match the

@@ -127,3 +127,46 @@ def bm25_topk(
 
     partial = docs.map_batches(_score, batch_format="pyarrow")
     return partial.sort(["bm25", id_col], descending=[True, False]).limit(k)
+
+
+def reciprocal_rank_fusion(
+    rankings: "list",
+    id_col: str = "doc_id",
+    rank_col: str = "r",
+    k0: int = 60,
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """→ (doc_id, rrf, rank≤k): Reciprocal Rank Fusion (Cormack et al.
+    2009) of several ranked lists — THE standard hybrid-retrieval merge
+    (BM25 ⊕ dense kNN): ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))``,
+    absent-from-a-list contributes 0.
+
+    Ranked lists are top-k retrieval outputs — bounded by k per list BY
+    CONTRACT — so the fuse is a driver-side exact merge of a few hundred
+    rows (the corpus never appears here; it was scanned by the upstream
+    retrievers). The float sum is a FIXED left-to-right fold over the
+    lists (list order is part of the spec), so the SQL mirror
+    (COALESCE-chain in the same order) is bit-exact.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    scores: dict[int, float] = {}
+    for ds in rankings:
+        for row in ds.take_all():
+            d = int(row[id_col])
+            scores[d] = scores.get(d, 0.0) + 1.0 / (k0 + int(row[rank_col]))
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([d for d, _ in order], type=pa.int64()),
+                "rrf": pa.array([s for _, s in order], type=pa.float64()),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+            }
+        )
+    )

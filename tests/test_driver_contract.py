@@ -156,6 +156,7 @@ _SQL_GATED = [
         "event_value_deciles",
         "ppr_even_seeds",
         "doc_keywords_top3",
+        "hybrid_rrf_top10",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3416,3 +3416,24 @@ def test_doc_keywords_ranking(ray_session):
     assert d1["term"].tolist() == ["banana", "common"]
     d2 = out[out["doc_id"] == 2]
     assert d2["term"].tolist() == ["common"]
+
+
+def test_reciprocal_rank_fusion(ray_session):
+    """Docs in both lists outrank single-list docs; fixed fold order."""
+    import ray
+
+    from ontocast_ray.ops.relevance import reciprocal_rank_fusion
+
+    a = pd.DataFrame({"doc_id": [1, 2, 3], "r": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [3, 4], "r": [1, 2]})
+    out = (
+        reciprocal_rank_fusion(
+            [ray.data.from_pandas(a), ray.data.from_pandas(b)],
+            k0=60, k=10,
+        ).to_pandas()
+    )
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    assert got[3] == 1.0 / 63 + 1.0 / 61          # in both lists
+    assert got[1] == 1.0 / 61 and got[4] == 1.0 / 62
+    assert out.iloc[0]["doc_id"] == 3             # fusion winner
+    assert out["rank"].tolist() == list(range(1, 5))
