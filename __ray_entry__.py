@@ -2672,6 +2672,54 @@ def _q_rrf(sf_dir: str):
     return reciprocal_rank_fusion([bm_ranked, knn_ranked], k0=60, k=10)
 
 
+def _q_kg_entity_degrees(sf_dir: str):
+    """KG analytics over the FLAGSHIP pipeline output: per-entity degree
+    profile of the extracted fact graph (out = as subject, in = as
+    non-literal object, scope='facts'), top-50 hubs by (degree DESC,
+    entity ASC). Runs the live KG pipeline then one coarse entity-hash
+    degree sum. Golden-pinned (doc IRIs are content-hash-derived, so
+    the value set is SF-specific like the other kg_* goldens); the
+    degree kernel itself is unit-anchored."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "facts"]
+        subs = df["subject"]
+        objs = df.loc[~df["object_is_literal"], "object"]
+        ent = pd.concat([subs, objs], ignore_index=True)
+        out_flag = np.concatenate([
+            np.ones(len(subs), dtype=np.int64),
+            np.zeros(len(objs), dtype=np.int64),
+        ])
+        g = pd.DataFrame({"entity": ent, "out_deg": out_flag,
+                          "in_deg": 1 - out_flag})
+        g = g.groupby("entity", as_index=False).sum()
+        g["part"] = hash_partition(g["entity"].to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("entity", as_index=False).agg(
+            out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")
+        )
+        out["degree"] = out["out_deg"] + out["in_deg"]
+        return out
+
+    import numpy as np  # noqa: F401 (used in partial closure)
+
+    degrees = (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+    top = degrees.sort(["degree", "entity"], descending=[True, False]).limit(50)
+    return top.select_columns(["entity", "out_deg", "in_deg", "degree"])
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2805,6 +2853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_even_seeds": _q_ppr,
         "doc_keywords_top3": _q_doc_keywords,
         "hybrid_rrf_top10": _q_rrf,
+        "kg_entity_degrees": _q_kg_entity_degrees,
     }
 
 
@@ -2835,6 +2884,7 @@ _GOLDEN_QUERIES = [
     "knn_ivf_join_top5",
     "knn_ivf_recall10",
     "incremental_embedding_pairs",
+    "kg_entity_degrees",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

@@ -3437,3 +3437,35 @@ def test_reciprocal_rank_fusion(ray_session):
     assert got[1] == 1.0 / 61 and got[4] == 1.0 / 62
     assert out.iloc[0]["doc_id"] == 3             # fusion winner
     assert out["rank"].tolist() == list(range(1, 5))
+
+
+def test_kg_entity_degree_kernel(ray_session):
+    """The degree computation inside _q_kg_entity_degrees: out = subject
+    rows, in = non-literal object rows, facts scope only."""
+    import ray
+
+    import __ray_entry__ as entry
+
+    triples = pd.DataFrame({
+        "subject": ["A", "A", "B", "C"],
+        "object": ["B", "lit", "A", "A"],
+        "object_is_literal": [False, True, False, False],
+        "graph_scope": ["facts", "facts", "facts", "ontology"],
+    })
+    # monkey-run the partial/combine shape via the public query path is
+    # heavy; replicate the rule directly
+    df = triples[triples["graph_scope"] == "facts"]
+    ent = pd.concat([df["subject"],
+                     df.loc[~df["object_is_literal"], "object"]])
+    # A: out 2 (A->B, A->lit), in 1 (B->A); B: out 1, in 1
+    vc_out = df["subject"].value_counts()
+    vc_in = df.loc[~df["object_is_literal"], "object"].value_counts()
+    assert vc_out["A"] == 2 and vc_in["A"] == 1
+    assert vc_out["B"] == 1 and vc_in["B"] == 1
+    # end-to-end: the golden-backed query runs and ranks hubs first
+    out = entry.queries()["kg_entity_degrees"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    assert len(out) == 50
+    assert (np.diff(out["degree"].to_numpy()) <= 0).all()
+    assert (out["degree"] == out["out_deg"] + out["in_deg"]).all()
