@@ -2720,6 +2720,49 @@ def _q_kg_entity_degrees(sf_dir: str):
     return top.select_columns(["entity", "out_deg", "in_deg", "degree"])
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion counts of declared lang vs the
+    stopword-ratio predictor — (lang_declared, lang_pred, n_docs). One
+    partitioned join of two per-doc label streams + a tiny pair count;
+    the standard quality check before trusting a classifier gate."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.ops.text import LangId
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
+    ).select_columns(["doc_id", "lang_pred"])
+    declared = docs.select_columns(["doc_id", "lang"])
+    joined = hash_join(
+        declared, pred,
+        left_on="doc_id", right_on="doc_id",
+        left_cols=["lang"], right_cols=["lang_pred"],
+        n_parts=16,
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        return g.rename(columns={"size": "n", "lang": "lang_declared"})
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["lang_declared", "lang_pred"], as_index=False)[
+            "n"
+        ].sum()
+        out["n_docs"] = out["n"].astype("int64")
+        return out[["lang_declared", "lang_pred", "n_docs"]]
+
+    # pair cardinality ≤ |langs|² — one tiny single-partition combine
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda df: df.assign(part=0), batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2854,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords_top3": _q_doc_keywords,
         "hybrid_rrf_top10": _q_rrf,
         "kg_entity_degrees": _q_kg_entity_degrees,
+        "langid_confusion": _q_langid_confusion,
     }
 
 
@@ -4593,6 +4637,35 @@ def _sql_oracles() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "langid_confusion": r"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('the','and','of','to','a','in','is','that','it','for','on','with','as')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_en,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('der','die','das','und','ist','von','mit','ein','eine','zu','den','für')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_de,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('le','la','les','et','de','un','une','est','pour','dans','que','des')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_fr,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+'),
+                           w -> w IN ('el','la','los','las','y','de','un','una','es','por','que','con')))
+                           / greatest(len(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')), 1)::DOUBLE AS s_es
+                FROM documents
+            ), pred AS (
+                SELECT doc_id, lang AS lang_declared,
+                       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.02 THEN 'unknown'
+                            WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                            WHEN s_fr >= s_es THEN 'fr'
+                            ELSE 'es' END AS lang_pred
+                FROM scored
+            )
+            SELECT lang_declared, lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang_declared, lang_pred
         """,
         "url_dedup": r"""
             WITH raw AS (

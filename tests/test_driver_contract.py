@@ -157,6 +157,7 @@ _SQL_GATED = [
         "ppr_even_seeds",
         "doc_keywords_top3",
         "hybrid_rrf_top10",
+        "langid_confusion",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
