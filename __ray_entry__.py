@@ -2763,6 +2763,41 @@ def _q_langid_confusion(sf_dir: str):
     )
 
 
+def _q_neighbor_sample(sf_dir: str):
+    """GNN minibatch prep: deterministic neighbor sampling — keep ≤3
+    neighbors per node, chosen as the smallest splitmix64(seed, edge
+    key) (edge key = src·2^32 + dst). Pure reuse of cap_per_group's
+    combiner-first shape; identical at any parallelism and replayed by
+    the scalar-splitmix ROW_NUMBER oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.curation import cap_per_group
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(b["o_custkey"].combine_chunks().cast(pa.int64()),
+                   1_000_000)
+        src = pa.concat_arrays([s, c])
+        dst = pa.concat_arrays([c, s])
+        ek = pc.add(pc.multiply(src, 4294967296), dst)
+        return pa.table({"src": src, "dst": dst, "ek": ek})
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    return cap_per_group(
+        edges, group_col="src", cap=3, id_col="ek", seed=13, n_parts=16
+    ).select_columns(["src", "dst"])
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2898,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_top10": _q_rrf,
         "kg_entity_degrees": _q_kg_entity_degrees,
         "langid_confusion": _q_langid_confusion,
+        "sampled_neighbors_3": _q_neighbor_sample,
     }
 
 
@@ -3300,6 +3336,30 @@ def _ppr_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT node, r AS rank FROM r{n_iters}"
     )
+
+
+def _splitmix_expr_sql(col_expr: str, seed: int) -> str:
+    """Scalar splitmix64 over an ARBITRARY UBIGINT expression (the CTE
+    form `_splitmix_sql` is hardwired to documents.doc_id) — same
+    HUGEINT wrapping-multiply trick, nested instead of staged. Returns
+    a UBIGINT expression."""
+    T = "18446744073709551616"
+    gamma = 0x9E3779B97F4A7C15
+    m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    add = (seed * gamma + gamma) % (1 << 64)
+
+    def mul_mod(expr: str, const: int) -> str:
+        ch, cl = const >> 32, const & 0xFFFFFFFF
+        e = f"CAST({expr} AS HUGEINT)"
+        return (
+            f"CAST((({e} * {cl}) + ((({e} * {ch}) % 4294967296)"
+            f" * 4294967296)) % {T} AS UBIGINT)"
+        )
+
+    z0 = f"CAST((CAST({col_expr} AS HUGEINT) + {add}) % {T} AS UBIGINT)"
+    z1 = mul_mod(f"xor({z0}, ({z0}) >> 30)", m1)
+    z2 = mul_mod(f"xor({z1}, ({z1}) >> 27)", m2)
+    return f"xor({z2}, ({z2}) >> 31)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4306,6 +4366,30 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "sampled_neighbors_3": f"""
+            WITH pairs AS (
+                SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), edges AS (
+                SELECT s AS src, c + 1000000 AS dst FROM pairs
+                UNION ALL
+                SELECT c + 1000000 AS src, s AS dst FROM pairs
+            ), keyed AS (
+                SELECT src, dst,
+                       CAST(src * 4294967296 + dst AS UBIGINT) AS ek
+                FROM edges
+            ), mixed AS (
+                SELECT src, dst, ek,
+                       {_splitmix_expr_sql('ek', 13)} AS u
+                FROM keyed
+            ), r AS (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY u, ek) AS rk
+                FROM mixed
+            )
+            SELECT src, dst FROM r WHERE rk <= 3
+        """,
         "ppr_even_seeds": _ppr_sql(n_iters=3, seed_mod=2, seed_rem=0),
         "countmin_heavy_estimates": _cms_sql(depth=4, width=1024,
                                              threshold=100),

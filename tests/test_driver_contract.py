@@ -158,6 +158,7 @@ _SQL_GATED = [
         "doc_keywords_top3",
         "hybrid_rrf_top10",
         "langid_confusion",
+        "sampled_neighbors_3",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
