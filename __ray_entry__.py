@@ -2798,6 +2798,55 @@ def _q_neighbor_sample(sf_dir: str):
     ).select_columns(["src", "dst"])
 
 
+def _q_contrastive_triplets(sf_dir: str):
+    """Contrastive-training data construction (SimCSE/E5 prep): anchors/
+    positives are the verified near-dup pairs (exact Jaccard ≥ 0.8 via
+    32-band LSH), the negative is a deterministic splitmix draw keyed on
+    the PAIR (a·2^32+b) over the dense doc space, nudged off collisions
+    with either member — pure map after the dedup flow, zero extra
+    shuffles, scalar-splitmix SQL replay."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontocast_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_verify,
+    )
+    from ontocast_ray.ops.interleave import splitmix64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=64, bands=32, shingle_k=3, n_parts=16,
+        pair_mode="all",  # the pair LIST is the product, not components
+    )
+    verified = ngram_jaccard_verify(
+        docs, pairs, threshold=0.8, shingle_k=3, n_parts=16
+    )
+
+    def draw(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        with np.errstate(over="ignore"):
+            key = (a.astype(np.uint64) * np.uint64(4294967296)
+                   + b.astype(np.uint64))
+        neg = (splitmix64(key, seed=23) % np.uint64(n_docs)).astype(
+            np.int64
+        )
+        neg = np.where((neg == a) | (neg == b), (neg + 1) % n_docs, neg)
+        neg = np.where((neg == a) | (neg == b), (neg + 1) % n_docs, neg)
+        return pa.table(
+            {"anchor": pa.array(a), "positive": pa.array(b),
+             "negative": pa.array(neg)}
+        )
+
+    return verified.map_batches(draw, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2934,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_degrees": _q_kg_entity_degrees,
         "langid_confusion": _q_langid_confusion,
         "sampled_neighbors_3": _q_neighbor_sample,
+        "contrastive_triplets": _q_contrastive_triplets,
     }
 
 
@@ -4366,6 +4416,31 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "contrastive_triplets": f"""
+            WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            keyed AS (
+                SELECT doc_id_a AS anchor, doc_id_b AS positive,
+                       CAST(doc_id_a * 4294967296 + doc_id_b AS UBIGINT)
+                           AS ek
+                FROM pairs
+            ), drawn AS (
+                SELECT anchor, positive,
+                       CAST({_splitmix_expr_sql('ek', 23)} %
+                            CAST(nn.n AS UBIGINT) AS BIGINT) AS neg0,
+                       nn.n
+                FROM keyed, nn
+            ), step1 AS (
+                SELECT anchor, positive, n,
+                       CASE WHEN neg0 = anchor OR neg0 = positive
+                            THEN (neg0 + 1) % n ELSE neg0 END AS neg1
+                FROM drawn
+            )
+            SELECT anchor, positive,
+                   CASE WHEN neg1 = anchor OR neg1 = positive
+                        THEN (neg1 + 1) % n ELSE neg1 END AS negative
+            FROM step1
+        """,
         "sampled_neighbors_3": f"""
             WITH pairs AS (
                 SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c

@@ -159,6 +159,7 @@ _SQL_GATED = [
         "hybrid_rrf_top10",
         "langid_confusion",
         "sampled_neighbors_3",
+        "contrastive_triplets",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
