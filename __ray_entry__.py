@@ -2847,6 +2847,16 @@ def _q_contrastive_triplets(sf_dir: str):
     return verified.map_batches(draw, batch_format="pyarrow")
 
 
+def _q_decayed_value(sf_dir: str):
+    """Recency-weighted per-user value: integer half-life decay
+    (cents >> age_weeks vs a fixed reference) — order-free exact sums,
+    bit-identical SQL mirror; map-side combiner + one coarse shuffle."""
+    from ontocast_ray.ops.windows import decayed_user_value
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return decayed_user_value(events, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2984,6 +2994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "sampled_neighbors_3": _q_neighbor_sample,
         "contrastive_triplets": _q_contrastive_triplets,
+        "decayed_user_value": _q_decayed_value,
     }
 
 
@@ -4825,6 +4836,21 @@ def _sql_oracles() -> dict[str, str]:
             SELECT lang_declared, lang_pred,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM pred GROUP BY lang_declared, lang_pred
+        """,
+        "decayed_user_value": r"""
+            WITH d AS (
+                SELECT user_id,
+                       CAST(floor(value * 100.0) AS BIGINT) >>
+                       LEAST(CAST(
+                           date_diff('second', ts,
+                                     TIMESTAMP '2024-02-01 00:00:00')
+                           // 86400 // 7 AS BIGINT), 62) AS dec
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(dec) AS BIGINT) AS decayed_cents,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM d GROUP BY user_id
         """,
         "url_dedup": r"""
             WITH raw AS (

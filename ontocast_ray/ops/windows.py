@@ -803,3 +803,61 @@ def quantile_bucketize(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def decayed_user_value(
+    events: "ray.data.Dataset",
+    ref_ts: str = "2024-02-01 00:00:00",
+    half_life_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (user_id, decayed_cents, n_events): recency-weighted per-user
+    value — each event contributes ``floor(value·100) >> (age //
+    half_life)`` (integer half-life decay, halving per period relative
+    to a FIXED reference timestamp). The standard recency-scoring shape
+    (engagement/LTV decay) made ORDER-FREE and engine-exact: float
+    exponential decay sums drift with accumulation order; integer
+    shift-decay sums are exact in any order, so the SQL mirror is
+    bit-identical.
+
+    Pure map (cents, age bucket, shift) + map-side per-user combiner +
+    one coarse ``hash(user) % P`` sum — the canonical pre-aggregate
+    shape; nothing event-sized shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    ref = pd.Timestamp(ref_ts)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        cents = np.floor(
+            df[value_col].to_numpy(dtype=np.float64) * 100.0
+        ).astype(np.int64)
+        age_s = (ref - df[ts_col]).dt.total_seconds().to_numpy()
+        k = (age_s // 86400).astype(np.int64) // half_life_days
+        k = np.clip(k, 0, 62)
+        dec = cents >> k
+        g = pd.DataFrame({user_col: df[user_col].to_numpy(),
+                          "decayed_cents": dec,
+                          "n_events": np.ones(len(df), dtype=np.int64)})
+        g = g.groupby(user_col, as_index=False).sum()
+        g["part"] = hash_partition(g[user_col].to_numpy(), n_parts)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(user_col, as_index=False).agg(
+            decayed_cents=("decayed_cents", "sum"),
+            n_events=("n_events", "sum"),
+        )
+        return out
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -160,6 +160,7 @@ _SQL_GATED = [
         "langid_confusion",
         "sampled_neighbors_3",
         "contrastive_triplets",
+        "decayed_user_value",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3469,3 +3469,30 @@ def test_kg_entity_degree_kernel(ray_session):
     assert len(out) == 50
     assert (np.diff(out["degree"].to_numpy()) <= 0).all()
     assert (out["degree"] == out["out_deg"] + out["in_deg"]).all()
+
+
+def test_decayed_user_value(ray_session):
+    """Shift-decay halves per period; same-period events undecayed;
+    parallelism invariant."""
+    import ray
+
+    from ontocast_ray.ops.windows import decayed_user_value
+
+    ref = pd.Timestamp("2024-02-01 00:00:00")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [
+            ref - pd.Timedelta(days=1),    # age 1d -> k=0 -> full
+            ref - pd.Timedelta(days=8),    # age 8d -> k=1 -> halved
+            ref - pd.Timedelta(days=22),   # age 22d -> k=3 -> /8
+        ],
+        "value": [10.0, 10.0, 80.0],
+    })
+    for parts in (1, 3):
+        out = (
+            decayed_user_value(
+                ray.data.from_pandas(df).repartition(parts), n_parts=4
+            ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        assert out["decayed_cents"].tolist() == [1000 + 500, 1000]
+        assert out["n_events"].tolist() == [2, 1]
