@@ -2857,6 +2857,65 @@ def _q_decayed_value(sf_dir: str):
     return decayed_user_value(events, n_parts=16)
 
 
+def _q_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: each purchase splits 10 000
+    integer credit units equally over the user's clicks in the prior 30
+    minutes (floor share — remainders stay with the purchase, the spec);
+    per-user totals of attributed credit. Composition over the interval
+    count join — per-purchase counts become per-click shares as pure
+    arithmetic, then one coarse user sum. Integer end-to-end."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import interval_count_join
+    from ontocast_ray.util import hash_partition
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def of_type(t):
+        return lambda b: b.filter(
+            pc.equal(b["event_type"], pa.scalar(t))
+        ).drop_columns(["event_type"])
+
+    purchases = events.map_batches(of_type("purchase"),
+                                   batch_format="pyarrow")
+    clicks = events.map_batches(of_type("click"), batch_format="pyarrow")
+    counts = interval_count_join(
+        purchases, clicks,
+        key_col="user_id", ts_col="ts", left_id_col="event_id",
+        window="30min", out_col="n_prior_clicks", n_parts=16,
+    )
+
+    def credit(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = df["n_prior_clicks"].to_numpy().astype(np.int64)
+        credited = np.where(n > 0, (10_000 // np.maximum(n, 1)) * n, 0)
+        g = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "credit": credited,
+            "n_purchases": np.ones(len(df), dtype=np.int64),
+            "n_attributed": (n > 0).astype(np.int64),
+        }).groupby("user_id", as_index=False).sum()
+        g["part"] = hash_partition(g["user_id"].to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("user_id", as_index=False).agg(
+            credit=("credit", "sum"),
+            n_purchases=("n_purchases", "sum"),
+            n_attributed=("n_attributed", "sum"),
+        )
+
+    return (
+        counts.map_batches(credit, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2995,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_neighbors_3": _q_neighbor_sample,
         "contrastive_triplets": _q_contrastive_triplets,
         "decayed_user_value": _q_decayed_value,
+        "linear_attribution": _q_linear_attribution,
     }
 
 
@@ -4851,6 +4911,26 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(dec) AS BIGINT) AS decayed_cents,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM d GROUP BY user_id
+        """,
+        "linear_attribution": r"""
+            WITH counts AS (
+                SELECT p.user_id, p.event_id,
+                       CAST(count(c.event_id) AS BIGINT) AS n
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                LEFT JOIN (SELECT * FROM events
+                           WHERE event_type = 'click') c
+                  ON c.user_id = p.user_id
+                 AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+                GROUP BY p.user_id, p.event_id
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN n > 0
+                                 THEN (10000 // n) * n ELSE 0 END)
+                        AS BIGINT) AS credit,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_attributed
+            FROM counts GROUP BY user_id
         """,
         "url_dedup": r"""
             WITH raw AS (

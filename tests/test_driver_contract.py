@@ -161,6 +161,7 @@ _SQL_GATED = [
         "sampled_neighbors_3",
         "contrastive_triplets",
         "decayed_user_value",
+        "linear_attribution",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
