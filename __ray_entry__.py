@@ -2916,6 +2916,18 @@ def _q_linear_attribution(sf_dir: str):
     )
 
 
+def _q_top_sessions(sf_dir: str):
+    """Global top-10 sessions by value: gap sessionization composed with
+    an integer-cents rollup and a per-partition top-k + tiny global
+    sort. Sessions CTE + cents sum + ORDER/LIMIT SQL mirror."""
+    from ontocast_ray.ops.windows import top_sessions_by_value
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return top_sessions_by_value(events, gap_minutes=30.0, k=10, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3055,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_triplets": _q_contrastive_triplets,
         "decayed_user_value": _q_decayed_value,
         "linear_attribution": _q_linear_attribution,
+        "top_sessions_by_value": _q_top_sessions,
     }
 
 
@@ -4931,6 +4944,33 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_attributed
             FROM counts GROUP BY user_id
+        """,
+        "top_sessions_by_value": r"""
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, value,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                           AS session_id
+                FROM flagged
+            ), rolled AS (
+                SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                            AS BIGINT) AS value_cents
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT user_id, session_id, n_events, value_cents
+            FROM rolled
+            ORDER BY value_cents DESC, user_id, session_id
+            LIMIT 10
         """,
         "url_dedup": r"""
             WITH raw AS (

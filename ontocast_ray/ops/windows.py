@@ -861,3 +861,67 @@ def decayed_user_value(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def top_sessions_by_value(
+    events: "ray.data.Dataset",
+    gap_minutes: float = 30.0,
+    k: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """→ top-k (user_id, session_id, n_events, value_cents): the
+    highest-value sessions corpus-wide — sessionization composed with a
+    value rollup and a global rank. Session values sum as INTEGER cents
+    (``floor(value·100)``): float session sums would depend on
+    accumulation order; cents are exact in any order, so the SQL mirror
+    (the sessions CTE + a cents sum + ORDER/LIMIT) is bit-identical.
+
+    One coarse ``hash(user) % P`` colocate (sessions are per-user by
+    construction, so each partition rolls up its own sessions
+    completely) + a k-row global sort — nothing event-sized leaves the
+    partition except k candidates per part.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_parts = resolve_n_parts(events, n_parts)
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def kern(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        new_s = (
+            g.groupby(key_col, sort=False)[ts_col].diff() > gap
+        ) | g.groupby(key_col, sort=False).cumcount().eq(0)
+        g = g.assign(
+            session_id=new_s.astype(np.int64)
+            .groupby(g[key_col], sort=False)
+            .cumsum(),
+            cents=np.floor(
+                g[value_col].to_numpy(dtype=np.float64) * 100.0
+            ).astype(np.int64),
+        )
+        agg = g.groupby([key_col, "session_id"], as_index=False).agg(
+            n_events=("cents", "size"), value_cents=("cents", "sum")
+        )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        # per-partition top-k: only k candidate rows leave each part
+        return agg.sort_values(
+            ["value_cents", key_col, "session_id"],
+            ascending=[False, True, True],
+        ).head(k)
+
+    ranked = (
+        events.map_batches(
+            _add_part_factory(key_col, n_parts), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
+    )
+    return ranked.sort(
+        ["value_cents", key_col, "session_id"],
+        descending=[True, False, False],
+    ).limit(k)

@@ -162,6 +162,7 @@ _SQL_GATED = [
         "contrastive_triplets",
         "decayed_user_value",
         "linear_attribution",
+        "top_sessions_by_value",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
