@@ -2928,6 +2928,71 @@ def _q_top_sessions(sf_dir: str):
     return top_sessions_by_value(events, gap_minutes=30.0, k=10, n_parts=16)
 
 
+def _q_source_dup_rates(sf_dir: str):
+    """Per-source duplication accounting (the report that decides which
+    crawl sources get per-domain caps): docs vs distinct texts per
+    source, dup_frac = 1 - distinct/docs. Text never shuffles — sha
+    inside map_batches, then the exact grouped COUNT DISTINCT combiner;
+    one IEEE divide."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.joins import grouped_count_distinct
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def sha_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "sha": [hashlib.sha256(t.encode()).hexdigest()[:32]
+                    for t in df["text"].fillna("")],
+        })
+
+    shas = docs.map_batches(sha_rows, batch_format="pandas")
+    distinct = grouped_count_distinct(
+        shas, group_col="source", key_col="sha", n_parts=16
+    )
+
+    def count_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vc = df["source"].value_counts()
+        return pd.DataFrame({"source": vc.index.to_numpy(),
+                             "n_docs": vc.to_numpy().astype(np.int64),
+                             "part": np.zeros(len(vc), dtype=np.int32)})
+
+    totals = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: g.groupby("source", as_index=False)["n_docs"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    from ontocast_ray.ops.joins import hash_join
+
+    joined = hash_join(
+        totals, distinct,
+        left_on="source", right_on="source",
+        left_cols=["n_docs"], right_cols=["n_distinct"],
+        n_parts=8,
+    )
+
+    def rate(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = b["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": pa.array(nd),
+            "n_distinct": pa.array(nu),
+            "dup_frac": pa.array(1.0 - nu / nd),
+        })
+
+    return joined.map_batches(rate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3068,6 +3133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_value": _q_decayed_value,
         "linear_attribution": _q_linear_attribution,
         "top_sessions_by_value": _q_top_sessions,
+        "source_dup_rates": _q_source_dup_rates,
     }
 
 
@@ -4971,6 +5037,14 @@ def _sql_oracles() -> dict[str, str]:
             FROM rolled
             ORDER BY value_cents DESC, user_id, session_id
             LIMIT 10
+        """,
+        "source_dup_rates": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+                   1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                         / count(*) AS dup_frac
+            FROM documents GROUP BY source
         """,
         "url_dedup": r"""
             WITH raw AS (

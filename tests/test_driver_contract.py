@@ -163,6 +163,7 @@ _SQL_GATED = [
         "decayed_user_value",
         "linear_attribution",
         "top_sessions_by_value",
+        "source_dup_rates",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",
