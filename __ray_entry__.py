@@ -2993,6 +2993,17 @@ def _q_source_dup_rates(sf_dir: str):
     return joined.map_batches(rate, batch_format="pyarrow")
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Exact integer Gram matrix of the embedding corpus (PCA/whitening
+    prep): per-block qᵀq matmuls (q = floor(v·2^8)) summed on a coarse
+    cell shuffle — order-free int64, bit-identical to the positional-
+    unnest SQL mirror; d² = 4096 output rows."""
+    from ontocast_ray.ops.features import embedding_gram
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_gram(emb, scale=1 << 8, n_parts=8)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3134,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": _q_linear_attribution,
         "top_sessions_by_value": _q_top_sessions,
         "source_dup_rates": _q_source_dup_rates,
+        "embedding_gram": _q_embedding_gram,
     }
 
 
@@ -5045,6 +5057,23 @@ def _sql_oracles() -> dict[str, str]:
                    1.0 - CAST(count(DISTINCT text) AS DOUBLE)
                          / count(*) AS dup_frac
             FROM documents GROUP BY source
+        """,
+        "embedding_gram": r"""
+            WITH q AS (
+                SELECT list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 256.0)
+                                     AS BIGINT)) AS qv
+                FROM embeddings
+            ), cells AS (
+                SELECT i, j, qv[i + 1] * qv[j + 1] AS p
+                FROM q,
+                     unnest(range(len(qv))) AS ti(i),
+                     unnest(range(len(qv))) AS tj(j)
+            )
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(sum(p) AS BIGINT) AS qsum,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM cells GROUP BY i, j
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -307,3 +307,56 @@ def label_centroids(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def embedding_gram(
+    embeddings: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    scale: int = 1 << 8,
+    n_parts: int = 8,
+) -> "ray.data.Dataset":
+    """→ (i, j, qsum, n_vecs): the d×d Gram matrix Σ q·qᵀ of the
+    integer-quantized corpus (q = floor(v·scale)) — the input to
+    covariance/PCA/whitening, computed exactly: float Gram sums are
+    accumulation-order-dependent; int64 sums of quantized components are
+    exact in any order, so the SQL positional-unnest mirror matches
+    bit-for-bit.
+
+    One pass: each block matmuls its own (n, d) int block (qᵀq — a
+    single numpy call) and emits d² partial rows; a coarse ``(i·d+j) %
+    P`` shuffle sums. Driver never sees vectors; output is d² rows (the
+    dimensionality is feature-small by contract — 64²=4096 here).
+    Overflow bound: |q| ≤ scale·|v|, so n·(scale·vmax)² must fit int64 —
+    at scale 2^8 and |v|≲4, ~10¹² rows fit; lower ``scale`` for more.
+    """
+    from ontocast_ray.util import vectors_2d
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        q = np.floor(vecs * float(scale)).astype(np.int64)
+        g = q.T @ q  # (d, d) exact int64
+        d = g.shape[0]
+        i = np.repeat(np.arange(d, dtype=np.int64), d)
+        j = np.tile(np.arange(d, dtype=np.int64), d)
+        return pa.table(
+            {
+                "i": pa.array(i),
+                "j": pa.array(j),
+                "qsum": pa.array(g.ravel()),
+                "n_vecs": pa.array(
+                    np.full(d * d, len(q), dtype=np.int64)
+                ),
+                "part": pa.array(((i * d + j) % n_parts).astype(np.int32)),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["i", "j"], as_index=False).agg(
+            qsum=("qsum", "sum"), n_vecs=("n_vecs", "sum")
+        )
+
+    return (
+        embeddings.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

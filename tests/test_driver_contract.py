@@ -164,6 +164,7 @@ _SQL_GATED = [
         "linear_attribution",
         "top_sessions_by_value",
         "source_dup_rates",
+        "embedding_gram",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

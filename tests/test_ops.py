@@ -3496,3 +3496,28 @@ def test_decayed_user_value(ray_session):
         )
         assert out["decayed_cents"].tolist() == [1000 + 500, 1000]
         assert out["n_events"].tolist() == [2, 1]
+
+
+def test_embedding_gram_exact(ray_session):
+    """Distributed Gram equals the single-shot quantized qᵀq at any
+    partitioning; symmetric; diagonal positive."""
+    import ray
+
+    from ontocast_ray.ops.features import embedding_gram
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(30, 6)).astype(np.float32)
+    t = pa.table({"embedding": pa.array([x.tolist() for x in v],
+                                        type=pa.list_(pa.float32()))})
+    q = np.floor(v.astype(np.float64) * 256).astype(np.int64)
+    exp = q.T @ q
+    for parts in (1, 4):
+        out = (
+            embedding_gram(ray.data.from_arrow(t).repartition(parts),
+                           scale=256, n_parts=4)
+            .to_pandas().sort_values(["i", "j"]).reset_index(drop=True)
+        )
+        got = out["qsum"].to_numpy().reshape(6, 6)
+        assert (got == exp).all()
+        assert (out["n_vecs"] == 30).all()
+    assert (exp == exp.T).all() and (np.diag(exp) > 0).all()
