@@ -3004,6 +3004,16 @@ def _q_embedding_gram(sf_dir: str):
     return embedding_gram(emb, scale=1 << 8, n_parts=8)
 
 
+def _q_rademacher(sf_dir: str):
+    """JL dimensionality reduction 64→8 with a splitmix-derived ±1
+    matrix over quantized components — no stored matrix, exact int64
+    projections, scalar-splitmix sign re-derivation in SQL."""
+    from ontocast_ray.ops.features import rademacher_project
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return rademacher_project(emb, k=8, seed=19, scale=1 << 8)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3146,6 +3156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sessions_by_value": _q_top_sessions,
         "source_dup_rates": _q_source_dup_rates,
         "embedding_gram": _q_embedding_gram,
+        "jl_projection_8d": _q_rademacher,
     }
 
 
@@ -4578,6 +4589,27 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "lpa_communities": _lpa_sql(n_iters=3),
+        "jl_projection_8d": f"""
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 256.0)
+                                     AS BIGINT)) AS qv
+                FROM embeddings
+            ), cells AS (
+                SELECT vec_id, j,
+                       qv[i + 1] *
+                       (2 * CAST(({_splitmix_expr_sql(
+                           'CAST(i * 256 + j AS UBIGINT)', 19)}) >> 63
+                            AS BIGINT) - 1) AS term
+                FROM q,
+                     unnest(range(len(qv))) AS ti(i),
+                     unnest(range(8)) AS tj(j)
+            )
+            SELECT vec_id, CAST(j AS BIGINT) AS j,
+                   CAST(sum(term) AS BIGINT) AS qproj
+            FROM cells GROUP BY vec_id, j
+        """,
         "contrastive_triplets": f"""
             WITH pairs AS ({_JACCARD_PAIRS_SQL}),
             nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),

@@ -360,3 +360,50 @@ def embedding_gram(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def rademacher_project(
+    embeddings: "ray.data.Dataset",
+    k: int = 8,
+    seed: int = 19,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 8,
+) -> "ray.data.Dataset":
+    """→ (vec_id, j, qproj): Johnson-Lindenstrauss dimensionality
+    reduction with a DERIVED Rademacher (±1) matrix — s_ij = ±1 from the
+    top bit of ``splitmix64(i·256 + j, seed)`` — over integer-quantized
+    components (q = floor(v·scale)). No stored projection matrix, no
+    float matmul: the map regenerates S from (seed, shape) anywhere,
+    projections are exact int64 sums (y = q·S in one numpy matmul per
+    block), and the SQL mirror re-derives every sign with the scalar
+    splitmix expression — bit-identical. Pure map, zero shuffles.
+    (Rademacher entries satisfy the JL lemma like Gaussians — Achlioptas
+    2003 — with distance distortion ≤ ε at k = O(log n / ε²).)
+    """
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.util import vectors_2d
+
+    def project(batch: pa.Table) -> pa.Table:
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        n, d = vecs.shape
+        keys = (
+            np.arange(d, dtype=np.uint64)[:, None] * np.uint64(256)
+            + np.arange(k, dtype=np.uint64)[None, :]
+        )
+        bits = (splitmix64(keys.ravel(), seed) >> np.uint64(63)).astype(
+            np.int64
+        )
+        s = (2 * bits - 1).reshape(d, k)
+        q = np.floor(vecs * float(scale)).astype(np.int64)
+        proj = q @ s  # exact int64
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, k)),
+                "j": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "qproj": pa.array(proj.ravel()),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

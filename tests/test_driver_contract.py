@@ -165,6 +165,7 @@ _SQL_GATED = [
         "top_sessions_by_value",
         "source_dup_rates",
         "embedding_gram",
+        "jl_projection_8d",
         "kmeans_clusters",
         "neardup_filtered_docs",
         "neardup_keep_list",

@@ -3521,3 +3521,36 @@ def test_embedding_gram_exact(ray_session):
         assert (got == exp).all()
         assert (out["n_vecs"] == 30).all()
     assert (exp == exp.T).all() and (np.diag(exp) > 0).all()
+
+
+def test_rademacher_projection_jl(ray_session):
+    """Projection is exact vs a local replay and roughly preserves
+    pairwise distance ordering (JL property, sanity-level)."""
+    import ray
+
+    from ontocast_ray.ops.features import rademacher_project
+    from ontocast_ray.ops.interleave import splitmix64
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(20, 16)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(20)),
+        "embedding": pa.array([x.tolist() for x in v],
+                              type=pa.list_(pa.float32())),
+    })
+    out = (
+        rademacher_project(ray.data.from_arrow(t).repartition(3),
+                           k=8, seed=19, scale=256)
+        .to_pandas().sort_values(["vec_id", "j"]).reset_index(drop=True)
+    )
+    # local replay
+    d, k = 16, 8
+    keys = (np.arange(d, dtype=np.uint64)[:, None] * np.uint64(256)
+            + np.arange(k, dtype=np.uint64)[None, :])
+    s = (2 * (splitmix64(keys.ravel(), 19) >> np.uint64(63)).astype(
+        np.int64) - 1).reshape(d, k)
+    q = np.floor(v.astype(np.float64) * 256).astype(np.int64)
+    exp = q @ s
+    assert out["qproj"].to_numpy().reshape(20, 8).tolist() == exp.tolist()
+    # signs are balanced-ish (not degenerate)
+    assert 0.25 < (s > 0).mean() < 0.75
