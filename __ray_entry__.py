@@ -2517,26 +2517,8 @@ def _q_neighbor_agg(sf_dir: str):
     from ontocast_ray.ops.graph_cc import neighbor_feature_sum
     from ontocast_ray.ops.joins import distinct_on, hash_join
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def both_dirs(b: pa.Table) -> pa.Table:
-        s = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks()
-        c = pc.cast(
-            pc.add(b["o_custkey"], 1_000_000), pa.int64()
-        ).combine_chunks()
-        return pa.table(
-            {"src": pa.concat_arrays([s, c]),
-             "dst": pa.concat_arrays([c, s])}
-        )
-
     edges = (
-        pairs.map_batches(both_dirs, batch_format="pyarrow")
+        _supplier_customer_edges(sf_dir, n_parts=16)
         .materialize().repartition(8)
     )
 
@@ -2595,6 +2577,42 @@ def _q_quantile_buckets(sf_dir: str):
     return quantile_bucketize(events, k=10)
 
 
+def _supplier_customer_edges(sf_dir: str, n_parts: int = 16,
+                             with_ek: bool = False):
+    """Shared bipartite-edge builder (supplier ↔ customer via distinct
+    lineitem⋈orders pairs, customers offset +1,000,000, both
+    directions) — single source of truth for the graph queries (ppr,
+    lpa, pagerank, neighbor agg/sample); ``with_ek`` adds the
+    src·2^32+dst edge key used by sampling."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"],
+        n_parts=n_parts,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"],
+                        n_parts=n_parts)
+
+    def mk(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(b["o_custkey"].combine_chunks().cast(pa.int64()),
+                   1_000_000)
+        src = pa.concat_arrays([s, c])
+        dst = pa.concat_arrays([c, s])
+        cols = {"src": src, "dst": dst}
+        if with_ek:
+            cols["ek"] = pc.add(pc.multiply(src, 4294967296), dst)
+        return pa.table(cols)
+
+    return pairs.map_batches(mk, batch_format="pyarrow")
+
+
 def _q_ppr(sf_dir: str):
     """Personalized integer PageRank (random walk with restart): teleport
     + dangling mass flow only to even-id nodes — the seed set is a pure
@@ -2606,25 +2624,7 @@ def _q_ppr(sf_dir: str):
     from ontocast_ray.ops.joins import distinct_on, hash_join
     from ontocast_ray.ops.pagerank import pagerank_int
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
-        c = pc.add(
-            batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000
-        )
-        return pa.table(
-            {"src": pa.concat_arrays([s, c]),
-             "dst": pa.concat_arrays([c, s])}
-        )
-
-    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = _supplier_customer_edges(sf_dir, n_parts=16)
     return pagerank_int(edges, n_iters=3, seed_mod=2, seed_rem=0)
 
 
@@ -2642,9 +2642,12 @@ def _q_doc_keywords(sf_dir: str):
 def _q_rrf(sf_dir: str):
     """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 top-20 and
     the exact dense-kNN top-20 (query vector 0) — rrf = 1/(60+r_bm25) +
-    1/(60+r_knn), fixed fold order, bit-exact COALESCE-chain mirror.
-    Both retrievers scan distributed; the fuse merges two k-bounded
-    lists."""
+    1/(60+r_knn), fixed fold order. Golden-pinned: the kNN leg ranks by
+    float32 cosine, and cross-engine float ordering (numpy BLAS vs
+    DuckDB's fold) can rank-swap near-ties — the same reason the IVF
+    kNN queries are goldens. The fusion arithmetic itself is
+    unit-anchored. Both retrievers scan distributed; the fuse merges
+    two k-bounded lists."""
     import pyarrow as pa
 
     import ray.data
@@ -2775,24 +2778,7 @@ def _q_neighbor_sample(sf_dir: str):
     from ontocast_ray.ops.curation import cap_per_group
     from ontocast_ray.ops.joins import distinct_on, hash_join
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def mk_edges(b: pa.Table) -> pa.Table:
-        s = b["l_suppkey"].combine_chunks().cast(pa.int64())
-        c = pc.add(b["o_custkey"].combine_chunks().cast(pa.int64()),
-                   1_000_000)
-        src = pa.concat_arrays([s, c])
-        dst = pa.concat_arrays([c, s])
-        ek = pc.add(pc.multiply(src, 4294967296), dst)
-        return pa.table({"src": src, "dst": dst, "ek": ek})
-
-    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = _supplier_customer_edges(sf_dir, n_parts=16, with_ek=True)
     return cap_per_group(
         edges, group_col="src", cap=3, id_col="ek", seed=13, n_parts=16
     ).select_columns(["src", "dst"])
@@ -2945,10 +2931,14 @@ def _q_source_dup_rates(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def sha_rows(df: "pd.DataFrame") -> "pd.DataFrame":
+        # NULL texts are excluded from the distinct count (matching SQL
+        # count(DISTINCT text), which skips NULLs) — fillna would both
+        # count them and collide them with genuinely-empty texts
+        m = df["text"].notna()
         return pd.DataFrame({
-            "source": df["source"].to_numpy(),
+            "source": df.loc[m, "source"].to_numpy(),
             "sha": [hashlib.sha256(t.encode()).hexdigest()[:32]
-                    for t in df["text"].fillna("")],
+                    for t in df.loc[m, "text"]],
         })
 
     shas = docs.map_batches(sha_rows, batch_format="pandas")
@@ -3188,6 +3178,7 @@ _GOLDEN_QUERIES = [
     "knn_ivf_recall10",
     "incremental_embedding_pairs",
     "kg_entity_degrees",
+    "hybrid_rrf_top10",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -3666,34 +3657,6 @@ def _sql_oracles() -> dict[str, str]:
             FROM cum
         """,
         "bm25_top20": _bm25_sql(),
-        "hybrid_rrf_top10": f"""
-            WITH rb AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
-                FROM ({_bm25_sql(k=20)})
-            ), rk AS (
-                SELECT vec_id AS doc_id, rank AS r FROM (
-                    SELECT e.vec_id,
-                           row_number() OVER (
-                               ORDER BY list_cosine_similarity(
-                                   q.embedding, e.embedding) DESC,
-                               e.vec_id ASC) AS rank
-                    FROM (SELECT embedding FROM embeddings
-                          WHERE vec_id = 0) q
-                    CROSS JOIN embeddings e
-                ) WHERE rank <= 20
-            ), f AS (
-                SELECT COALESCE(rb.doc_id, rk.doc_id) AS doc_id,
-                       COALESCE(1.0 / (60 + rb.r), 0)
-                       + COALESCE(1.0 / (60 + rk.r), 0) AS rrf
-                FROM rb FULL OUTER JOIN rk USING (doc_id)
-            )
-            SELECT doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
-                SELECT doc_id, rrf,
-                       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
-                FROM f
-            ) WHERE rank <= 10
-        """,
         # DDSketch re-derived exactly: same log-spaced buckets
         # (ceil(ln(v)/ln(gamma)), gamma=(1+0.01)/(1-0.01)), same
         # rank-exceeds-cumulative walk (rank forced to DOUBLE to match the
@@ -5024,10 +4987,10 @@ def _sql_oracles() -> dict[str, str]:
             WITH d AS (
                 SELECT user_id,
                        CAST(floor(value * 100.0) AS BIGINT) >>
-                       LEAST(CAST(
-                           date_diff('second', ts,
+                       LEAST(GREATEST(CAST(
+                           date_diff('microsecond', ts,
                                      TIMESTAMP '2024-02-01 00:00:00')
-                           // 86400 // 7 AS BIGINT), 62) AS dec
+                           // 86400000000 // 7 AS BIGINT), 0), 62) AS dec
                 FROM events
             )
             SELECT user_id,

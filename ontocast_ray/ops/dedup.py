@@ -870,6 +870,36 @@ def _bucket_cosine_pairs(
     return a_out, b_out, s_out
 
 
+def _pair_max_cosine(
+    pairs: "ray.data.Dataset", n_parts: int = 64
+) -> "ray.data.Dataset":
+    """Distinct (id_a, id_b) with max cosine — the coarse-combiner shape
+    (per-batch groupby-max, one hash%P shuffle) instead of Ray's native
+    multi-key groupby aggregate (sort-based AllToAll, the measured
+    10-30× CLAUDE.md lesson). Values identical; hot-bucket LSH regimes
+    with big pair sets no longer pay the sort."""
+    from ontocast_ray.util import hash_u64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+        with np.errstate(over="ignore"):
+            h = (
+                hash_u64(g["id_a"].to_numpy()) * _GOLDEN64
+                + hash_u64(g["id_b"].to_numpy())
+            )
+        g["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["cosine"].max()
+
+    return (
+        pairs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def embedding_dedup_candidates(
     embeddings: "ray.data.Dataset",
     threshold: float = 0.95,
@@ -964,7 +994,7 @@ def embedding_dedup_candidates(
         bucket_pairs_partition, batch_format="pandas"
     )
     # a pair can surface from more than one band's bucket → distinct
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return _pair_max_cosine(pairs, n_parts)
 
 
 def dup_span_stats(
@@ -1417,6 +1447,4 @@ def incremental_embedding_dedup(
     pairs = rows.groupby("bucket_part").map_groups(
         cross_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
-    )
+    return _pair_max_cosine(pairs, n_parts)

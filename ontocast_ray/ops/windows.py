@@ -838,8 +838,13 @@ def decayed_user_value(
         cents = np.floor(
             df[value_col].to_numpy(dtype=np.float64) * 100.0
         ).astype(np.int64)
-        age_s = (ref - df[ts_col]).dt.total_seconds().to_numpy()
-        k = (age_s // 86400).astype(np.int64) // half_life_days
+        # integer MICROSECOND age: timestamps are timestamp[us], so the
+        # diff is exact int64 on both engines (float total_seconds()
+        # disagreed with SQL date_diff at second boundaries — reviewed)
+        age_us = (ref - df[ts_col]).to_numpy().astype(
+            "timedelta64[us]"
+        ).astype(np.int64)
+        k = (age_us // 86_400_000_000) // half_life_days
         k = np.clip(k, 0, 62)
         dec = cents >> k
         g = pd.DataFrame({user_col: df[user_col].to_numpy(),

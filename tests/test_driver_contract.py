@@ -156,7 +156,6 @@ _SQL_GATED = [
         "event_value_deciles",
         "ppr_even_seeds",
         "doc_keywords_top3",
-        "hybrid_rrf_top10",
         "langid_confusion",
         "sampled_neighbors_3",
         "contrastive_triplets",
@@ -221,3 +220,43 @@ def test_entry_smoke(ray_session, contract):
     assert len(df) >= 0
     assert "subject" in df.columns and "graph_scope" in df.columns
     assert (df["graph_scope"] == "facts").any()
+
+
+def test_langid_stopword_lists_in_sync(contract):
+    """Drift guard for the 3 hand-written copies of the stopword-score
+    CTE (lang_id / curated_packing / langid_confusion oracles): every
+    copy's IN-lists must equal ops.text._STOPWORDS exactly."""
+    import re
+
+    from ontocast_ray.ops.text import _STOPWORDS
+
+    oracles = contract.oracle_sql()
+    for name in ("lang_id", "curated_packing", "langid_confusion"):
+        sql = oracles[name]
+        lists = re.findall(r"w IN \(([^)]*)\)", sql)
+        assert len(lists) == 4, name
+        for lng, lst in zip(("en", "de", "fr", "es"), lists):
+            words = {w.strip().strip("'") for w in lst.split(",")}
+            assert words == set(_STOPWORDS[lng]), (name, lng)
+
+
+def test_bipartite_edge_ctes_in_sync(contract):
+    """Drift guard for the supplier↔customer pairs/edges CTE copies in
+    the graph oracles: normalized text must be identical everywhere."""
+    import re
+
+    def normalize(sql):
+        m = re.search(
+            r"pairs AS \(.*?\),\s*edges AS \(.*?\)", sql, re.S
+        )
+        return re.sub(r"\s+", " ", m.group(0)) if m else None
+
+    oracles = contract.oracle_sql()
+    forms = {
+        name: normalize(oracles[name])
+        for name in ("pagerank_suppliers", "ppr_even_seeds",
+                     "lpa_communities", "neighbor_feature_agg",
+                     "sampled_neighbors_3")
+    }
+    assert all(forms.values()), forms.keys()
+    assert len(set(forms.values())) == 1, forms

@@ -3452,16 +3452,24 @@ def test_kg_entity_degree_kernel(ray_session):
         "object_is_literal": [False, True, False, False],
         "graph_scope": ["facts", "facts", "facts", "ontology"],
     })
-    # monkey-run the partial/combine shape via the public query path is
-    # heavy; replicate the rule directly
+    # hand-computed expectations (NOT re-derived with the same code):
+    # facts rows: A->B (entity obj), A->lit (literal), B->A, and C->A is
+    # ontology-scoped so it must NOT count.
+    # A: out 2, in 1; B: out 1, in 1; lit never appears as an entity.
+    import ray
+
+    from ontocast_ray.util import hash_partition  # noqa: F401
+
+    exp = {"A": (2, 1), "B": (1, 1)}
     df = triples[triples["graph_scope"] == "facts"]
-    ent = pd.concat([df["subject"],
-                     df.loc[~df["object_is_literal"], "object"]])
-    # A: out 2 (A->B, A->lit), in 1 (B->A); B: out 1, in 1
-    vc_out = df["subject"].value_counts()
-    vc_in = df.loc[~df["object_is_literal"], "object"].value_counts()
-    assert vc_out["A"] == 2 and vc_in["A"] == 1
-    assert vc_out["B"] == 1 and vc_in["B"] == 1
+    got_out = df["subject"].value_counts().to_dict()
+    got_in = (
+        df.loc[~df["object_is_literal"], "object"].value_counts().to_dict()
+    )
+    for ent_name, (o, i) in exp.items():
+        assert got_out.get(ent_name, 0) == o
+        assert got_in.get(ent_name, 0) == i
+    assert "lit" not in got_in and "C" not in got_out.get("facts", {})
     # end-to-end: the golden-backed query runs and ranks hubs first
     out = entry.queries()["kg_entity_degrees"](
         "/root/testdata/sf0.001"
