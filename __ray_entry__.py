@@ -3004,6 +3004,19 @@ def _q_rademacher(sf_dir: str):
     return rademacher_project(emb, k=8, seed=19, scale=1 << 8)
 
 
+def _q_sliding_hll(sf_dir: str):
+    """Sliding 3-hour distinct users via HLL register merges — the
+    mergeability demo: multi-hour estimates from per-hour 4 KB blobs,
+    never a rescan; equals HLL-of-union exactly. Deterministic →
+    golden."""
+    from ontocast_ray.ops.sketch import sliding_hll_distinct
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sliding_hll_distinct(
+        events, window_hours=3, p=12, n_parts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3147,6 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_rates": _q_source_dup_rates,
         "embedding_gram": _q_embedding_gram,
         "jl_projection_8d": _q_rademacher,
+        "sliding_hll_distinct_users": _q_sliding_hll,
     }
 
 
@@ -3179,6 +3193,7 @@ _GOLDEN_QUERIES = [
     "incremental_embedding_pairs",
     "kg_entity_degrees",
     "hybrid_rrf_top10",
+    "sliding_hll_distinct_users",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

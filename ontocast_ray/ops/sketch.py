@@ -416,3 +416,96 @@ def countmin_estimate(table: "np.ndarray", terms) -> "np.ndarray":
             b = ((h * np.uint64(_CMS_MULS[j])) >> shift).astype(np.int64)
             est = np.minimum(est, table[j, b])
     return est
+
+
+def sliding_hll_distinct(
+    events: "ray.data.Dataset",
+    window_hours: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    p: int = 12,
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (window_end, approx_distinct): distinct keys over every sliding
+    ``window_hours``-hour range, computed by MERGING per-hour HLL
+    sketches — the mergeability property that makes sketches the scale
+    answer: the multi-hour estimate comes from 2^p-byte register blobs,
+    never a rescan of the events, and equals the HLL of the union
+    exactly (register max is associative/commutative/idempotent).
+
+    Three stages, all blob-sized after stage 1: per-(block, hour)
+    partial registers; one coarse hour-hash merge to a single blob per
+    hour; a ``window_hours``-way fan-out of each hour blob to the
+    windows it serves, merged per window. Deterministic (FNV key hash,
+    no RNG) → golden-pinned.
+    """
+    m = 1 << p
+    hour = pd.Timedelta(hours=1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, ts_col]).to_pandas()
+        df["hour"] = df[ts_col].dt.floor("h")
+        hours, blobs = [], []
+        for h, sub in df.groupby("hour", sort=False):
+            idx, rho = _hll_registers(sub[key_col], p)
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rho.astype(np.uint8))
+            hours.append(h)
+            blobs.append(reg.tobytes())
+        out = pd.DataFrame({"hour": hours, "registers": blobs})
+        out["part"] = (
+            pd.util.hash_array(out["hour"].to_numpy(), categorize=False)
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge_hour(df: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_b = [], []
+        for h, sub in df.groupby("hour", sort=False):
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8)
+                 for b in sub["registers"]]
+            )
+            out_h.append(h)
+            out_b.append(stack.max(axis=0).tobytes())
+        return pd.DataFrame({"hour": out_h, "registers": out_b})
+
+    def _fanout(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for _, r in df.iterrows():  # ≤ one row per hour — calendar-small
+            for k in range(window_hours):
+                rows.append(
+                    {"window_end": r["hour"] + k * hour,
+                     "registers": r["registers"]}
+                )
+        out = pd.DataFrame(rows)
+        out["part"] = (
+            pd.util.hash_array(
+                out["window_end"].to_numpy(), categorize=False
+            ) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge_window(df: pd.DataFrame) -> pd.DataFrame:
+        out_w, out_n = [], []
+        for w, sub in df.groupby("window_end", sort=False):
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8)
+                 for b in sub["registers"]]
+            )
+            out_w.append(w)
+            out_n.append(_hll_estimate(stack.max(axis=0)))
+        return pd.DataFrame({
+            "window_end": out_w,
+            "approx_distinct": pd.array(out_n, dtype="int64"),
+        })
+
+    return (
+        events.map_batches(_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_merge_hour, batch_format="pandas")
+        .map_batches(_fanout, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_merge_window, batch_format="pandas")
+    )

@@ -3562,3 +3562,46 @@ def test_rademacher_projection_jl(ray_session):
     assert out["qproj"].to_numpy().reshape(20, 8).tolist() == exp.tolist()
     # signs are balanced-ish (not degenerate)
     assert 0.25 < (s > 0).mean() < 0.75
+
+
+def test_sliding_hll_merge_equals_union(ray_session):
+    """Register-merged sliding estimate == HLL computed directly over
+    the union of the window's events (mergeability), at any
+    partitioning."""
+    import ray
+
+    from ontocast_ray.ops.sketch import (
+        _hll_estimate,
+        _hll_registers,
+        sliding_hll_distinct,
+    )
+
+    rng = np.random.default_rng(4)
+    base = pd.Timestamp("2024-01-01 00:30:00")
+    rows = []
+    for h in range(5):
+        users = rng.integers(0, 500, size=200)
+        for u in users:
+            rows.append({"user_id": int(u),
+                         "ts": base + pd.Timedelta(hours=h)})
+    df = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, 4):
+        out = (
+            sliding_hll_distinct(
+                ray.data.from_pandas(df).repartition(parts),
+                window_hours=3, p=12, n_parts=4,
+            ).to_pandas().sort_values("window_end").reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # direct HLL over the union of hours {0,1,2} (window_end = hour 2)
+    w_end = (base + pd.Timedelta(hours=2)).floor("h")
+    in_win = df[(df["ts"] >= w_end - pd.Timedelta(hours=2))
+                & (df["ts"] < w_end + pd.Timedelta(hours=1))]
+    idx, rho = _hll_registers(in_win["user_id"], 12)
+    reg = np.zeros(1 << 12, dtype=np.uint8)
+    np.maximum.at(reg, idx, rho.astype(np.uint8))
+    direct = _hll_estimate(reg)
+    got = outs[0].set_index("window_end")["approx_distinct"][w_end]
+    assert got == direct
