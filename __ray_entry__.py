@@ -3017,6 +3017,18 @@ def _q_sliding_hll(sf_dir: str):
     )
 
 
+def _q_followed_by(sf_dir: str):
+    """'A followed by B within 10 min' transition counts over all event-
+    type pairs — the CEP/sequence-mining primitive; searchsorted window
+    walk per user, strictly-later rule, exact self-join SQL mirror."""
+    from ontocast_ray.ops.windows import followed_by_counts
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return followed_by_counts(events, window_minutes=10, n_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3161,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "jl_projection_8d": _q_rademacher,
         "sliding_hll_distinct_users": _q_sliding_hll,
+        "followed_by_pairs": _q_followed_by,
     }
 
 
@@ -5084,6 +5097,15 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(p) AS BIGINT) AS qsum,
                    CAST(count(*) AS BIGINT) AS n_vecs
             FROM cells GROUP BY i, j
+        """,
+        "followed_by_pairs": r"""
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 10 MINUTE
+            GROUP BY type_a, type_b
         """,
         "url_dedup": r"""
             WITH raw AS (

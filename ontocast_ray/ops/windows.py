@@ -930,3 +930,94 @@ def top_sessions_by_value(
         ["value_cents", key_col, "session_id"],
         descending=[True, False, False],
     ).limit(k)
+
+
+def followed_by_counts(
+    events: "ray.data.Dataset",
+    window_minutes: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """→ (type_a, type_b, n_pairs): complex-event sequence mining — for
+    every ordered pair of events of the SAME user with
+    ``0 < t_b - t_a ≤ window``, count the (type_a → type_b)
+    transitions. The 'A followed by B within T' primitive of
+    behavioral/funnel analytics, generalized to all type pairs.
+
+    One coarse ``hash(user) % P`` colocate; the kernel walks each
+    user's time-sorted events with ``searchsorted`` window ends and
+    explodes pairs via ``np.repeat`` (no per-pair Python; per-user
+    fan-out is bounded by events-in-window, the analytic's intrinsic
+    output size). Tiny (type_a, type_b) partials then sum in one
+    single-partition combine (type-pair cardinality is schema-small).
+    Tie rule: simultaneous events order by (ts, id) and only strictly
+    later events count (Δt > 0), so the SQL self-join mirror is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def kern(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        out = {}
+        for _, sub in g.groupby(key_col, sort=False):
+            ts = sub[ts_col].to_numpy().astype("datetime64[us]").astype(
+                np.int64
+            )
+            ty = sub[type_col].to_numpy()
+            n = len(ts)
+            if n < 2:
+                continue
+            # first index with ts strictly greater (Δt > 0 rule)
+            lo = np.searchsorted(ts, ts, side="right")
+            hi = np.searchsorted(ts, ts + win_us, side="right")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            a_idx = np.repeat(np.arange(n), counts)
+            offs = np.arange(len(a_idx)) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            b_idx = np.repeat(lo, counts) + offs
+            pairs = pd.DataFrame({"type_a": ty[a_idx], "type_b": ty[b_idx]})
+            vc = pairs.groupby(["type_a", "type_b"]).size()
+            for k, v in vc.items():
+                out[k] = out.get(k, 0) + int(v)
+        if not out:
+            return pd.DataFrame({"type_a": [], "type_b": [], "n": [],
+                                 "fpart": []})
+        keys = list(out)
+        return pd.DataFrame({
+            "type_a": [k[0] for k in keys],
+            "type_b": [k[1] for k in keys],
+            "n": np.array([out[k] for k in keys], dtype=np.int64),
+            "fpart": np.zeros(len(keys), dtype=np.int32),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(hash_partition(
+                batch[key_col].to_numpy(zero_copy_only=False), n_parts
+            )),
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+        out = out.rename(columns={"n": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
+        .groupby("fpart")
+        .map_groups(final, batch_format="pandas")
+    )

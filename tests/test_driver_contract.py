@@ -157,6 +157,7 @@ _SQL_GATED = [
         "ppr_even_seeds",
         "doc_keywords_top3",
         "langid_confusion",
+        "followed_by_pairs",
         "sampled_neighbors_3",
         "contrastive_triplets",
         "decayed_user_value",

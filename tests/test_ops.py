@@ -3605,3 +3605,41 @@ def test_sliding_hll_merge_equals_union(ray_session):
     direct = _hll_estimate(reg)
     got = outs[0].set_index("window_end")["approx_distinct"][w_end]
     assert got == direct
+
+
+def test_followed_by_counts(ray_session):
+    """Window walk: strictly-later rule, window bound inclusive, cross-
+    user isolation; parallelism invariant."""
+    import ray
+
+    from ontocast_ray.ops.windows import followed_by_counts
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": [
+            t0,                               # u1 view
+            t0,                               # u1 click SIMULTANEOUS (no pair)
+            t0 + pd.Timedelta(minutes=10),    # u1 click (exactly at bound)
+            t0 + pd.Timedelta(minutes=25),    # u1 purchase (outside)
+            t0,                               # u2 view
+            t0 + pd.Timedelta(minutes=5),     # u2 purchase
+        ],
+        "event_type": ["view", "click", "click", "purchase",
+                       "view", "purchase"],
+    })
+    for parts in (1, 3):
+        out = (
+            followed_by_counts(
+                ray.data.from_pandas(df).repartition(parts),
+                window_minutes=10, n_parts=4,
+            ).to_pandas().sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)
+        )
+        got = {(a, b): n for a, b, n in out.itertuples(index=False)}
+        # u1: view->click and click->click at exactly 10min (inclusive);
+        # simultaneous view/click never pair; purchase at 25min outside
+        # u2: view->purchase at 5min
+        assert got == {("view", "click"): 1, ("click", "click"): 1,
+                       ("view", "purchase"): 1}
