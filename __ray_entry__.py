@@ -3029,6 +3029,62 @@ def _q_followed_by(sf_dir: str):
     return followed_by_counts(events, window_minutes=10, n_parts=16)
 
 
+def _q_dataset_card(sf_dir: str):
+    """One-row dataset-card stats block (what every corpus release
+    ships): doc/token/char totals, distinct texts, language and source
+    cardinalities — integer sums via map partials + one single-row
+    combine; distinct counts ride the existing combiner shapes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        texts = df["text"].fillna("")
+        toks = texts.str.strip().str.split().str.len().fillna(0)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_tokens": [np.int64(toks.sum())],
+            "total_chars": [np.int64(texts.str.len().sum())],
+            "shas": [",".join(
+                hashlib.sha256(t.encode()).hexdigest()[:16]
+                for t in texts
+            )],
+            "langs": [",".join(sorted(set(df["lang"])))],
+            "sources": [",".join(sorted(set(df["source"])))],
+            "part": [np.int32(0)],
+        })
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        shas = set()
+        langs, sources = set(), set()
+        for s in g["shas"]:
+            shas.update(x for x in s.split(",") if x)
+        for s in g["langs"]:
+            langs.update(x for x in s.split(",") if x)
+        for s in g["sources"]:
+            sources.update(x for x in s.split(",") if x)
+        return pd.DataFrame({
+            "n_docs": [np.int64(g["n_docs"].sum())],
+            "total_tokens": [np.int64(g["total_tokens"].sum())],
+            "total_chars": [np.int64(g["total_chars"].sum())],
+            "n_distinct_texts": [np.int64(len(shas))],
+            "n_langs": [np.int64(len(langs))],
+            "n_sources": [np.int64(len(sources))],
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3174,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection_8d": _q_rademacher,
         "sliding_hll_distinct_users": _q_sliding_hll,
         "followed_by_pairs": _q_followed_by,
+        "dataset_card": _q_dataset_card,
     }
 
 
@@ -5106,6 +5163,21 @@ def _sql_oracles() -> dict[str, str]:
              AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 10 MINUTE
             GROUP BY type_a, type_b
+        """,
+        "dataset_card": r"""
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(COALESCE(text, '')) = ''
+                                 THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          trim(text), '\s+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(sum(length(COALESCE(text, ''))) AS BIGINT)
+                       AS total_chars,
+                   CAST(count(DISTINCT COALESCE(text, ''))
+                        AS BIGINT) AS n_distinct_texts,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
         """,
         "url_dedup": r"""
             WITH raw AS (

@@ -158,6 +158,7 @@ _SQL_GATED = [
         "doc_keywords_top3",
         "langid_confusion",
         "followed_by_pairs",
+        "dataset_card",
         "sampled_neighbors_3",
         "contrastive_triplets",
         "decayed_user_value",
