@@ -235,7 +235,13 @@ def semdedup(
         assign = _assign_ids(vecs, ray.get(cents_ref))
         return batch.append_column("cluster", pa.array(assign, type=pa.int64()))
 
-    assigned = emb.map_batches(_with_cluster, batch_format="pyarrow")
+    # materialize(): the assignment map is consumed by 2-3 downstream
+    # passes (_sizes take_all, _route_small, _expand_pairs) — without it
+    # the k-means assignment AND the upstream read re-execute per consumer
+    # (CLAUDE.md lesson: materialize expensive lineage consumed by 2+ ops)
+    assigned = (
+        emb.map_batches(_with_cluster, batch_format="pyarrow").materialize()
+    )
 
     def _normalized(group: pd.DataFrame) -> np.ndarray:
         vecs = np.asarray(list(group[vec_col]), dtype=np.float64)

@@ -278,7 +278,11 @@ def _bucket_all_pairs_partition(
     to ``max_bucket`` members (smallest ids) bound the quadratic blowup —
     the documented LSH hot-bucket degradation."""
     if group.empty:
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        dt = group["doc_id"].dtype if "doc_id" in group else "int64"
+        return pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype=dt),
+            "doc_id_b": pd.Series([], dtype=dt),
+        })
     df = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
         ["band_key", "doc_id"], kind="stable"
     )
@@ -295,7 +299,11 @@ def _bucket_pairs_partition(group: pd.DataFrame) -> pd.DataFrame:
     Python loop, and the shuffle key stays the coarse hash(band_key) % P.
     """
     if group.empty:
-        return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        dt = group["doc_id"].dtype if "doc_id" in group else "int64"
+        return pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype=dt),
+            "doc_id_b": pd.Series([], dtype=dt),
+        })
     df = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
         ["band_key", "doc_id"], kind="stable"
     )

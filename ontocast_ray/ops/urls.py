@@ -141,15 +141,16 @@ def url_dedup(
         canon = _canon_series(
             df[url_col].astype("string").astype(object), _TRACKING_PREFIXES
         )
-        # null URLs pass through as their own keepers (one synthetic
-        # canonical per row — groupby would silently DROP the NA key,
-        # breaking the never-drop contract)
+        # null AND empty-canonical URLs pass through as their own keepers
+        # (one synthetic canonical per row — a groupby would silently
+        # DROP the NA key, and '' urls would all collapse onto ONE keeper,
+        # dropping every other URL-less page's body: never-drop contract)
         # \x01 prefix: cannot collide with any parsed canonical form
         # (those contain '://'); NB a \x00 prefix would NOT work — pandas
         # groupby hashes object strings C-string-style and truncates at
         # embedded NULs, silently merging distinct keys
         repl = "\x01nourl:" + df[id_col].astype(str)
-        canon = canon.where(canon.notna(), repl)
+        canon = canon.where(canon.notna() & (canon != ""), repl)
         g = (
             pd.DataFrame({"url_canon": canon, id_col: df[id_col].to_numpy()})
             .groupby("url_canon", as_index=False)
@@ -245,7 +246,7 @@ def url_dedup_flags(
         # groupby hashes object strings C-string-style and truncates at
         # embedded NULs, silently merging distinct keys
         repl = "\x01nourl:" + df[id_col].astype(str)
-        canon = canon.where(canon.notna(), repl)
+        canon = canon.where(canon.notna() & (canon != ""), repl)
         out = pd.DataFrame({
             "url_canon": canon, id_col: df[id_col].to_numpy()
         })

@@ -990,8 +990,15 @@ def followed_by_counts(
             for k, v in vc.items():
                 out[k] = out.get(k, 0) + int(v)
         if not out:
-            return pd.DataFrame({"type_a": [], "type_b": [], "n": [],
-                                 "fpart": []})
+            # dtype-pinned empty frame: untyped [] columns would land as
+            # object/null-typed blocks and mismatch the int64/int32
+            # schema of non-empty partitions feeding .groupby('fpart')
+            return pd.DataFrame({
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "fpart": pd.Series([], dtype="int32"),
+            })
         keys = list(out)
         return pd.DataFrame({
             "type_a": [k[0] for k in keys],

@@ -265,7 +265,8 @@ def compact_parquet(
                               recursive=True)) or 1
     ds = ray.data.read_parquet(in_path, columns=columns)
     ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
-    files_out = len(_glob.glob(_os.path.join(out_dir, "*.parquet")))
+    files_out = len(_glob.glob(_os.path.join(out_dir, "**", "*.parquet"),
+                               recursive=True))
     return {
         "rows": ray.data.read_parquet(out_dir).count(),
         "files_in": files_in,

@@ -3144,6 +3144,33 @@ def test_url_dedup_null_passthrough(ray_session):
     assert flags["keep_id"].tolist() == [1, 1, 3, 4]
 
 
+def test_url_dedup_empty_string_passthrough(ray_session):
+    """Empty-string URLs canonicalize to '' for every row; without the
+    sentinel they'd all collapse onto ONE keeper and silently drop the
+    other URL-less pages. Each must be its own keeper (fail-open)."""
+    import ray
+
+    from ontocast_ray.ops.urls import url_dedup, url_dedup_flags
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["", "", "http://b.com/y", "HTTP://b.com:80/y/"],
+    })
+    out = (
+        url_dedup(ray.data.from_pandas(df).repartition(2), n_parts=4)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]   # both '' rows kept
+    assert out["n_copies"].tolist() == [1, 1, 2]
+
+    flags = (
+        url_dedup_flags(ray.data.from_pandas(df).repartition(2), n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert flags["keep"].tolist() == [True, True, True, False]
+    assert flags["keep_id"].tolist() == [1, 2, 3, 3]
+
+
 def test_broadcast_cc_nonconvergence_raises(ray_session):
     """A path graph longer than max_rounds must raise, not return wrong
     labels silently."""
