@@ -1607,6 +1607,36 @@ def _q_boilerplate(sf_dir: str):
     )
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Dolma-style cross-document paragraph dedup (keep-FIRST rule — the
+    complement of boilerplate_scrub's drop-all rule): a per-group promo
+    paragraph (doc_id%4) and a corpus-wide footer paragraph are appended,
+    then every paragraph occurring ≥2 times keeps only its globally first
+    (doc_id, idx) occurrence. Winner pass is a map-side combiner + coarse
+    hash%P groupby; scrub is a pure map against the broadcast (hash,
+    min_position) dup map (Bloom + shuffle semi-join scale path kept and
+    tested at broadcast_limit=0). Oracle re-derives with ROW_NUMBER over
+    the exploded paragraph strings."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.curation import paragraph_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            (t or "") + "\npromo block " + str(i % 4)
+            + "\nshared footer paragraph"
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
+
+    return paragraph_dedup(
+        docs.map_batches(_inject, batch_format="pyarrow"), n_parts=4
+    )
+
+
 def _q_hash_join(sf_dir: str):
     """Shuffle hash equi-join of the two largest tables (lineitem ⋈
     orders) — both sides too big to broadcast at 100 TB, so this is the
@@ -3152,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_cap": _q_docs_source_cap,
         "decontam_overlap": _q_decontam,
         "boilerplate_scrub": _q_boilerplate,
+        "paragraph_dedup": _q_paragraph_dedup,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -3906,6 +3937,49 @@ def _sql_oracles() -> dict[str, str]:
             SELECT t.doc_id,
                    coalesce(a.text, '') AS text,
                    CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN agg a USING (doc_id)
+        """,
+        # keep-FIRST paragraph dedup: ROW_NUMBER over the exploded
+        # paragraph strings — rn=1 (the globally first (doc_id, idx)
+        # occurrence) survives, later occurrences are dropped; whitespace-
+        # only paragraphs never participate (trim charset mirrors the
+        # kernel's str.strip(" \t\r\f\v"))
+        "paragraph_dedup": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10) || 'promo block '
+                       || (doc_id % 4)
+                       || chr(10) || 'shared footer paragraph' AS text
+                FROM documents
+            ), exploded AS (
+                SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM corpus)
+            ), paras AS (
+                SELECT doc_id, ord, ls[ord] AS para,
+                       trim(ls[ord], ' ' || chr(9) || chr(13) || chr(12)
+                            || chr(11)) <> '' AS eligible
+                FROM exploded
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY para ORDER BY doc_id, ord) AS rn
+                FROM paras
+            ), kept AS (
+                SELECT doc_id, ord, para FROM ranked
+                WHERE NOT eligible OR rn = 1
+            ), agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(para, chr(10) ORDER BY ord), '')
+                           AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_total FROM paras GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.text, '') AS text,
+                   CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
             FROM totals t LEFT JOIN agg a USING (doc_id)
         """,
         # chained curation oracle: the full pipeline (lang filter → alpha

@@ -500,3 +500,270 @@ def html_extract_text(
         return batch.append_column(out_col, arr)
 
     return docs.map_batches(_extract, batch_format="pyarrow")
+
+
+# paragraph-position pack: occurrence order = (doc_id, idx) encoded as one
+# int64 so partial mins combine with a plain min().  Bounds documented in
+# paragraph_dedup; asserted in the kernels.
+_PARA_MAXP = np.int64(1) << np.int64(20)
+
+
+def paragraph_dedup(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 16,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Dolma-style cross-document paragraph dedup: every paragraph (a
+    ``\\n``-split segment) that occurs more than once in the corpus keeps
+    only its FIRST occurrence — globally smallest ``(doc_id, idx)`` — and
+    every later occurrence is removed from its document. Whitespace-only
+    paragraphs never participate (they'd collapse all blank lines corpus-
+    wide). → (id_col, text_col scrubbed, n_removed).
+
+    Differs from ``remove_boilerplate_lines`` (drop ALL occurrences of
+    frequent lines) in the keep-first rule — this is the dedup pass Dolma
+    runs on paragraphs, preserving one canonical copy of each.
+
+    Shape: winner pass is a map-side combiner — each block emits one
+    (para_hash, min_packed_pos, n) row per distinct paragraph, combined
+    through one coarse ``hash % P`` shuffle; only hashes with corpus count
+    ≥ 2 survive (the duplicated set, small by construction). Scrub is then
+    either the broadcast fast path (dup set ≤ ``broadcast_limit``:
+    ``ray.put`` once, pure map, zero extra shuffles) or the bounded scale
+    path (Bloom bitmap prune → exact ``hash % P`` shuffle semi-join →
+    ``doc_id % P`` scrub join — the `remove_boilerplate_lines` pattern,
+    driver memory bounded by the bitmap regardless of dup count).
+
+    Bounds: per-doc paragraph index must fit 20 bits (≤ ~1M paragraphs
+    per document) and ``doc_id`` 43 bits, so packed = doc_id·2^20 + idx
+    stays in int64 — asserted in the kernels.
+    """
+    from ontocast_ray.ops.dedup import (
+        _BLOOM_BITS,
+        _bloom_build_cols,
+        _bloom_contains,
+    )
+    from ontocast_ray.util import hash_partition
+
+    _ws = " \t\r\f\v"
+
+    def _explode(texts: list) -> tuple:
+        """→ (doc_pos list, para list, idx array) of ELIGIBLE paragraphs."""
+        rows_doc, rows_para, rows_idx = [], [], []
+        for i, t in enumerate(texts):
+            for j, p in enumerate((t or "").split("\n")):
+                if p.strip(_ws) != "":
+                    rows_doc.append(i)
+                    rows_para.append(p)
+                    rows_idx.append(j)
+        return rows_doc, rows_para, np.asarray(rows_idx, dtype=np.int64)
+
+    def _winner_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        doc_pos, paras, idx = _explode(batch[text_col].to_pylist())
+        if not paras:
+            return pa.table({
+                "para_hash": pa.array([], type=pa.uint64()),
+                "min_packed": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        assert idx.max() < _PARA_MAXP, "paragraph index exceeds 2^20"
+        did = ids[np.asarray(doc_pos)]
+        assert did.max() < (np.int64(1) << np.int64(43)), "doc_id exceeds 43 bits"
+        h = pd.util.hash_array(np.asarray(paras, dtype=object), categorize=False)
+        packed = did * _PARA_MAXP + idx
+        g = (
+            pd.DataFrame({"para_hash": h, "packed": packed})
+            .groupby("para_hash", as_index=False)
+            .agg(min_packed=("packed", "min"), n=("packed", "size"))
+        )
+        hh = g["para_hash"].to_numpy(dtype=np.uint64)
+        return pa.table({
+            "para_hash": pa.array(hh),
+            "min_packed": pa.array(g["min_packed"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "part": pa.array((hh % np.uint64(n_parts)).astype(np.int64)),
+        })
+
+    def _winner_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("para_hash", as_index=False).agg(
+            min_packed=("min_packed", "min"), n=("n", "sum")
+        )
+        g = g[g["n"] >= 2]
+        h = g["para_hash"].to_numpy(dtype=np.uint64)
+        return pd.DataFrame({
+            "para_hash": h,
+            "min_packed": g["min_packed"].to_numpy(dtype=np.int64),
+            "part": (h % np.uint64(n_parts)).astype(np.int64),
+        })
+
+    dups = (
+        docs.map_batches(_winner_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_winner_final, batch_format="pandas")
+        .materialize()
+    )
+
+    if dups.count() <= broadcast_limit:
+        rows = dups.take_all()
+        dh = np.array([r["para_hash"] for r in rows], dtype=np.uint64)
+        dm = np.array([r["min_packed"] for r in rows], dtype=np.int64)
+        order = np.argsort(dh)
+        dh, dm = dh[order], dm[order]
+        dup_ref = ray.put((dh, dm))
+
+        def _scrub(batch: pa.Table) -> pa.Table:
+            bad_h, bad_min = ray.get(dup_ref)
+            ids = batch[id_col]
+            idv = np.asarray(ids.to_pylist(), dtype=np.int64)
+            out_text, out_removed = [], []
+            for i, t in enumerate(batch[text_col].to_pylist()):
+                paras = (t or "").split("\n")
+                keep = np.ones(len(paras), dtype=bool)
+                elig = [j for j, p in enumerate(paras) if p.strip(_ws) != ""]
+                if elig and len(bad_h):
+                    ej = np.asarray(elig, dtype=np.int64)
+                    h = pd.util.hash_array(
+                        np.asarray([paras[j] for j in elig], dtype=object),
+                        categorize=False,
+                    )
+                    pos = np.minimum(np.searchsorted(bad_h, h), len(bad_h) - 1)
+                    in_dup = bad_h[pos] == h
+                    packed = idv[i] * _PARA_MAXP + ej
+                    drop = in_dup & (packed != bad_min[pos])
+                    keep[ej[drop]] = False
+                out_text.append(
+                    "\n".join(p for p, k in zip(paras, keep) if k)
+                )
+                out_removed.append(int((~keep).sum()))
+            return pa.table({
+                id_col: ids,
+                text_col: pa.array(out_text, type=pa.string()),
+                "n_removed": pa.array(np.asarray(out_removed, dtype=np.int64)),
+            })
+
+        return docs.map_batches(_scrub, batch_format="pyarrow")
+
+    # ---- bounded scale path: Bloom prune + exact shuffle semi-join ----
+    id_type = docs.schema().base_schema.field(id_col).type
+    bloom = _bloom_build_cols(dups, ["para_hash"], _BLOOM_BITS)
+    bloom_ref = ray.put(bloom)
+
+    def _dup_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "part": batch["part"].cast(pa.int64()),
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+            "para_hash": batch["para_hash"],
+            "min_packed": batch["min_packed"].cast(pa.int64()),
+            id_col: pa.nulls(n, type=id_type),
+            "para_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def _cand_rows(batch: pa.Table) -> pa.Table:
+        blm = ray.get(bloom_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        doc_pos, paras, idx = _explode(batch[text_col].to_pylist())
+        if not paras:
+            h_all = np.zeros(0, dtype=np.uint64)
+            did = np.zeros(0, dtype=np.int64)
+            idx = np.zeros(0, dtype=np.int64)
+        else:
+            h_all = pd.util.hash_array(
+                np.asarray(paras, dtype=object), categorize=False
+            )
+            did = ids[np.asarray(doc_pos)]
+            hit = _bloom_contains(blm, h_all, _BLOOM_BITS)
+            h_all, did, idx = h_all[hit], did[hit], idx[hit]
+        return pa.table({
+            "part": pa.array((h_all % np.uint64(n_parts)).astype(np.int64)),
+            "src": pa.array(np.ones(len(h_all), dtype=np.int8)),
+            "para_hash": pa.array(h_all),
+            "min_packed": pa.array(np.full(len(h_all), -1, dtype=np.int64)),
+            id_col: pa.array(did, type=id_type),
+            "para_idx": pa.array(idx),
+        })
+
+    tagged = dups.map_batches(_dup_rows, batch_format="pyarrow").union(
+        docs.map_batches(_cand_rows, batch_format="pyarrow")
+    )
+
+    def _confirm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = t.filter(pc.equal(t["src"], 0))
+        cand = t.filter(pc.equal(t["src"], 1))
+        if len(cand) == 0 or len(dup) == 0:
+            return pa.table({
+                id_col: pa.array([], type=id_type),
+                "para_idx": pa.array([], type=pa.int64()),
+            })
+        dh = dup["para_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dm = dup["min_packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dh)
+        dh, dm = dh[order], dm[order]
+        h = cand["para_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cid = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cidx = cand["para_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(dh, h), len(dh) - 1)
+        in_dup = dh[pos] == h
+        packed = cid * _PARA_MAXP + cidx
+        bad = in_dup & (packed != dm[pos])
+        return pa.table({
+            id_col: pa.array(cid[bad], type=id_type),
+            "para_idx": pa.array(cidx[bad]),
+        })
+
+    bad_rows = tagged.groupby("part").map_groups(_confirm, batch_format="pyarrow")
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table({
+            "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+            "src": pa.array(np.zeros(n, dtype=np.int8)),
+            id_col: ids,
+            text_col: batch[text_col].cast(pa.string()),
+            "para_idx": pa.array(np.full(n, -1, dtype=np.int64)),
+        })
+
+    def _bad_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table({
+            "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+            "src": pa.array(np.ones(n, dtype=np.int8)),
+            id_col: ids,
+            text_col: pa.nulls(n, type=pa.string()),
+            "para_idx": batch["para_idx"].cast(pa.int64()),
+        })
+
+    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        bad_rows.map_batches(_bad_tagged, batch_format="pyarrow")
+    )
+
+    def _scrub_group(df: pd.DataFrame) -> pd.DataFrame:
+        bad_by_doc = (
+            df[df["src"] == 1].groupby(id_col, sort=False)["para_idx"].agg(set)
+        )
+        d = df[df["src"] == 0]
+        out_text, out_removed = [], []
+        for doc_id, t in zip(d[id_col], d[text_col]):
+            paras = (t or "").split("\n")
+            bad_idx = bad_by_doc.get(doc_id, ())
+            out_text.append(
+                "\n".join(p for j, p in enumerate(paras) if j not in bad_idx)
+            )
+            out_removed.append(len(bad_idx))
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            text_col: out_text,
+            "n_removed": np.asarray(out_removed, dtype=np.int64),
+        })
+
+    return joined.groupby("dpart").map_groups(
+        _scrub_group, batch_format="pandas"
+    )

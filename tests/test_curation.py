@@ -244,3 +244,64 @@ def test_normalize_text_kernel(ray_session):
     )
     out3 = normalize_text(ray.data.from_arrow(edge), out_col="norm").to_pandas()
     assert out3["norm"].tolist() == [" padded with nbsp "]
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    """Keep-FIRST semantics: the globally smallest (doc_id, idx) occurrence
+    of a duplicated paragraph survives, later ones are dropped; whitespace-
+    only paragraphs and unique paragraphs are untouched."""
+    from ontocast_ray.ops.curation import paragraph_dedup
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha\n\nshared para",          # first occurrence of 'shared para'
+            "shared para\nbeta\nshared para",  # both dropped (doc 1 won)
+            " \ngamma\nalpha",               # 'alpha' dropped (doc 1 won)
+        ]),
+    })
+    out = (
+        paragraph_dedup(ray.data.from_arrow(tbl).repartition(2), n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["alpha\n\nshared para", "beta", " \ngamma"]
+    assert out["n_removed"].tolist() == [0, 2, 1]
+
+
+def test_paragraph_dedup_scale_path_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the Bloom-pruned shuffle-semi-join path;
+    output must be byte-identical to the broadcast fast path even when
+    every paragraph is duplicated (the worst-case dup set)."""
+    import numpy as np
+
+    from ontocast_ray.ops.curation import paragraph_dedup
+
+    rng = np.random.default_rng(17)
+    pool = [f"recurring paragraph {i}" for i in range(150)]
+    docs, ids = [], []
+    for d in range(100):
+        picks = rng.choice(pool, size=4, replace=False).tolist()
+        docs.append("\n".join(picks[:2] + [f"unique to doc {d}"] + picks[2:]))
+        ids.append(d)
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = lambda: ray.data.from_arrow(tbl).repartition(7)  # noqa: E731
+
+    fast = (
+        paragraph_dedup(ds(), n_parts=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    scale = (
+        paragraph_dedup(ds(), n_parts=4, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, scale)
+    assert all(
+        f"unique to doc {d}" in t for d, t in zip(scale["doc_id"], scale["text"])
+    )
+    # every pooled paragraph keeps exactly ONE occurrence corpus-wide
+    all_paras = [p for t in scale["text"] for p in t.split("\n")]
+    from collections import Counter
+    c = Counter(p for p in all_paras if p.startswith("recurring"))
+    assert c and all(v == 1 for v in c.values())
+    assert scale["n_removed"].sum() > 0

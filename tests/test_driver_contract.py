@@ -173,6 +173,8 @@ _SQL_GATED = [
         "pagerank_suppliers",
         "semdedup_keep",
         "term_cooccurrence_top100",
+        # round 5
+        "paragraph_dedup",
 ]
 
 
