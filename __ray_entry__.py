@@ -1637,6 +1637,113 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_kg_two_hop(sf_dir: str):
+    """KG path analytics over the FLAGSHIP pipeline output: two-hop
+    predicate-pair counts — for every (p1, p2), how many s -p1-> m -p2-> o
+    paths the extracted fact graph contains (m an entity, not a literal).
+    The entity-edge table self-joins on the middle node via the repo's
+    partitioned hash_join (one coarse shuffle), then a count combiner
+    folds (p1, p2) pairs map-side. Golden-pinned like the other kg_*
+    queries (doc IRIs are content-hash-derived)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+
+    def edges(df: "pd.DataFrame") -> "pa.Table":
+        df = df[(df["graph_scope"] == "facts") & ~df["object_is_literal"]]
+        # arrow out: Ray's Project (rename/select) ops assume arrow blocks
+        return pa.table({
+            "subject": pa.array(df["subject"].to_numpy(), type=pa.string()),
+            "predicate": pa.array(df["predicate"].to_numpy(), type=pa.string()),
+            "object": pa.array(df["object"].to_numpy(), type=pa.string()),
+        })
+
+    e = triples.map_batches(edges, batch_format="pandas").materialize()
+    left = e.select_columns(["object", "predicate"]).rename_columns(
+        {"predicate": "pred_a"}
+    )
+    right = e.select_columns(["subject", "predicate"]).rename_columns(
+        {"predicate": "pred_b"}
+    )
+    paths = hash_join(
+        left, right, left_on="object", right_on="subject",
+        left_cols=["pred_a"], right_cols=["pred_b"], n_parts=16,
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["pred_a", "pred_b"], as_index=False).size()
+        g = g.rename(columns={"size": "n_paths"})
+        g["n_paths"] = g["n_paths"].astype(np.int64)
+        key = (g["pred_a"] + "\x1f" + g["pred_b"]).to_numpy(dtype=object)
+        g["part"] = hash_partition(key, 8)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["pred_a", "pred_b"], as_index=False)["n_paths"].sum()
+        out["n_paths"] = out["n_paths"].astype(np.int64)
+        return out
+
+    return (
+        paths.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-2 training shuffle: global sample position =
+    exact rank of splitmix64(seed=20+2, doc_id), sharded 256/shard — the
+    reproducible replacement for random_shuffle. Exact global ranks with
+    NO global sort (16-bit bucket histogram → driver exclusive scan of
+    ≤65,536 ints → one coarse shuffle). Oracle: ROW_NUMBER over the same
+    pure-SQL splitmix mix."""
+    from ontocast_ray.ops.interleave import epoch_shuffle
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(
+        docs, seed=20, epoch=2, shard_size=256, n_parts=16
+    )
+
+
+def _q_lang_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail bucketing: each doc's hashed-feature
+    classifier raw score is bucketed by its position within its OWN
+    language's exact terciles (quantile_disc rule). Phase 1 is a
+    (lang, score) count combiner through one coarse shuffle — the wire
+    carries distinct pairs, never documents; boundaries (langs × 2
+    scalars) broadcast once; assignment is a pure map. Oracle re-derives
+    the classifier in SQL and buckets with quantile_disc per lang."""
+    from ontocast_ray.ops.text import quality_classifier_score
+    from ontocast_ray.ops.windows import grouped_quantile_buckets
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    scored = quality_classifier_score(docs, extra_cols=("lang",))
+    return grouped_quantile_buckets(
+        scored.select_columns(["doc_id", "lang", "raw_score"]),
+        group_col="lang",
+        score_col="raw_score",
+        n_parts=8,
+    )
+
+
+def _q_gopher_filter(sf_dir: str):
+    """The FULL Gopher quality rule set (Rae et al. 2021 §A1.1) applied as
+    one pure-map gate: word-count bounds [50, 100k], mean-word-length
+    bounds [3, 10], dup-line fraction ≤ 0.30, top-bigram fraction ≤ 0.20,
+    ≥2 of the 8 Gopher stop words. Zero shuffles; every signal and the
+    final verdict are re-derived by the SQL oracle (int/int IEEE ratios,
+    no rounding)."""
+    from ontocast_ray.ops.text import gopher_quality_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(gopher_quality_filter, batch_format="pyarrow")
+
+
 def _q_hash_join(sf_dir: str):
     """Shuffle hash equi-join of the two largest tables (lineitem ⋈
     orders) — both sides too big to broadcast at 100 TB, so this is the
@@ -3183,6 +3290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": _q_decontam,
         "boilerplate_scrub": _q_boilerplate,
         "paragraph_dedup": _q_paragraph_dedup,
+        "gopher_filtered_docs": _q_gopher_filter,
+        "lang_quality_buckets": _q_lang_quality_buckets,
+        "epoch_shuffle_pos": _q_epoch_shuffle,
+        "kg_two_hop_preds": _q_kg_two_hop,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -3295,6 +3406,7 @@ _GOLDEN_QUERIES = [
     "kg_entity_degrees",
     "hybrid_rrf_top10",
     "sliding_hll_distinct_users",
+    "kg_two_hop_preds",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -3896,6 +4008,21 @@ def _sql_oracles() -> dict[str, str]:
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
         # as DOUBLE on both sides (same float64 division), same thresholds
+        # epoch shuffle: ROW_NUMBER over the raw UBIGINT mix (zr), ties by
+        # doc_id — mirrors the kernel's (mix, id) mergesort exactly
+        "epoch_shuffle_pos": f"""
+            WITH {_splitmix_sql(22)},
+            ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY zr, doc_id) - 1 AS pos
+                FROM mixed
+            )
+            SELECT doc_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(pos // 256 AS BIGINT) AS train_shard,
+                   CAST(pos % 256 AS BIGINT) AS pos_in_shard
+            FROM ranked
+        """,
         "split_assign": f"""
             WITH {_splitmix_sql(9)}
             SELECT doc_id,
@@ -4087,6 +4214,69 @@ def _sql_oracles() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nlines ls USING (doc_id)
             LEFT JOIN bgs USING (doc_id)
+        """,
+        # full Gopher rule set: repetition CTEs identical to the
+        # repetition_stats oracle; word stats use the house split idiom;
+        # ratios are raw int/int double divisions (bit-exact vs numpy)
+        "gopher_filtered_docs": r"""
+            WITH lines AS (
+                SELECT doc_id, trim(l, ' ' || chr(9) || chr(13) || chr(11)
+                       || chr(12)) AS line
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents)
+            ), nlines AS (
+                SELECT doc_id, count(*) AS n_lines,
+                       count(DISTINCT line) AS n_distinct
+                FROM lines WHERE line != '' GROUP BY doc_id
+            ), ws AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS bg
+                FROM ws WHERE len(w) >= 2
+            ), bgc AS (
+                SELECT doc_id, bg, count(*) AS c FROM bigrams
+                GROUP BY doc_id, bg
+            ), bgs AS (
+                SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+                FROM bgc GROUP BY doc_id
+            ), wstats AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       list_aggregate(list_transform(w, x -> length(x)),
+                                      'sum') AS char_sum,
+                       len(list_filter(w, x -> list_contains(
+                           ['the','be','to','of','and','that','have','with'],
+                           x))) AS stop_hits
+                FROM ws
+            ), sig AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                       CAST(coalesce(s.char_sum, 0) AS DOUBLE)
+                           / (CASE WHEN coalesce(s.n_words, 0) = 0 THEN 1
+                                   ELSE s.n_words END) AS mean_word_len,
+                       CASE WHEN ls.n_lines > 0
+                            THEN 1.0 - CAST(ls.n_distinct AS DOUBLE)
+                                 / ls.n_lines
+                            ELSE 0.0 END AS dup_line_frac,
+                       CASE WHEN bgs.n_bigrams > 0
+                            THEN CAST(bgs.top_c AS DOUBLE) / bgs.n_bigrams
+                            ELSE 0.0 END AS top_2gram_frac,
+                       CAST(coalesce(s.stop_hits, 0) AS BIGINT) AS stop_hits
+                FROM documents d
+                LEFT JOIN wstats s USING (doc_id)
+                LEFT JOIN nlines ls USING (doc_id)
+                LEFT JOIN bgs USING (doc_id)
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND dup_line_frac <= 0.30 AND top_2gram_frac <= 0.20
+                    AND stop_hits >= 2) AS kept
+            FROM sig
         """,
         "neardup_filtered_docs": f"""
             WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL})
@@ -4378,6 +4568,27 @@ def _sql_oracles() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_classifier": _quality_clf_sql(),
+        # CCNet terciles: classifier CTEs re-used verbatim, per-lang
+        # quantile_disc boundaries (index rule = max(0, ceil(p·n)-1),
+        # probed identical to the kernel's searchsorted walk)
+        "lang_quality_buckets": f"""
+            WITH {_quality_clf_ctes()},
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(COALESCE(a.raw_score, 0) AS BIGINT) AS raw_score
+                FROM documents d LEFT JOIN clf_agg a USING (doc_id)
+            ), bounds AS (
+                SELECT lang,
+                       quantile_disc(raw_score, 1.0/3) AS b1,
+                       quantile_disc(raw_score, 2.0/3) AS b2
+                FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.raw_score,
+                   CASE WHEN s.raw_score <= b.b1 THEN 'tail'
+                        WHEN s.raw_score <= b.b2 THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM scored s JOIN bounds b USING (lang)
+        """,
         "classifier_curated_packing": _classifier_packing_sql(),
         "knn_self_join_top5": """
             WITH scored AS (

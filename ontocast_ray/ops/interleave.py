@@ -302,3 +302,93 @@ def stratified_split(
         .groupby("part")
         .map_groups(assign, batch_format="pandas")
     )
+
+
+def epoch_shuffle(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+    shard_size: int = 256,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Deterministic EPOCH shuffle for training-data loading: every row's
+    global sample position = exact rank of ``splitmix64(seed+epoch, id)``
+    (ties broken by id) — a fresh, reproducible permutation per epoch with
+    zero RNG state, identical across runs and cluster sizes. → (id_col,
+    pos, train_shard = pos // shard_size, pos_in_shard).
+
+    This replaces ``random_shuffle`` (non-reproducible, full data
+    movement) for epoch resharding: only (id, mix) pairs move, bodies can
+    be joined/packed afterwards by train_shard.
+
+    Scale shape — exact global ranks WITHOUT a global sort: bucket = top
+    16 bits of the mix (uniform by construction); per-block bucket
+    histograms stream to the driver which keeps ≤65,536 ints and computes
+    exclusive base offsets (never row-sized data); one coarse
+    ``bucket % n_parts`` shuffle colocates buckets; each kernel sorts its
+    buckets locally and adds base + cumcount. One shuffle total, driver
+    memory O(2^16).
+    """
+    import pandas as pd
+    import ray
+
+    eff = seed + epoch
+
+    def _mix(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = splitmix64(ids, seed=eff)
+        return pa.table({
+            id_col: batch[id_col],
+            "mix": pa.array(m),
+            "bucket": pa.array((m >> np.uint64(48)).astype(np.int64)),
+        })
+
+    mixed = ds.map_batches(_mix, batch_format="pyarrow").materialize()
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({
+            "bucket": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    hist = np.zeros(1 << 16, dtype=np.int64)
+    for row in mixed.map_batches(_hist, batch_format="pyarrow").take_all():
+        hist[row["bucket"]] += row["n"]
+    base = np.concatenate(([0], np.cumsum(hist)[:-1]))
+    base_ref = ray.put(base)
+
+    def _add_part(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((b % np.int64(n_parts)).astype(np.int64))
+        )
+
+    span = np.int64(shard_size)
+
+    def _rank(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "train_shard": pa.array([], type=pa.int64()),
+                "pos_in_shard": pa.array([], type=pa.int64()),
+            })
+        bases = ray.get(base_ref)
+        df = df.sort_values(["mix", id_col], kind="mergesort")
+        intra = df.groupby("bucket", sort=False).cumcount().to_numpy(np.int64)
+        pos = bases[df["bucket"].to_numpy(np.int64)] + intra
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy(np.int64)),
+            "pos": pa.array(pos),
+            "train_shard": pa.array(pos // span),
+            "pos_in_shard": pa.array(pos % span),
+        })
+
+    return (
+        mixed.map_batches(_add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_rank, batch_format="pandas")
+    )

@@ -573,6 +573,7 @@ def quality_classifier_score(
     n_features: int = 1 << 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """→ (id_col, n_tokens, raw_score, score, keep): fastText-style linear
     quality scoring over hashed bag-of-words features — the
@@ -609,15 +610,16 @@ def quality_classifier_score(
         score = np.zeros(n, dtype=np.float64)
         nz = n_tok > 0
         score[nz] = raw[nz].astype(np.float64) / n_tok[nz].astype(np.float64)
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_tokens": pa.array(n_tok),
-                "raw_score": pa.array(raw),
-                "score": pa.array(score),
-                "keep": pa.array(raw > 0),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok),
+            "raw_score": pa.array(raw),
+            "score": pa.array(score),
+            "keep": pa.array(raw > 0),
+        }
+        for c in extra_cols:  # pass-through (e.g. lang for bucketing)
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return docs.map_batches(_score, batch_format="pyarrow")
 
@@ -887,4 +889,68 @@ def doc_keywords(
         joined.map_batches(add_doc_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
+    )
+
+
+# the 8-word Gopher "stop word" presence rule (Rae et al. 2021 §A1.1):
+# a document must contain at least 2 of these to survive
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    batch: pa.Table,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_frac: float = 0.20,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """The full Gopher quality rule set (Rae et al. 2021 §A1.1) as ONE
+    pure-map gate: word-count bounds, mean-word-length bounds, duplicate-
+    line fraction, top-bigram fraction, and the ≥2-stopword presence rule.
+    → (doc_id, n_words, mean_word_len, dup_line_frac, top_2gram_frac,
+    stop_hits, kept). Repetition signals reuse ``repetition_stats``'s
+    vectorized kernels; word stats are the same lower/strip/whitespace
+    split the SQL oracle mirrors. All ratios are raw int/int IEEE
+    divisions — bit-identical to the oracle (no round())."""
+    rep = repetition_stats(batch)
+    n = len(batch)
+    texts = batch["text"].to_pandas().fillna("")
+    words = texts.str.strip().str.lower().str.split()
+    n_words = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    # ''.split() → [] so empty docs are 0 both here and via the SQL guard;
+    # one explode + vectorized str.len / isin over the whole batch — no
+    # per-row Python
+    ex = words.explode().dropna()
+    idx = ex.index.to_numpy(dtype=np.int64)
+    wlen = ex.str.len().to_numpy(dtype=np.int64)
+    char_sum = np.bincount(idx, weights=wlen, minlength=n).astype(np.int64)
+    denom = np.maximum(n_words, 1)
+    mean_word_len = char_sum / denom
+    stop_hits = np.bincount(
+        idx[ex.isin(_GOPHER_STOPS).to_numpy()], minlength=n
+    ).astype(np.int64)
+    dup_line_frac = rep["dup_line_frac"].to_numpy()
+    top_2gram_frac = rep["top_2gram_frac"].to_numpy()
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (dup_line_frac <= max_dup_line_frac)
+        & (top_2gram_frac <= max_top_2gram_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, type=pa.float64()),
+            "dup_line_frac": pa.array(dup_line_frac, type=pa.float64()),
+            "top_2gram_frac": pa.array(top_2gram_frac, type=pa.float64()),
+            "stop_hits": pa.array(stop_hits, type=pa.int64()),
+            "kept": pa.array(kept, type=pa.bool_()),
+        }
     )

@@ -1028,3 +1028,102 @@ def followed_by_counts(
         .groupby("fpart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_quantile_buckets(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    score_col: str,
+    quantiles: tuple = (1.0 / 3, 2.0 / 3),
+    labels: tuple = ("tail", "middle", "head"),
+    n_parts: int = 16,
+    max_distinct: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """CCNet-style per-group quantile bucketing: each row gets the bucket
+    label of its score's position within ITS group's exact discrete
+    quantiles (default terciles → head / middle / tail, the CCNet
+    perplexity-bucket rule). → input columns + ``bucket``.
+
+    Scale shape: phase 1 is a map-side (group, score) count combiner
+    through one coarse ``hash % P`` shuffle — the wire carries one row per
+    DISTINCT (group, score) pair per block, never per document. Phase 2
+    walks each group's sorted distinct-score counts to the
+    ``max(0, ceil(p·n)-1)`` order statistic (the SQL ``quantile_disc``
+    rule, bit-identical to the oracle); the walk happens driver-side over
+    the distinct pairs, guarded by ``max_distinct`` (the documented
+    contract: scores are QUANTIZED — classifier fixed-points, integer
+    signals — so distinct counts stay bounded regardless of corpus size;
+    for unbounded continuous scores use `global_quantiles_exact`'s radix
+    walk per group instead). Phase 3 broadcasts the tiny per-group
+    boundary table once and assigns labels in a pure map — zero further
+    shuffles, parallelism-invariant.
+    """
+    import numpy as np
+    import ray
+
+    from ontocast_ray.util import hash_u64
+
+    if len(labels) != len(quantiles) + 1:
+        raise ValueError("need len(quantiles)+1 labels")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([group_col, score_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        key = (
+            g[group_col].astype(str) + "\x1f" + g[score_col].astype(str)
+        ).to_numpy(dtype=object)
+        g["part"] = (hash_u64(key) % np.uint64(n_parts)).astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group_col, score_col], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_final, batch_format="pandas")
+        .materialize()
+    )
+    n_distinct = counts.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"{n_distinct} distinct (group, score) pairs exceed "
+            f"max_distinct={max_distinct}; quantize the score or use the "
+            "radix quantile path"
+        )
+
+    cdf = counts.to_pandas()
+    bounds: dict = {}
+    for gval, rows in cdf.groupby(group_col, sort=False):
+        rows = rows.sort_values(score_col, kind="stable")
+        cum = rows["n"].to_numpy(dtype=np.int64).cumsum()
+        total = int(cum[-1])
+        scores = rows[score_col].to_numpy()
+        b = []
+        for p in quantiles:
+            idx = max(0, math.ceil(p * total) - 1)
+            b.append(scores[np.searchsorted(cum, idx + 1, side="left")])
+        bounds[gval] = np.asarray(b)
+    bounds_ref = ray.put(bounds)
+
+    labels_arr = np.asarray(labels, dtype=object)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        bmap = ray.get(bounds_ref)
+        out_bucket = np.empty(len(df), dtype=object)
+        scores = df[score_col].to_numpy()
+        for gval, idx in df.groupby(group_col, sort=False).indices.items():
+            b = bmap[gval]
+            pos = np.searchsorted(b, scores[idx], side="left")
+            out_bucket[idx] = labels_arr[pos]
+        df = df.copy()
+        df["bucket"] = out_bucket
+        return df
+
+    return ds.map_batches(_assign, batch_format="pandas")

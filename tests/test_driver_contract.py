@@ -175,6 +175,9 @@ _SQL_GATED = [
         "term_cooccurrence_top100",
         # round 5
         "paragraph_dedup",
+        "gopher_filtered_docs",
+        "lang_quality_buckets",
+        "epoch_shuffle_pos",
 ]
 
 
