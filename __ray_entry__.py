@@ -1637,6 +1637,68 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_span_transitions(sf_dir: str):
+    """Interleaved-document layout profile: corpus-wide span-kind
+    transition counts (text→image, image→text, …) over the deterministic
+    media-slot injection (every 7th span at offset 3 is an image) — what
+    a multimodal packer reads before choosing strategy. Span structure is
+    synthesized from the flat corpus (ceil(n_words/8) spans per doc — the
+    same word-split the other oracles mirror); the kernel is a vectorized
+    boundary-masked shift + one coarse combiner shuffle; oracle replays
+    with lead() over unnest(range(n_spans))."""
+    import pandas as pd
+
+    from ontocast_ray.ops.multimodal import span_kind_transitions
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        n = (
+            df["text"].fillna("").str.strip().str.split().str.len()
+            .fillna(0).astype("int64")
+        )
+        k = (-(-n // 8)).to_numpy()  # ceil(n/8); 0 words → 0 → 1 span ('')
+        spans = (
+            pd.Series(["s\n"] * len(df), index=df.index)
+            .str.repeat(k)
+            .str.rstrip("\n")
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "text": spans.to_numpy()})
+
+    return span_kind_transitions(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=8
+    )
+
+
+def _q_domain_report(sf_dir: str):
+    """Per-domain quality/duplication report — the step that BUILDS a
+    domain blocklist: synth crawl URLs (mixed-case host, www., port 80 —
+    the url_dedup pattern), canonical host extracted map-side, classifier
+    scores and distinct-text counts folded per domain through two coarse
+    shuffles (wire = distinct (domain, text) pairs, never bodies).
+    Oracle re-derives domains from the synth rule and aggregates with
+    count(DISTINCT text) + the classifier CTEs."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.text import quality_classifier_score
+    from ontocast_ray.ops.urls import domain_report
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        d = df["doc_id"]
+        df["url"] = (
+            "HTTP://WWW.Site" + (d % 5).astype(str)
+            + ".Example.COM:80/p/" + d.astype(str)
+        )
+        return df
+
+    pages = docs.map_batches(synth, batch_format="pandas")
+    scored = quality_classifier_score(pages, extra_cols=("url", "text"))
+    return domain_report(scored, n_parts=8)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """KG path analytics over the FLAGSHIP pipeline output: two-hop
     predicate-pair counts — for every (p1, p2), how many s -p1-> m -p2-> o
@@ -3294,6 +3356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality_buckets": _q_lang_quality_buckets,
         "epoch_shuffle_pos": _q_epoch_shuffle,
         "kg_two_hop_preds": _q_kg_two_hop,
+        "domain_quality_report": _q_domain_report,
+        "span_kind_transitions": _q_span_transitions,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -4568,6 +4632,70 @@ def _sql_oracles() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_classifier": _quality_clf_sql(),
+        # interleaved span-kind transitions: lead() over the exploded
+        # spans, same deterministic image-slot rule ((ord-1)%7==3)
+        "span_kind_transitions": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 1
+                            ELSE CAST(ceil(len(regexp_split_to_array(
+                                     trim(text), '\s+')) / 8.0) AS BIGINT)
+                       END AS n_spans
+                FROM documents
+            ), ords AS (
+                SELECT doc_id, unnest(range(n_spans)) AS ord0 FROM ws
+            ), kinds AS (
+                SELECT doc_id, ord0,
+                       CASE WHEN ord0 % 7 = 3 THEN 'image'
+                            ELSE 'text' END AS kind
+                FROM ords
+            ), pairs AS (
+                SELECT doc_id, kind AS kind_a,
+                       lead(kind) OVER (
+                           PARTITION BY doc_id ORDER BY ord0) AS kind_b
+                FROM kinds
+            )
+            SELECT kind_a, kind_b, CAST(count(*) AS BIGINT) AS n
+            FROM pairs WHERE kind_b IS NOT NULL
+            GROUP BY kind_a, kind_b
+        """,
+        # blocklist-builder report: domains re-derived from the synth rule
+        # (the Ray side must parse the mixed-case URL back to exactly
+        # this), classifier CTEs reused, count(DISTINCT text) vs the
+        # kernel's 64-bit text-hash distinct (collision-free assumption
+        # shared with exact_dedup)
+        "domain_quality_report": f"""
+            WITH {_quality_clf_ctes()},
+            pages AS (
+                SELECT doc_id, text,
+                       'site' || (doc_id % 5) || '.example.com' AS domain
+                FROM documents
+            ), scored AS (
+                SELECT p.domain, p.text,
+                       COALESCE(a.raw_score, 0) AS raw_score,
+                       COALESCE(a.n_tokens, 0) AS n_tokens
+                FROM pages p LEFT JOIN clf_agg a USING (doc_id)
+            ), agg AS (
+                SELECT domain,
+                       count(*) AS n_pages,
+                       count(DISTINCT text) AS n_distinct_texts,
+                       sum(raw_score) AS sum_raw_score,
+                       sum(n_tokens) AS sum_tokens
+                FROM scored GROUP BY domain
+            )
+            SELECT domain,
+                   CAST(n_pages AS BIGINT) AS n_pages,
+                   CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+                   CAST(sum_raw_score AS BIGINT) AS sum_raw_score,
+                   CAST(sum_tokens AS BIGINT) AS sum_tokens,
+                   CASE WHEN sum_tokens > 0
+                        THEN CAST(sum_raw_score AS DOUBLE)
+                             / CAST(sum_tokens AS DOUBLE)
+                        ELSE 0.0 END AS quality,
+                   1.0 - CAST(n_distinct_texts AS DOUBLE) / n_pages
+                       AS dup_rate
+            FROM agg
+        """,
         # CCNet terciles: classifier CTEs re-used verbatim, per-lang
         # quantile_disc boundaries (index rule = max(0, ceil(p·n)-1),
         # probed identical to the kernel's searchsorted walk)

@@ -389,3 +389,79 @@ def sample_frames(media, n_frames: int = 4, backend: str = "fake",
         fn_constructor_kwargs={"n_frames": n_frames, "backend": backend},
         batch_format="pyarrow", batch_size=batch_size, concurrency=pool(concurrency),
     )
+
+
+def span_kind_transitions(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    image_every: int = 7,
+    image_offset: int = 3,
+    n_parts: int = 8,
+):
+    """Interleaved-document structure analytics: corpus-wide counts of
+    consecutive span-kind transitions (text→image, image→text, …) over
+    the interleaved span sequence — the layout profile a multimodal
+    training pipeline reads before choosing packing/sampling strategy.
+    → (kind_a, kind_b, n).
+
+    Spans are the document's ``\\n``-split segments with a deterministic
+    media injection (every ``image_every``-th span at ``image_offset`` is
+    an image slot — the synth rule the SQL oracle replays with lead()).
+    Pure-map transition extraction, vectorized across the whole batch
+    with doc boundaries masked (the term_cooccurrence kernel shape); one
+    coarse combiner shuffle carries only (kind_a, kind_b, count) rows —
+    O(kinds²) per block, never spans.
+    """
+    import pandas as pd
+
+    import ray.data  # noqa: F401
+
+    from ontocast_ray.util import hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        lines = texts.str.split("\n")
+        n_spans = lines.str.len().to_numpy(dtype=np.int64)
+        total = int(n_spans.sum())
+        if total == 0:
+            return pa.table({
+                "kind_a": pa.array([], type=pa.string()),
+                "kind_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        doc_idx = np.repeat(np.arange(len(texts)), n_spans)
+        pos = np.arange(total) - np.repeat(
+            np.cumsum(n_spans) - n_spans, n_spans
+        )
+        kinds = np.where(pos % image_every == image_offset, "image", "text")
+        # consecutive pairs within the same doc (boundary-masked shift)
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        ka, kb = kinds[:-1][same_doc], kinds[1:][same_doc]
+        g = (
+            pd.DataFrame({"kind_a": ka, "kind_b": kb})
+            .groupby(["kind_a", "kind_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        key = (g["kind_a"] + "\x1f" + g["kind_b"]).to_numpy(dtype=object)
+        return pa.table({
+            "kind_a": pa.array(g["kind_a"].to_numpy(), type=pa.string()),
+            "kind_b": pa.array(g["kind_b"].to_numpy(), type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "part": pa.array(
+                (hash_u64(key) % np.uint64(n_parts)).astype(np.int64)
+            ),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["kind_a", "kind_b"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

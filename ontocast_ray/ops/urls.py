@@ -272,3 +272,101 @@ def url_dedup_flags(
         .groupby("part")
         .map_groups(mark, batch_format="pandas")
     )
+
+
+def domain_report(
+    pages: "ray.data.Dataset",
+    url_col: str = "url",
+    text_col: str = "text",
+    score_col: str = "raw_score",
+    tok_col: str = "n_tokens",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """Per-domain quality/duplication accounting — the report that BUILDS
+    a domain blocklist (the step before ``filter_blocked_domains``
+    consumes one): for every registered domain, page count, distinct-text
+    count, summed classifier score/token counts, mean quality
+    (sum_score / sum_tokens) and duplication rate (1 - distinct/pages).
+    → (domain, n_pages, n_distinct_texts, sum_raw_score, sum_tokens,
+    quality, dup_rate).
+
+    Scale shape: two coarse shuffles, neither carrying text. Phase 1
+    canonicalizes the host map-side (the `_canon_series` parse) and
+    pre-combines per (domain, text_hash) inside each block, so the first
+    ``hash(domain, text_hash) % P`` exchange moves one row per distinct
+    (domain, text) pair per block. Phase 2 folds the distinct rows per
+    domain through a second ``hash(domain) % P`` exchange — wire volume
+    O(distinct texts), output O(domains). Ratios are final-step int/int
+    IEEE divisions (SQL-exact); text identity is the usual 64-bit hash
+    (collision-free assumption shared with exact dedup).
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    def _domains(urls: "pd.Series") -> "pd.Series":
+        parts = urls.str.extract(_URL_RE)
+        host = parts["host"].str.lower()
+        host = host.mask(
+            host.str.startswith("www.", na=False), host.str.slice(4)
+        )
+        return host.fillna("(unknown)").mask(host == "", "(unknown)")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        dom = _domains(df[url_col].astype("string").astype(object))
+        h = hash_u64(df[text_col].fillna("").to_numpy(dtype=object))
+        g = (
+            pd.DataFrame({
+                "domain": dom.to_numpy(),
+                "th": h,
+                "n": np.ones(len(df), dtype=np.int64),
+                "raws": df[score_col].to_numpy(dtype=np.int64),
+                "toks": df[tok_col].to_numpy(dtype=np.int64),
+            })
+            .groupby(["domain", "th"], as_index=False)
+            .sum()
+        )
+        key = (g["domain"] + "\x1f" + g["th"].astype(str)).to_numpy(object)
+        g["part"] = (hash_u64(key) % np.uint64(n_parts)).astype(np.int64)
+        return g
+
+    def combine_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["domain", "th"], as_index=False)[
+            ["n", "raws", "toks"]
+        ].sum()
+        g["dpart"] = (
+            hash_u64(g["domain"].to_numpy(object)) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return g
+
+    def combine_domains(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("domain", as_index=False).agg(
+            n_pages=("n", "sum"),
+            n_distinct_texts=("th", "size"),
+            sum_raw_score=("raws", "sum"),
+            sum_tokens=("toks", "sum"),
+        )
+        for c in ("n_pages", "n_distinct_texts", "sum_raw_score",
+                  "sum_tokens"):
+            g[c] = g[c].astype(np.int64)
+        toks = g["sum_tokens"].to_numpy()
+        quality = np.zeros(len(g), dtype=np.float64)
+        nz = toks > 0
+        quality[nz] = (
+            g["sum_raw_score"].to_numpy(dtype=np.float64)[nz]
+            / toks.astype(np.float64)[nz]
+        )
+        g["quality"] = quality
+        g["dup_rate"] = 1.0 - (
+            g["n_distinct_texts"].to_numpy(dtype=np.float64)
+            / g["n_pages"].to_numpy(dtype=np.float64)
+        )
+        return g
+
+    return (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine_pairs, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(combine_domains, batch_format="pandas")
+    )

@@ -178,6 +178,8 @@ _SQL_GATED = [
         "gopher_filtered_docs",
         "lang_quality_buckets",
         "epoch_shuffle_pos",
+        "domain_quality_report",
+        "span_kind_transitions",
 ]
 
 

@@ -3670,3 +3670,26 @@ def test_followed_by_counts(ray_session):
         # u2: view->purchase at 5min
         assert got == {("view", "click"): 1, ("click", "click"): 1,
                        ("view", "purchase"): 1}
+
+
+def test_span_kind_transitions(ray_session):
+    """Transition counts over the interleaved span layout: boundary-masked
+    (no cross-doc pairs), image slots at (ord % 7) == 3."""
+    import ray
+
+    from ontocast_ray.ops.multimodal import span_kind_transitions
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        # doc 1: 9 spans -> kinds t,t,t,i,t,t,t,t,t (8 pairs)
+        # doc 2: 2 spans -> t,t (1 pair); no pair crosses the docs
+        "text": pa.array(["a\nb\nc\nd\ne\nf\ng\nh\ni", "x\ny"]),
+    })
+    out = (
+        span_kind_transitions(ray.data.from_arrow(tbl).repartition(2),
+                              n_parts=4)
+        .to_pandas().sort_values(["kind_a", "kind_b"]).reset_index(drop=True)
+    )
+    got = {(r.kind_a, r.kind_b): r.n for r in out.itertuples()}
+    assert got == {("text", "text"): 7, ("text", "image"): 1,
+                   ("image", "text"): 1}
