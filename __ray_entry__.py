@@ -1637,6 +1637,20 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_cdc_dup_stats(sf_dir: str):
+    """Content-defined-chunking dedup signal (FastCDC at word
+    granularity): variable-length chunks cut where a token's FNV
+    satisfies hash%64<8, deduped corpus-wide — boundaries re-align after
+    edits, so shifted copies still match (the property fixed-k grams
+    lack). Two coarse shuffles, no broadcast; oracle re-derives chunk
+    boundaries with the raw-FNV SQL fold and dedupes exact chunk
+    STRINGS."""
+    from ontocast_ray.ops.dedup import cdc_chunk_dup_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunk_dup_stats(docs, n_parts=16)
+
+
 def _q_span_transitions(sf_dir: str):
     """Interleaved-document layout profile: corpus-wide span-kind
     transition counts (text→image, image→text, …) over the deterministic
@@ -3358,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop_preds": _q_kg_two_hop,
         "domain_quality_report": _q_domain_report,
         "span_kind_transitions": _q_span_transitions,
+        "cdc_dup_stats": _q_cdc_dup_stats,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -4632,6 +4647,46 @@ def _sql_oracles() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "quality_classifier": _quality_clf_sql(),
+        # CDC chunk dedup: boundary rule replayed with the raw-FNV fold,
+        # chunk ids via an exclusive window sum of boundary flags, chunks
+        # compared as exact strings (kernel uses 64-bit hashes)
+        "cdc_dup_stats": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(ws) AS w,
+                       unnest(range(len(ws))) AS ord
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS ws
+                      FROM documents)
+            ), flags AS (
+                SELECT doc_id, w, ord,
+                       CASE WHEN ({_fnv_raw_sql("w")}) % 64 < 8
+                            THEN 1 ELSE 0 END AS bnd
+                FROM toks
+            ), chunks AS (
+                SELECT doc_id, w, ord,
+                       COALESCE(SUM(bnd) OVER (
+                           PARTITION BY doc_id ORDER BY ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cid
+                FROM flags
+            ), chunk_strs AS (
+                SELECT doc_id, cid,
+                       string_agg(w, ' ' ORDER BY ord) AS chunk
+                FROM chunks GROUP BY doc_id, cid
+            ), counted AS (
+                SELECT doc_id,
+                       count(*) OVER (PARTITION BY chunk) AS cnt
+                FROM chunk_strs
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS dup_chunk_frac
+            FROM counted GROUP BY doc_id
+        """,
         # interleaved span-kind transitions: lead() over the exploded
         # spans, same deterministic image-slot rule ((ord-1)%7==3)
         "span_kind_transitions": r"""

@@ -1456,3 +1456,122 @@ def incremental_embedding_dedup(
         cross_pairs, batch_format="pandas"
     )
     return _pair_max_cosine(pairs, n_parts)
+
+
+def cdc_chunk_dup_stats(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_mask: int = 64,
+    boundary_thresh: int = 8,
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """Content-defined-chunking dedup signal (the FastCDC/storage-dedup
+    shape at word granularity): token stream cut into VARIABLE-length
+    chunks at content-defined boundaries — after every token whose FNV-1a
+    satisfies ``hash % boundary_mask < boundary_thresh`` (mean chunk =
+    mask/thresh tokens) — then each chunk deduped corpus-wide.
+    → (id_col, n_chunks, n_dup_chunks, dup_chunk_frac): how much of each
+    document is made of chunks appearing ≥2 times anywhere.
+
+    Unlike the fixed-k ``dup_span_stats`` grams, CDC boundaries re-align
+    after insertions/deletions, so shifted copies still match — the
+    property storage dedup and ExactSubstr-style corpus scrubbing want.
+
+    Scale shape: tokenize/boundary/chunk-hash are all map-side and
+    vectorized (unique-word FNV, segmented XOR of position-mixed token
+    hashes via ``np.bitwise_xor.reduceat`` — no per-chunk Python). Two
+    coarse shuffles, no broadcast, no driver collection: occurrences
+    (chunk_hash, doc_id) colocate by ``hash % P`` so global per-chunk
+    counts finish in one partition pass, which emits per-(partition, doc)
+    partial sums; a second ``doc % P`` exchange folds them per document.
+    Wire = one 16-byte row per chunk occurrence, then per (part, doc).
+    Chunk identity is the usual 64-bit collision-free assumption; the
+    SQL oracle re-derives with exact chunk STRINGS.
+    """
+    import pandas as pd
+
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.ops.text import _explode_words, fnv1a_words
+    from ontocast_ray.util import hash_u64
+
+    mask = np.uint64(boundary_mask)
+    thresh = np.uint64(boundary_thresh)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        if not len(vals):
+            return pa.table({
+                "chunk_hash": pa.array([], type=pa.uint64()),
+                id_col: pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        h = fnv1a_words(uniq)[inv]
+        bnd = (h % mask) < thresh
+        # boundary at token j ENDS a chunk: chunk id = count of boundaries
+        # strictly before the token, per doc (exclusive segmented cumsum)
+        cs_excl = np.concatenate(([0], np.cumsum(bnd)[:-1]))
+        n_tok = np.bincount(idx, minlength=len(texts)).astype(np.int64)
+        doc_tok = n_tok[n_tok > 0]
+        starts = np.concatenate(([0], np.cumsum(doc_tok)[:-1]))
+        cid = cs_excl - np.repeat(cs_excl[starts], doc_tok)
+        # chunk start indices in the global stream: new doc OR new cid
+        is_start = np.ones(len(h), dtype=bool)
+        is_start[1:] = (idx[1:] != idx[:-1]) | (cid[1:] != cid[:-1])
+        chunk_starts = np.nonzero(is_start)[0]
+        pos_in_chunk = np.arange(len(h)) - np.repeat(
+            chunk_starts, np.diff(np.append(chunk_starts, len(h)))
+        )
+        mixed = splitmix64(h ^ splitmix64(pos_in_chunk.astype(np.uint64)))
+        chash = np.bitwise_xor.reduceat(mixed, chunk_starts)
+        cdoc = ids[idx[chunk_starts]]
+        return pa.table({
+            "chunk_hash": pa.array(chash),
+            id_col: pa.array(cdoc),
+            "part": pa.array(
+                (chash % np.uint64(n_parts)).astype(np.int64)
+            ),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a chunk_hash are HERE (part = hash % P), so
+        # the >=2 test is global; fold straight to per-doc partials
+        cnt = df.groupby("chunk_hash", sort=False)["chunk_hash"].transform(
+            "size"
+        )
+        g = (
+            pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "dup": (cnt >= 2).to_numpy().astype(np.int64),
+                "tot": np.ones(len(df), dtype=np.int64),
+            })
+            .groupby(id_col, as_index=False)
+            .sum()
+        )
+        g["dpart"] = (
+            hash_u64(g[id_col].to_numpy()) % np.uint64(n_parts)
+        ).astype(np.int64)
+        return g
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, as_index=False)[["dup", "tot"]].sum()
+        tot = g["tot"].to_numpy(dtype=np.int64)
+        dup = g["dup"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_chunks": tot,
+            "n_dup_chunks": dup,
+            "dup_chunk_frac": dup.astype(np.float64) / tot.astype(np.float64),
+        })
+
+    return (
+        docs.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(per_doc, batch_format="pandas")
+    )

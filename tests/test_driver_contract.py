@@ -180,6 +180,7 @@ _SQL_GATED = [
         "epoch_shuffle_pos",
         "domain_quality_report",
         "span_kind_transitions",
+        "cdc_dup_stats",
 ]
 
 

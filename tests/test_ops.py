@@ -3693,3 +3693,39 @@ def test_span_kind_transitions(ray_session):
     got = {(r.kind_a, r.kind_b): r.n for r in out.itertuples()}
     assert got == {("text", "text"): 7, ("text", "image"): 1,
                    ("image", "text"): 1}
+
+
+def test_cdc_chunk_dup_realigns_after_shift(ray_session):
+    """The CDC property fixed-k grams lack: inserting a prefix shifts
+    token positions, but content-defined boundaries re-align, so the
+    shared tail still dedupes chunk-for-chunk."""
+    import ray
+
+    from ontocast_ray.ops.dedup import cdc_chunk_dup_stats
+
+    # alphabetic words ([a-z]+ tokenizer): base-26 spellings, all distinct
+    def w(i):
+        s = ""
+        for _ in range(3):
+            s += chr(97 + i % 26)
+            i //= 26
+        return s
+
+    base = " ".join(w(i) for i in range(400))
+    shifted = "zzz qqq " + base  # 2-token insertion at the front
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([base, shifted, "entirely different words here"]),
+    })
+    out = (
+        cdc_chunk_dup_stats(ray.data.from_arrow(tbl).repartition(2),
+                            n_parts=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # almost every chunk of doc 1 reappears in doc 2 (only the chunk
+    # containing the splice point differs)
+    assert out.loc[1, "dup_chunk_frac"] > 0.8
+    assert out.loc[2, "dup_chunk_frac"] > 0.8
+    assert out.loc[3, "n_dup_chunks"] == 0
+    # ~50 boundaries expected over 400 tokens at p=1/8; sanity-bound it
+    assert 10 < out.loc[1, "n_chunks"] < 150
