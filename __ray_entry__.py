@@ -1637,6 +1637,30 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_scalar_quant(sf_dir: str):
+    """Scalar int8-style embedding quantization (FAISS SQ8 shape): global
+    per-dimension [min,max] from a bounded per-block partial (one 2·d row
+    per block to the driver), broadcast once, pure-map encode. Outputs
+    integer code sums + order-free error stats (max, fixed-point L1) so
+    the SQL oracle reproduces bit-for-bit via positional UNNEST."""
+    from ontocast_ray.ops.similarity import scalar_quantize_embeddings
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return scalar_quantize_embeddings(emb)
+
+
+def _q_sample_exact_k(sf_dir: str):
+    """Exactly-100 uniform sample (eval-set carving): the 100 smallest
+    splitmix64(seed=31, doc_id) draws, ties by id — exact-size companion
+    to the Bernoulli doc_sample_10pct. Per-block partial top-k bounds the
+    wire to k rows per block; one bounded merge. Oracle: ORDER BY the
+    pure-SQL mix LIMIT 100."""
+    from ontocast_ray.ops.interleave import sample_exact_k
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return sample_exact_k(docs, k=100, seed=31)
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup signal (FastCDC at word
     granularity): variable-length chunks cut where a token's FNV
@@ -3373,6 +3397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality_report": _q_domain_report,
         "span_kind_transitions": _q_span_transitions,
         "cdc_dup_stats": _q_cdc_dup_stats,
+        "sample_exact_100": _q_sample_exact_k,
+        "embedding_sq8": _q_scalar_quant,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -4087,6 +4113,47 @@ def _sql_oracles() -> dict[str, str]:
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
         # as DOUBLE on both sides (same float64 division), same thresholds
+        # SQ8 quantization: per-dim ranges + bucket-center reconstruction,
+        # positional UNNEST; code_sum is an integer-valued double sum
+        # (exact < 2^53), L1 error is fixed-point (order-free int sum)
+        "embedding_sq8": r"""
+            WITH vals AS (
+                SELECT vec_id,
+                       CAST(unnest(embedding) AS DOUBLE) AS v,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings
+            ), rng AS (
+                SELECT dim, min(v) AS lo, max(v) AS hi
+                FROM vals GROUP BY dim
+            ), coded AS (
+                SELECT vec_id,
+                       CASE WHEN r.hi > r.lo
+                            THEN LEAST(GREATEST(floor(
+                                 (t.v - r.lo) / (r.hi - r.lo) * 256
+                                 ), 0), 255)
+                            ELSE 0 END AS code,
+                       t.v, r.lo, r.hi
+                FROM vals t JOIN rng r USING (dim)
+            ), errs AS (
+                SELECT vec_id, code,
+                       abs(v - (CASE WHEN hi > lo
+                                     THEN lo + (code + 0.5)
+                                          * ((hi - lo) / 256)
+                                     ELSE lo END)) AS err
+                FROM coded
+            )
+            SELECT vec_id,
+                   CAST(sum(code) AS BIGINT) AS code_sum,
+                   max(err) AS max_abs_err,
+                   CAST(sum(CAST(floor(err * 1048576) AS BIGINT))
+                        AS BIGINT) AS err_l1_fp
+            FROM errs GROUP BY vec_id
+        """,
+        "sample_exact_100": f"""
+            WITH {_splitmix_sql(31)}
+            SELECT doc_id, zr AS draw FROM mixed
+            ORDER BY zr, doc_id LIMIT 100
+        """,
         # epoch shuffle: ROW_NUMBER over the raw UBIGINT mix (zr), ties by
         # doc_id — mirrors the kernel's (mix, id) mergesort exactly
         "epoch_shuffle_pos": f"""

@@ -392,3 +392,53 @@ def epoch_shuffle(
         .groupby("part")
         .map_groups(_rank, batch_format="pandas")
     )
+
+
+def sample_exact_k(
+    ds: "ray.data.Dataset",
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exactly-k uniform sample without replacement (eval-set carving,
+    debugging subsets): the k rows with the smallest ``splitmix64(seed,
+    id)`` draw (ties by id) — a pure function of (seed, ids), identical
+    across runs/cluster sizes, and the EXACT-size companion to the
+    Bernoulli ``deterministic_sample`` (whose output size is only
+    binomially близко to k·n/100). → (id_col, draw).
+
+    Scale shape: per-block partial top-k (argpartition, no sort of the
+    block) bounds the wire to k rows per block; one single-partition merge
+    holds ≤ k·blocks rows — bounded and tiny for sample-sized k (the
+    documented contract; for k approaching corpus size use split_assign
+    instead).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = splitmix64(ids.astype(np.uint64), seed)
+        if len(ids) > k:
+            # k smallest by (draw, id): lexicographic argpartition via
+            # stable argsort on the compound is overkill — partition on
+            # draw then refine exact ties in the final merge
+            sel = np.argpartition(m, k - 1)[:k]
+            ids, m = ids[sel], m[sel]
+        return pa.table({
+            id_col: pa.array(ids),
+            "draw": pa.array(m),
+            "part": pa.array(np.zeros(len(ids), dtype=np.int8)),
+        })
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["draw", id_col], kind="mergesort").head(k)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "draw": df["draw"].to_numpy(dtype=np.uint64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -967,3 +967,76 @@ def knn_recall(
         exact.map_batches(tag(0), batch_format="pyarrow")
     )
     return tagged.groupby("part").map_groups(score, batch_format="pandas")
+
+
+def scalar_quantize_embeddings(
+    emb: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 256,
+) -> "ray.data.Dataset":
+    """Scalar (int8-style) embedding quantization — the cheap compression
+    pass before ANN indexing (FAISS SQ8 shape): per-DIMENSION global
+    [min, max] ranges, each value mapped to ``floor((v-lo)/(hi-lo)·L)``
+    clamped to [0, L-1], reconstruction at bucket centers. → (id_col,
+    code_sum, max_abs_err, mean_abs_err): scalar projections of the code
+    vector (driver-comparable) plus the per-vector reconstruction error
+    the compression report needs.
+
+    Scale shape: the range pass is a per-block dim-wise min/max partial —
+    one 2·d-float row per block to the driver (bounded by blocks, never
+    rows) — broadcast once; quantization is a pure vectorized map. All
+    arithmetic is float64 (f32 inputs upcast exactly), so the SQL oracle
+    reproduces bit-for-bit.
+    """
+    import pandas as pd  # noqa: F401
+
+    import ray
+
+    from ontocast_ray.util import vectors_2d
+
+    def ranges(batch: pa.Table) -> pa.Table:
+        v = vectors_2d(batch[vec_col], dtype=np.float64)
+        if not len(v):
+            return pa.table({"lo": pa.array([], type=pa.list_(pa.float64())),
+                             "hi": pa.array([], type=pa.list_(pa.float64()))})
+        return pa.table({
+            "lo": pa.array([v.min(axis=0).tolist()]),
+            "hi": pa.array([v.max(axis=0).tolist()]),
+        })
+
+    parts = emb.map_batches(ranges, batch_format="pyarrow").take_all()
+    lo = np.min(np.asarray([r["lo"] for r in parts], dtype=np.float64), axis=0)
+    hi = np.max(np.asarray([r["hi"] for r in parts], dtype=np.float64), axis=0)
+    rng_ref = ray.put((lo, hi))
+    L = np.float64(levels)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(rng_ref)
+        v = vectors_2d(batch[vec_col], dtype=np.float64)
+        n = len(v)
+        if not n:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "code_sum": pa.array([], type=pa.int64()),
+                "max_abs_err": pa.array([], type=pa.float64()),
+                "err_l1_fp": pa.array([], type=pa.int64()),
+            })
+        span = hi_ - lo_
+        flat = np.zeros_like(v)
+        nz = span > 0
+        flat[:, nz] = (v[:, nz] - lo_[nz]) / span[nz]
+        code = np.clip(np.floor(flat * L), 0, L - 1)
+        recon = np.where(nz, lo_ + (code + 0.5) * (span / L), lo_)
+        err = np.abs(v - recon)
+        return pa.table({
+            id_col: batch[id_col],
+            "code_sum": pa.array(code.sum(axis=1).astype(np.int64)),
+            "max_abs_err": pa.array(err.max(axis=1)),
+            "err_l1_fp": pa.array(
+                np.floor(err * np.float64(1 << 20)).astype(np.int64)
+                .sum(axis=1)
+            ),
+        })
+
+    return emb.map_batches(quantize, batch_format="pyarrow")

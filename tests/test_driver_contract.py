@@ -181,6 +181,8 @@ _SQL_GATED = [
         "domain_quality_report",
         "span_kind_transitions",
         "cdc_dup_stats",
+        "sample_exact_100",
+        "embedding_sq8",
 ]
 
 
