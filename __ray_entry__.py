@@ -1637,6 +1637,45 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_gazetteer(sf_dir: str):
+    """Dictionary entity linking (gazetteer NER, the first stage of KG
+    entity linking): 25 two-token aliases built from the nation catalog
+    ('nation a'…'nation y'), mentions injected deterministically (every
+    doc one, every 3rd doc two), counted over the [a-z]+ token stream.
+    Gazetteer broadcast once (catalogs are MBs vs TB corpora); one coarse
+    combiner shuffle of match-sized partials. Oracle re-joins exact
+    bigram strings against the same alias CTE."""
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.ops.text import gazetteer_mentions
+
+    nations = _read(sf_dir, "nation", columns=["n_nationkey"]).take_all()
+    aliases = [
+        (int(r["n_nationkey"]), "nation " + chr(97 + int(r["n_nationkey"])))
+        for r in nations
+    ]
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    letters = np.array([chr(97 + i) for i in range(25)], dtype=object)
+
+    def synth(df):
+        d = df["doc_id"].to_numpy()
+        extra = pd.Series(
+            np.where(d % 3 == 0,
+                     " nation " + letters[(d * 7) % 25], "")
+        )
+        df = df.copy()
+        df["text"] = (
+            df["text"].fillna("") + " nation " + letters[d % 25] + extra
+        )
+        return df
+
+    return gazetteer_mentions(
+        docs.map_batches(synth, batch_format="pandas"), aliases, n_parts=8
+    )
+
+
 def _q_scalar_quant(sf_dir: str):
     """Scalar int8-style embedding quantization (FAISS SQ8 shape): global
     per-dimension [min,max] from a bounded per-block partial (one 2·d row
@@ -3399,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_stats": _q_cdc_dup_stats,
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
+        "gazetteer_mentions": _q_gazetteer,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -4113,6 +4153,41 @@ def _sql_oracles() -> dict[str, str]:
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
         # as DOUBLE on both sides (same float64 division), same thresholds
+        # gazetteer NER: exact bigram-string join against the alias CTE,
+        # same deterministic mention injection as the Ray synth
+        "gazetteer_mentions": r"""
+            WITH aliases AS (
+                SELECT n_nationkey AS entity_id,
+                       'nation ' || chr(97 + CAST(n_nationkey AS INT))
+                           AS alias
+                FROM nation
+            ), corpus AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' nation '
+                       || chr(97 + CAST(doc_id % 25 AS INT))
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' nation '
+                                    || chr(97 + CAST((doc_id * 7) % 25
+                                                     AS INT))
+                               ELSE '' END AS text
+                FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS ws
+                      FROM corpus)
+                WHERE len(ws) >= 2
+            ), matches AS (
+                SELECT a.entity_id, a.alias, b.doc_id
+                FROM bigrams b JOIN aliases a ON b.bg = a.alias
+            )
+            SELECT entity_id, alias,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM matches GROUP BY entity_id, alias
+        """,
         # SQ8 quantization: per-dim ranges + bucket-center reconstruction,
         # positional UNNEST; code_sum is an integer-valued double sum
         # (exact < 2^53), L1 error is fixed-point (order-free int sum)

@@ -954,3 +954,100 @@ def gopher_quality_filter(
             "kept": pa.array(kept, type=pa.bool_()),
         }
     )
+
+
+def gazetteer_mentions(
+    docs: "ray.data.Dataset",
+    aliases: "list[tuple[int, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 8,
+) -> "ray.data.Dataset":
+    """Dictionary-based entity linking (gazetteer NER — the first stage of
+    KG entity linking): count exact alias mentions (1- or 2-token, on the
+    ``[a-z]+`` lower token stream) of each catalog entity across the
+    corpus. → (entity_id, alias, n_mentions, n_docs).
+
+    The gazetteer is broadcast-small by definition (entity catalogs are
+    MBs against a TB corpus — the `decontaminate` contract): shipped once
+    in the task closure, probed with vectorized ``Series.map`` over the
+    batch's unique uni/bigrams. One coarse combiner shuffle carries
+    per-block (entity, doc, count) partials — match-sized, never tokens.
+    Overlaps are counted independently per n-gram occurrence (aliases are
+    assumed distinct strings; a 2-token alias does not suppress a 1-token
+    alias inside it — the rule the SQL oracle mirrors with two joins).
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    uni = {a: e for e, a in aliases if " " not in a}
+    bi = {a: e for e, a in aliases if a.count(" ") == 1}
+    if len(uni) + len(bi) != len(aliases):
+        raise ValueError("aliases must be 1 or 2 tokens")
+    alias_of = dict(aliases)  # entity_id → alias (for the report rows)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        frames = []
+        if len(vals):
+            doc = ids[idx]
+            if uni:
+                ent = pd.Series(vals).map(uni)
+                m = ent.notna().to_numpy()
+                frames.append(pd.DataFrame({
+                    "entity_id": ent.to_numpy()[m].astype(np.int64),
+                    id_col: doc[m],
+                }))
+            if bi and len(vals) > 1:
+                same = idx[1:] == idx[:-1]
+                bg = pd.Series(vals[:-1][same]) + " " + pd.Series(
+                    vals[1:][same]
+                )
+                ent = bg.map(bi)
+                m = ent.notna().to_numpy()
+                frames.append(pd.DataFrame({
+                    "entity_id": ent.to_numpy()[m].astype(np.int64),
+                    id_col: doc[:-1][same][m] if m.any() else
+                            np.zeros(0, dtype=np.int64),
+                }))
+        if not frames:
+            return pa.table({
+                "entity_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        g = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["entity_id", id_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.table({
+            "entity_id": pa.array(g["entity_id"].to_numpy(dtype=np.int64)),
+            id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+            "part": pa.array(
+                (hash_u64(g["entity_id"].to_numpy()) % np.uint64(n_parts))
+                .astype(np.int64)
+            ),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("entity_id", as_index=False).agg(
+            n_mentions=("n", "sum"), n_docs=(id_col, "nunique")
+        )
+        g["alias"] = g["entity_id"].map(alias_of)
+        return g[["entity_id", "alias", "n_mentions", "n_docs"]].astype(
+            {"n_mentions": np.int64, "n_docs": np.int64}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -183,6 +183,7 @@ _SQL_GATED = [
         "cdc_dup_stats",
         "sample_exact_100",
         "embedding_sq8",
+        "gazetteer_mentions",
 ]
 
 
