@@ -512,7 +512,7 @@ def paragraph_dedup(
     docs: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_parts: int = 16,
+    n_parts: int | None = None,
     broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Dolma-style cross-document paragraph dedup: every paragraph (a
@@ -545,8 +545,10 @@ def paragraph_dedup(
         _bloom_build_cols,
         _bloom_contains,
     )
+    from ontocast_ray.ops.windows import resolve_n_parts
     from ontocast_ray.util import hash_partition
 
+    n_parts = resolve_n_parts(docs, n_parts)
     _ws = " \t\r\f\v"
 
     def _explode(texts: list) -> tuple:

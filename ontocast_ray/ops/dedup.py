@@ -1464,7 +1464,7 @@ def cdc_chunk_dup_stats(
     id_col: str = "doc_id",
     boundary_mask: int = 64,
     boundary_thresh: int = 8,
-    n_parts: int = 16,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Content-defined-chunking dedup signal (the FastCDC/storage-dedup
     shape at word granularity): token stream cut into VARIABLE-length
@@ -1493,8 +1493,10 @@ def cdc_chunk_dup_stats(
 
     from ontocast_ray.ops.interleave import splitmix64
     from ontocast_ray.ops.text import _explode_words, fnv1a_words
+    from ontocast_ray.ops.windows import resolve_n_parts
     from ontocast_ray.util import hash_u64
 
+    n_parts = resolve_n_parts(docs, n_parts)
     mask = np.uint64(boundary_mask)
     thresh = np.uint64(boundary_thresh)
 

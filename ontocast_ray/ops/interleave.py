@@ -310,7 +310,7 @@ def epoch_shuffle(
     seed: int = 0,
     epoch: int = 0,
     shard_size: int = 256,
-    n_parts: int = 64,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Deterministic EPOCH shuffle for training-data loading: every row's
     global sample position = exact rank of ``splitmix64(seed+epoch, id)``
@@ -333,6 +333,9 @@ def epoch_shuffle(
     import pandas as pd
     import ray
 
+    from ontocast_ray.ops.windows import resolve_n_parts
+
+    n_parts = resolve_n_parts(ds, n_parts)
     eff = seed + epoch
 
     def _mix(batch: pa.Table) -> pa.Table:

@@ -397,7 +397,7 @@ def span_kind_transitions(
     id_col: str = "doc_id",
     image_every: int = 7,
     image_offset: int = 3,
-    n_parts: int = 8,
+    n_parts: int | None = None,
 ):
     """Interleaved-document structure analytics: corpus-wide counts of
     consecutive span-kind transitions (text→image, image→text, …) over
@@ -417,7 +417,10 @@ def span_kind_transitions(
 
     import ray.data  # noqa: F401
 
+    from ontocast_ray.ops.windows import resolve_n_parts
     from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(docs, n_parts)
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().fillna("")

@@ -961,7 +961,7 @@ def gazetteer_mentions(
     aliases: "list[tuple[int, str]]",
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_parts: int = 8,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Dictionary-based entity linking (gazetteer NER — the first stage of
     KG entity linking): count exact alias mentions (1- or 2-token, on the
@@ -979,8 +979,10 @@ def gazetteer_mentions(
     """
     import pandas as pd
 
+    from ontocast_ray.ops.windows import resolve_n_parts
     from ontocast_ray.util import hash_u64
 
+    n_parts = resolve_n_parts(docs, n_parts)
     uni = {a: e for e, a in aliases if " " not in a}
     bi = {a: e for e, a in aliases if a.count(" ") == 1}
     if len(uni) + len(bi) != len(aliases):

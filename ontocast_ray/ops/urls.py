@@ -280,7 +280,7 @@ def domain_report(
     text_col: str = "text",
     score_col: str = "raw_score",
     tok_col: str = "n_tokens",
-    n_parts: int = 16,
+    n_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-domain quality/duplication accounting — the report that BUILDS
     a domain blocklist (the step before ``filter_blocked_domains``
@@ -302,7 +302,10 @@ def domain_report(
     """
     import pandas as pd
 
+    from ontocast_ray.ops.windows import resolve_n_parts
     from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(pages, n_parts)
 
     def _domains(urls: "pd.Series") -> "pd.Series":
         parts = urls.str.extract(_URL_RE)

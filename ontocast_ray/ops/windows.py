@@ -1036,7 +1036,7 @@ def grouped_quantile_buckets(
     score_col: str,
     quantiles: tuple = (1.0 / 3, 2.0 / 3),
     labels: tuple = ("tail", "middle", "head"),
-    n_parts: int = 16,
+    n_parts: int | None = None,
     max_distinct: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """CCNet-style per-group quantile bucketing: each row gets the bucket
@@ -1065,6 +1065,7 @@ def grouped_quantile_buckets(
 
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need len(quantiles)+1 labels")
+    n_parts = resolve_n_parts(ds, n_parts)
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (
