@@ -656,6 +656,58 @@ def _q_lpa_communities(sf_dir: str):
     return label_propagation(edges, n_iters=3, n_parts=16)
 
 
+def _q_k_core(sf_dir: str):
+    """K-core of the supplier↔customer graph (synchronous peeling to the
+    unique fixpoint): degrees via the count combiner, low-degree nodes
+    dropped with two partitioned anti-joins per round, one scalar to the
+    driver per round. Oracle replays the peeling with generated
+    fixed-round CTEs (the LPA/Lloyd pattern)."""
+    from ontocast_ray.ops.graph_cc import k_core
+
+    edges = _supplier_customer_edges(sf_dir, n_parts=16)
+    return k_core(edges, k=_K_CORE_K, n_parts=16)
+
+
+_K_CORE_K = 9
+
+
+def _k_core_sql(k: int, rounds: int = 24) -> str:
+    """Generated-CTE replay of synchronous k-core peeling — enough rounds
+    that the fixpoint is reached at gate SF (peeling converges in a
+    handful on this graph; non-convergence would surface as an oracle
+    mismatch, never silently)."""
+    parts = [
+        """pairs AS (
+            SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )""",
+        """e0 AS (
+            SELECT s AS src, c + 1000000 AS dst FROM pairs
+            UNION ALL
+            SELECT c + 1000000 AS src, s AS dst FROM pairs
+        )""",
+    ]
+    # AS MATERIALIZED: each e{i}/d{i} is referenced 2-3 times per round —
+    # default CTE inlining would expand the chain exponentially (observed
+    # as "too many open files" from 3^rounds parquet scans)
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT src AS node, count(*) AS deg "
+            f"FROM e{i} GROUP BY src)"
+        )
+        parts.append(f"""e{i + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{i} e
+            JOIN d{i} a ON e.src = a.node
+            JOIN d{i} b ON e.dst = b.node
+            WHERE a.deg >= {k} AND b.deg >= {k}
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT src AS node, CAST(count(*) AS BIGINT) AS degree "
+          f"FROM e{rounds} GROUP BY src"
+    )
+
+
 def _lpa_sql(n_iters: int = 3) -> str:
     """Generated-CTE SQL replay of deterministic synchronous LPA (the
     Lloyd-k-means oracle pattern): same bipartite edges as pagerank,
@@ -3439,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
         "gazetteer_mentions": _q_gazetteer,
+        "supplier_k_core": _q_k_core,
         "lineitem_orders_join": _q_hash_join,
         "supplier_customer_pairs": _q_distinct_pairs,
         "customers_with_orders": _q_semi_join,
@@ -4153,6 +4206,7 @@ def _sql_oracles() -> dict[str, str]:
         """,
         # split assignment re-derived: u = splitmix64(seed=9, doc_id)/2^64
         # as DOUBLE on both sides (same float64 division), same thresholds
+        "supplier_k_core": _k_core_sql(_K_CORE_K),
         # gazetteer NER: exact bigram-string join against the alias CTE,
         # same deterministic mention injection as the Ray synth
         "gazetteer_mentions": r"""

@@ -1166,3 +1166,89 @@ def neighbor_feature_sum(
         )
 
     return final.map_batches(fill, batch_format="pandas")
+
+
+def k_core(
+    edges: "ray.data.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_parts: int | None = None,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """K-core decomposition by synchronous peeling: repeatedly drop every
+    node of degree < k (and its edges) until fixpoint — the standard
+    graph-sparsification / community-seed step (the k-core is unique, so
+    the result is order- and parallelism-independent). ``edges`` must
+    carry BOTH directions of each undirected edge. → (node, degree):
+    surviving nodes with their within-core degree (all ≥ k).
+
+    Scale shape per round: degrees via the map-side count combiner (one
+    (node, n) row per distinct src per block through a coarse ``hash %
+    P`` shuffle); the low-degree node set is NEVER collected — edges drop
+    via two partitioned hash semi-joins (`hash_join` how="anti") on src
+    then dst. The driver sees one scalar per round (the low-degree node
+    count, from parquet-cheap ``count()``); edges re-materialize per
+    round to keep lineage flat. Raises after ``max_rounds`` (a path graph
+    peels one layer per round — k-cores of real graphs converge in a
+    handful)."""
+    import pandas as pd
+
+    from ontocast_ray.ops.joins import hash_join
+    from ontocast_ray.ops.windows import resolve_n_parts
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(edges, n_parts)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(src, return_counts=True)
+        return pa.table({
+            "node": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(
+                (hash_u64(uniq) % np.uint64(n_parts)).astype(np.int64)
+            ),
+        })
+
+    def deg_final(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("node", as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "node": g["node"].to_numpy(dtype=np.int64),
+            "degree": g["n"].to_numpy(dtype=np.int64),
+        })
+
+    cur = edges.materialize()
+    for _ in range(max_rounds):
+        degrees = (
+            cur.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(deg_final, batch_format="pandas")
+            .materialize()
+        )
+        low = degrees.filter(
+            expr=f"degree < {int(k)}"
+        ).materialize()
+        if low.count() == 0:
+            return degrees
+        kept = hash_join(
+            cur, low.select_columns(["node"]),
+            left_on=src_col, right_on="node",
+            left_cols=[dst_col], right_cols=[], how="anti",
+            n_parts=n_parts,
+        )
+        kept = hash_join(
+            kept, low.select_columns(["node"]),
+            left_on=dst_col, right_on="node",
+            left_cols=[src_col], right_cols=[], how="anti",
+            n_parts=n_parts,
+        )
+        cur = kept.materialize()
+        if cur.count() == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "degree": pa.array([], type=pa.int64()),
+            }))
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -184,6 +184,7 @@ _SQL_GATED = [
         "sample_exact_100",
         "embedding_sq8",
         "gazetteer_mentions",
+        "supplier_k_core",
 ]
 
 

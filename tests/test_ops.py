@@ -3729,3 +3729,31 @@ def test_cdc_chunk_dup_realigns_after_shift(ray_session):
     assert out.loc[3, "n_dup_chunks"] == 0
     # ~50 boundaries expected over 400 tokens at p=1/8; sanity-bound it
     assert 10 < out.loc[1, "n_chunks"] < 150
+
+
+def test_k_core_peels_to_fixpoint(ray_session):
+    """A 4-clique with pendant chains: 2-core = the clique exactly (chains
+    peel away layer by layer, exercising the cascade), every survivor's
+    degree >= k."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import k_core
+
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # 4-clique
+           (3, 4), (4, 5), (5, 6)]                           # pendant chain
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    tbl = pa.table({"src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64())})
+    out = (
+        k_core(ray.data.from_arrow(tbl).repartition(3), k=2, n_parts=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["degree"].tolist() == [3, 3, 3, 3]
+
+    # k above the max degree → empty core; schema stays pinned (Ray's
+    # to_pandas drops columns on fully-empty datasets, so check schema())
+    empty = k_core(ray.data.from_arrow(tbl), k=10, n_parts=4)
+    assert empty.schema().names == ["node", "degree"]
+    assert empty.count() == 0
