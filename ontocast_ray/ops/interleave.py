@@ -355,10 +355,24 @@ def epoch_shuffle(
         return pa.table({
             "bucket": pa.array(uniq.astype(np.int64)),
             "n": pa.array(cnt.astype(np.int64)),
+            "hpart": pa.array(
+                (uniq % np.int64(n_parts)).astype(np.int64)
+            ),
         })
 
+    def _hist_sum(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("bucket", as_index=False)["n"].sum()
+
+    # combiner shuffle BEFORE the driver collection: per-block partials
+    # are up to 65,536 rows EACH (blocks × 2^16 rows would reach the
+    # driver at scale); after the coarse sum at most 2^16 rows total do
     hist = np.zeros(1 << 16, dtype=np.int64)
-    for row in mixed.map_batches(_hist, batch_format="pyarrow").take_all():
+    summed = (
+        mixed.map_batches(_hist, batch_format="pyarrow")
+        .groupby("hpart")
+        .map_groups(_hist_sum, batch_format="pandas")
+    )
+    for row in summed.take_all():
         hist[row["bucket"]] += row["n"]
     base = np.concatenate(([0], np.cumsum(hist)[:-1]))
     base_ref = ray.put(base)
