@@ -1065,6 +1065,112 @@ def _web_pipeline_sql() -> str:
     """.replace("QUOTEREPL", entity_quote)
 
 
+def _para_dedup_ctes(src: str) -> str:
+    """CTE chain: ``src``(doc_id, text) → ``scrubbed``(doc_id, text,
+    n_removed) — keep-FIRST paragraph dedup (ROW_NUMBER over exploded
+    paragraph strings; whitespace-only paragraphs exempt). Shared by the
+    standalone paragraph_dedup oracle and the chained Dolma pipeline."""
+    return f"""pd_exploded AS (
+            SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM {src})
+        ), pd_paras AS (
+            SELECT doc_id, ord, ls[ord] AS para,
+                   trim(ls[ord], ' ' || chr(9) || chr(13) || chr(12)
+                        || chr(11)) <> '' AS eligible
+            FROM pd_exploded
+        ), pd_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY para ORDER BY doc_id, ord) AS rn
+            FROM pd_paras
+        ), pd_kept AS (
+            SELECT doc_id, ord, para FROM pd_ranked
+            WHERE NOT eligible OR rn = 1
+        ), pd_agg AS (
+            SELECT doc_id,
+                   coalesce(string_agg(para, chr(10) ORDER BY ord), '')
+                       AS text,
+                   count(*) AS n_kept
+            FROM pd_kept GROUP BY doc_id
+        ), pd_totals AS (
+            SELECT doc_id, count(*) AS n_total FROM pd_paras GROUP BY doc_id
+        ), scrubbed AS (
+            SELECT t.doc_id,
+                   coalesce(a.text, '') AS text,
+                   CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM pd_totals t LEFT JOIN pd_agg a USING (doc_id)
+        )"""
+
+
+def _gopher_ctes(src: str) -> str:
+    """CTE chain: ``src``(doc_id, text) → ``g_sig``(doc_id, n_words,
+    mean_word_len, dup_line_frac, top_2gram_frac, stop_hits) — the full
+    Gopher signal set. Repetition CTEs identical to the repetition_stats
+    oracle; ratios are raw int/int double divisions (bit-exact vs numpy).
+    Shared by the standalone gopher oracle and the Dolma chain."""
+    return rf"""g_lines AS (
+            SELECT doc_id, trim(l, ' ' || chr(9) || chr(13) || chr(11)
+                   || chr(12)) AS line
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                  FROM {src})
+        ), g_nlines AS (
+            SELECT doc_id, count(*) AS n_lines,
+                   count(DISTINCT line) AS n_distinct
+            FROM g_lines WHERE line != '' GROUP BY doc_id
+        ), g_ws AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM {src} WHERE trim(coalesce(text, '')) <> ''
+        ), g_bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i+1])) AS bg
+            FROM g_ws WHERE len(w) >= 2
+        ), g_bgc AS (
+            SELECT doc_id, bg, count(*) AS c FROM g_bigrams
+            GROUP BY doc_id, bg
+        ), g_bgs AS (
+            SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
+            FROM g_bgc GROUP BY doc_id
+        ), g_wstats AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   list_aggregate(list_transform(w, x -> length(x)),
+                                  'sum') AS char_sum,
+                   len(list_filter(w, x -> list_contains(
+                       ['the','be','to','of','and','that','have','with'],
+                       x))) AS stop_hits
+            FROM g_ws
+        ), g_sig AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(s.char_sum, 0) AS DOUBLE)
+                       / (CASE WHEN coalesce(s.n_words, 0) = 0 THEN 1
+                               ELSE s.n_words END) AS mean_word_len,
+                   CASE WHEN ls.n_lines > 0
+                        THEN 1.0 - CAST(ls.n_distinct AS DOUBLE)
+                             / ls.n_lines
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN bgs.n_bigrams > 0
+                        THEN CAST(bgs.top_c AS DOUBLE) / bgs.n_bigrams
+                        ELSE 0.0 END AS top_2gram_frac,
+                   CAST(coalesce(s.stop_hits, 0) AS BIGINT) AS stop_hits
+            FROM {src} d
+            LEFT JOIN g_wstats s USING (doc_id)
+            LEFT JOIN g_nlines ls USING (doc_id)
+            LEFT JOIN g_bgs bgs USING (doc_id)
+        )"""
+
+
+_GOPHER_KEPT_PRED = (
+    "(n_words >= 50 AND n_words <= 100000"
+    " AND mean_word_len >= 3.0 AND mean_word_len <= 10.0"
+    " AND dup_line_frac <= 0.30 AND top_2gram_frac <= 0.20"
+    " AND stop_hits >= 2)"
+)
+
+
 def _quality_clf_ctes() -> str:
     """CTE chain of the hashed-feature classifier (shared by the
     standalone oracle and the chained curation oracle)."""
@@ -1920,6 +2026,53 @@ def _q_lang_quality_buckets(sf_dir: str):
         score_col="raw_score",
         n_parts=8,
     )
+
+
+def _q_dolma_pipeline(sf_dir: str):
+    """The Dolma curation order, end-to-end verified in ONE chained
+    oracle: paragraph-level keep-first dedup (cross-doc) → full Gopher
+    quality gate over the scrubbed text → whitespace-token packing
+    (capacity 64, shard = doc_id//100). Composes the round-5 operators
+    the way Dolma actually runs them; every stage re-derived in the
+    single WITH chain (shared _para_dedup_ctes/_gopher_ctes builders —
+    drift-proof against the standalone oracles)."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.curation import paragraph_dedup
+    from ontocast_ray.ops.packing import pack_token_meta
+    from ontocast_ray.ops.text import gopher_quality_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [
+            (t or "") + "\npromo block " + str(i % 4)
+            + "\nshared footer paragraph"
+            for i, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
+
+    scrubbed = paragraph_dedup(
+        docs.map_batches(_inject, batch_format="pyarrow"), n_parts=4
+    )
+
+    def _gate_meta(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        kept = batch.filter(gopher_quality_filter(batch)["kept"])
+        s = pd.Series(kept["text"].to_pandas()).fillna("").str.strip()
+        n_tok = s.str.split().str.len().fillna(0).astype("int64").to_numpy()
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "shard": pa.array(ids // np.int64(100)),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+        })
+
+    meta = scrubbed.map_batches(_gate_meta, batch_format="pyarrow")
+    return pack_token_meta(meta, capacity=64, n_parts=16)
 
 
 def _q_gopher_filter(sf_dir: str):
@@ -3482,6 +3635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_scrub": _q_boilerplate,
         "paragraph_dedup": _q_paragraph_dedup,
         "gopher_filtered_docs": _q_gopher_filter,
+        "dolma_curated_packing": _q_dolma_pipeline,
         "lang_quality_buckets": _q_lang_quality_buckets,
         "epoch_shuffle_pos": _q_epoch_shuffle,
         "kg_two_hop_preds": _q_kg_two_hop,
@@ -4346,43 +4500,15 @@ def _sql_oracles() -> dict[str, str]:
         # occurrence) survives, later occurrences are dropped; whitespace-
         # only paragraphs never participate (trim charset mirrors the
         # kernel's str.strip(" \t\r\f\v"))
-        "paragraph_dedup": r"""
+        "paragraph_dedup": f"""
             WITH corpus AS (
                 SELECT doc_id,
                        coalesce(text, '') || chr(10) || 'promo block '
                        || (doc_id % 4)
                        || chr(10) || 'shared footer paragraph' AS text
                 FROM documents
-            ), exploded AS (
-                SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord
-                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
-                      FROM corpus)
-            ), paras AS (
-                SELECT doc_id, ord, ls[ord] AS para,
-                       trim(ls[ord], ' ' || chr(9) || chr(13) || chr(12)
-                            || chr(11)) <> '' AS eligible
-                FROM exploded
-            ), ranked AS (
-                SELECT *, row_number() OVER (
-                    PARTITION BY para ORDER BY doc_id, ord) AS rn
-                FROM paras
-            ), kept AS (
-                SELECT doc_id, ord, para FROM ranked
-                WHERE NOT eligible OR rn = 1
-            ), agg AS (
-                SELECT doc_id,
-                       coalesce(string_agg(para, chr(10) ORDER BY ord), '')
-                           AS text,
-                       count(*) AS n_kept
-                FROM kept GROUP BY doc_id
-            ), totals AS (
-                SELECT doc_id, count(*) AS n_total FROM paras GROUP BY doc_id
-            )
-            SELECT t.doc_id,
-                   coalesce(a.text, '') AS text,
-                   CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT)
-                       AS n_removed
-            FROM totals t LEFT JOIN agg a USING (doc_id)
+            ), {_para_dedup_ctes("corpus")}
+            SELECT doc_id, text, n_removed FROM scrubbed
         """,
         # chained curation oracle: the full pipeline (lang filter → alpha
         # quality gate → exact dedup → packing) re-derived stage-for-stage
@@ -4493,65 +4619,50 @@ def _sql_oracles() -> dict[str, str]:
         # full Gopher rule set: repetition CTEs identical to the
         # repetition_stats oracle; word stats use the house split idiom;
         # ratios are raw int/int double divisions (bit-exact vs numpy)
-        "gopher_filtered_docs": r"""
-            WITH lines AS (
-                SELECT doc_id, trim(l, ' ' || chr(9) || chr(13) || chr(11)
-                       || chr(12)) AS line
-                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-                      FROM documents)
-            ), nlines AS (
-                SELECT doc_id, count(*) AS n_lines,
-                       count(DISTINCT line) AS n_distinct
-                FROM lines WHERE line != '' GROUP BY doc_id
-            ), ws AS (
+        "gopher_filtered_docs": f"""
+            WITH {_gopher_ctes("documents")}
+            SELECT *, {_GOPHER_KEPT_PRED} AS kept FROM g_sig
+        """,
+        # the Dolma chain: paragraph dedup → Gopher gate → packing, all
+        # re-derived in one WITH chain from the shared CTE builders
+        "dolma_curated_packing": rf"""
+            WITH corpus AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
-                FROM documents WHERE trim(coalesce(text, '')) <> ''
-            ), bigrams AS (
+                       coalesce(text, '') || chr(10) || 'promo block '
+                       || (doc_id % 4)
+                       || chr(10) || 'shared footer paragraph' AS text
+                FROM documents
+            ), {_para_dedup_ctes("corpus")},
+            {_gopher_ctes("scrubbed")},
+            gkept AS (
+                SELECT s.doc_id, s.text
+                FROM scrubbed s JOIN g_sig USING (doc_id)
+                WHERE {_GOPHER_KEPT_PRED}
+            ), toks AS (
                 SELECT doc_id,
-                       unnest(list_transform(range(1, len(w)),
-                                             i -> w[i] || ' ' || w[i+1])) AS bg
-                FROM ws WHERE len(w) >= 2
-            ), bgc AS (
-                SELECT doc_id, bg, count(*) AS c FROM bigrams
-                GROUP BY doc_id, bg
-            ), bgs AS (
-                SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams
-                FROM bgc GROUP BY doc_id
-            ), wstats AS (
-                SELECT doc_id,
-                       len(w) AS n_words,
-                       list_aggregate(list_transform(w, x -> length(x)),
-                                      'sum') AS char_sum,
-                       len(list_filter(w, x -> list_contains(
-                           ['the','be','to','of','and','that','have','with'],
-                           x))) AS stop_hits
-                FROM ws
-            ), sig AS (
-                SELECT d.doc_id,
-                       CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
-                       CAST(coalesce(s.char_sum, 0) AS DOUBLE)
-                           / (CASE WHEN coalesce(s.n_words, 0) = 0 THEN 1
-                                   ELSE s.n_words END) AS mean_word_len,
-                       CASE WHEN ls.n_lines > 0
-                            THEN 1.0 - CAST(ls.n_distinct AS DOUBLE)
-                                 / ls.n_lines
-                            ELSE 0.0 END AS dup_line_frac,
-                       CASE WHEN bgs.n_bigrams > 0
-                            THEN CAST(bgs.top_c AS DOUBLE) / bgs.n_bigrams
-                            ELSE 0.0 END AS top_2gram_frac,
-                       CAST(coalesce(s.stop_hits, 0) AS BIGINT) AS stop_hits
-                FROM documents d
-                LEFT JOIN wstats s USING (doc_id)
-                LEFT JOIN nlines ls USING (doc_id)
-                LEFT JOIN bgs USING (doc_id)
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS n_tokens
+                FROM gkept
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS goff
+                FROM toks
             )
-            SELECT *,
-                   (n_words >= 50 AND n_words <= 100000
-                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                    AND dup_line_frac <= 0.30 AND top_2gram_frac <= 0.20
-                    AND stop_hits >= 2) AS kept
-            FROM sig
+            SELECT doc_id,
+                   doc_id // 100 AS shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(goff AS BIGINT) AS global_offset,
+                   CAST(goff // 64 AS BIGINT) AS first_bin,
+                   CAST((goff + CASE WHEN n_tokens > 0
+                                     THEN n_tokens - 1 ELSE 0 END)
+                        // 64 AS BIGINT) AS last_bin,
+                   CAST(goff % 64 AS BIGINT) AS offset_in_bin
+            FROM cum
         """,
         "neardup_filtered_docs": f"""
             WITH RECURSIVE keep_list AS ({_NEARDUP_KEEP_SQL})

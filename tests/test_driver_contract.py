@@ -185,6 +185,7 @@ _SQL_GATED = [
         "embedding_sq8",
         "gazetteer_mentions",
         "supplier_k_core",
+        "dolma_curated_packing",
 ]
 
 
