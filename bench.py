@@ -624,6 +624,26 @@ def main() -> None:
     run_label_propagation()
     extras["label_propagation"] = round(time.perf_counter() - t, 3)
 
+    t = time.perf_counter()
+    run_paragraph_dedup()
+    extras["paragraph_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_cdc_dedup()
+    extras["cdc_dedup"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_epoch_shuffle()
+    extras["epoch_shuffle"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_k_core()
+    extras["k_core"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_dolma_pipeline()
+    extras["dolma_pipeline"] = round(time.perf_counter() - t, 3)
+
     print(
         json.dumps(
             {
@@ -642,6 +662,48 @@ def main() -> None:
     import ray
 
     ray.shutdown()
+
+
+def run_paragraph_dedup() -> int:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    return _entry.queries()["paragraph_dedup"](SF_DIR).count()
+
+
+def run_cdc_dedup() -> int:
+    from ontocast_ray.ops.dedup import cdc_chunk_dup_stats
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return cdc_chunk_dup_stats(docs, n_parts=32).count()
+
+
+def run_epoch_shuffle() -> int:
+    from ontocast_ray.ops.interleave import epoch_shuffle
+
+    docs = _read("documents", columns=["doc_id"])
+    return epoch_shuffle(docs, seed=20, epoch=2, shard_size=256,
+                         n_parts=32).count()
+
+
+def run_k_core() -> int:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    return _entry.queries()["supplier_k_core"](SF_DIR).count()
+
+
+def run_dolma_pipeline() -> int:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    return _entry.queries()["dolma_curated_packing"](SF_DIR).count()
 
 
 SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "8"))

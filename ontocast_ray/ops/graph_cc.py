@@ -1175,6 +1175,7 @@ def k_core(
     dst_col: str = "dst",
     n_parts: int | None = None,
     max_rounds: int = 64,
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """K-core decomposition by synchronous peeling: repeatedly drop every
     node of degree < k (and its edges) until fixpoint — the standard
@@ -1185,13 +1186,17 @@ def k_core(
 
     Scale shape per round: degrees via the map-side count combiner (one
     (node, n) row per distinct src per block through a coarse ``hash %
-    P`` shuffle); the low-degree node set is NEVER collected — edges drop
-    via two partitioned hash semi-joins (`hash_join` how="anti") on src
-    then dst. The driver sees one scalar per round (the low-degree node
-    count, from parquet-cheap ``count()``); edges re-materialize per
-    round to keep lineage flat. Raises after ``max_rounds`` (a path graph
-    peels one layer per round — k-cores of real graphs converge in a
-    handful)."""
+    P`` shuffle), then one of two exact removal paths chosen by the
+    peeled-fringe size (a scalar ``count()``, never the rows): the
+    fringe is usually tiny (the boundary layer of the core), so ≤
+    ``broadcast_limit`` nodes take the broadcast fast path — sorted
+    array ``ray.put`` once, edges dropped by a pure searchsorted map,
+    ZERO removal shuffles; a larger fringe falls back to two partitioned
+    hash anti-joins (no driver collection, any scale — forced in tests
+    via ``broadcast_limit=0``). The driver sees one scalar per round;
+    edges re-materialize per round to keep lineage flat. Raises after
+    ``max_rounds`` (a path graph peels one layer per round — k-cores of
+    real graphs converge in a handful)."""
     import pandas as pd
 
     from ontocast_ray.ops.joins import hash_join
@@ -1229,20 +1234,40 @@ def k_core(
         low = degrees.filter(
             expr=f"degree < {int(k)}"
         ).materialize()
-        if low.count() == 0:
+        n_low = low.count()
+        if n_low == 0:
             return degrees
-        kept = hash_join(
-            cur, low.select_columns(["node"]),
-            left_on=src_col, right_on="node",
-            left_cols=[dst_col], right_cols=[], how="anti",
-            n_parts=n_parts,
-        )
-        kept = hash_join(
-            kept, low.select_columns(["node"]),
-            left_on=dst_col, right_on="node",
-            left_cols=[src_col], right_cols=[], how="anti",
-            n_parts=n_parts,
-        )
+        if n_low <= broadcast_limit:
+            import ray
+
+            bad = np.sort(np.array(
+                [r["node"] for r in low.take_all()], dtype=np.int64
+            ))
+            bad_ref = ray.put(bad)
+
+            def _drop(batch: pa.Table) -> pa.Table:
+                b = ray.get(bad_ref)
+                s = batch[src_col].to_numpy(zero_copy_only=False)
+                d = batch[dst_col].to_numpy(zero_copy_only=False)
+                ps = np.minimum(np.searchsorted(b, s), len(b) - 1)
+                pd_ = np.minimum(np.searchsorted(b, d), len(b) - 1)
+                keep = (b[ps] != s) & (b[pd_] != d)
+                return batch.filter(pa.array(keep))
+
+            kept = cur.map_batches(_drop, batch_format="pyarrow")
+        else:
+            kept = hash_join(
+                cur, low.select_columns(["node"]),
+                left_on=src_col, right_on="node",
+                left_cols=[dst_col], right_cols=[], how="anti",
+                n_parts=n_parts,
+            )
+            kept = hash_join(
+                kept, low.select_columns(["node"]),
+                left_on=dst_col, right_on="node",
+                left_cols=[src_col], right_cols=[], how="anti",
+                n_parts=n_parts,
+            )
         cur = kept.materialize()
         if cur.count() == 0:
             import ray.data as rd

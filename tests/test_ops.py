@@ -3752,6 +3752,14 @@ def test_k_core_peels_to_fixpoint(ray_session):
     assert out["node"].tolist() == [0, 1, 2, 3]
     assert out["degree"].tolist() == [3, 3, 3, 3]
 
+    # anti-join scale path (broadcast_limit=0) must match the fast path
+    scale = (
+        k_core(ray.data.from_arrow(tbl).repartition(3), k=2, n_parts=4,
+               broadcast_limit=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, scale)
+
     # k above the max degree → empty core; schema stays pinned (Ray's
     # to_pandas drops columns on fully-empty datasets, so check schema())
     empty = k_core(ray.data.from_arrow(tbl), k=10, n_parts=4)
