@@ -1765,6 +1765,31 @@ def _q_boilerplate(sf_dir: str):
     )
 
 
+def _para_inject_batch(batch):
+    """Shared paragraph-synth injection (promo block per doc_id%4 + a
+    corpus-wide footer) used by BOTH _q_paragraph_dedup and
+    _q_dolma_pipeline — the SQL twin is _PARA_CORPUS_SQL; editing one
+    without the other cannot silently diverge the two queries."""
+    import pyarrow as pa
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = [
+        (t or "") + "\npromo block " + str(i % 4)
+        + "\nshared footer paragraph"
+        for i, t in zip(ids, batch["text"].to_pylist())
+    ]
+    return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
+
+
+_PARA_CORPUS_SQL = """corpus AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10) || 'promo block '
+                       || (doc_id % 4)
+                       || chr(10) || 'shared footer paragraph' AS text
+                FROM documents
+            )"""
+
+
 def _q_paragraph_dedup(sf_dir: str):
     """Dolma-style cross-document paragraph dedup (keep-FIRST rule — the
     complement of boilerplate_scrub's drop-all rule): a per-group promo
@@ -1780,18 +1805,9 @@ def _q_paragraph_dedup(sf_dir: str):
     from ontocast_ray.ops.curation import paragraph_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _inject(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = [
-            (t or "") + "\npromo block " + str(i % 4)
-            + "\nshared footer paragraph"
-            for i, t in zip(ids, batch["text"].to_pylist())
-        ]
-        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
-
     return paragraph_dedup(
-        docs.map_batches(_inject, batch_format="pyarrow"), n_parts=4
+        docs.map_batches(_para_inject_batch, batch_format="pyarrow"),
+        n_parts=4,
     )
 
 
@@ -1937,7 +1953,9 @@ def _q_domain_report(sf_dir: str):
 def _q_kg_two_hop(sf_dir: str):
     """KG path analytics over the FLAGSHIP pipeline output: two-hop
     predicate-pair counts — for every (p1, p2), how many s -p1-> m -p2-> o
-    paths the extracted fact graph contains (m an entity, not a literal).
+    ENTITY-graph paths the extracted facts contain (literal-valued edges
+    are excluded from the edge table entirely, so both m and o are
+    entities — paths terminating in a literal are out of scope by design).
     The entity-edge table self-joins on the middle node via the repo's
     partitioned hash_join (one coarse shuffle), then a count combiner
     folds (p1, p2) pairs map-side. Golden-pinned like the other kg_*
@@ -2043,18 +2061,9 @@ def _q_dolma_pipeline(sf_dir: str):
     from ontocast_ray.ops.text import gopher_quality_filter
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def _inject(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = [
-            (t or "") + "\npromo block " + str(i % 4)
-            + "\nshared footer paragraph"
-            for i, t in zip(ids, batch["text"].to_pylist())
-        ]
-        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts)})
-
     scrubbed = paragraph_dedup(
-        docs.map_batches(_inject, batch_format="pyarrow"), n_parts=4
+        docs.map_batches(_para_inject_batch, batch_format="pyarrow"),
+        n_parts=4,
     )
 
     def _gate_meta(batch: pa.Table) -> pa.Table:
@@ -4501,13 +4510,7 @@ def _sql_oracles() -> dict[str, str]:
         # only paragraphs never participate (trim charset mirrors the
         # kernel's str.strip(" \t\r\f\v"))
         "paragraph_dedup": f"""
-            WITH corpus AS (
-                SELECT doc_id,
-                       coalesce(text, '') || chr(10) || 'promo block '
-                       || (doc_id % 4)
-                       || chr(10) || 'shared footer paragraph' AS text
-                FROM documents
-            ), {_para_dedup_ctes("corpus")}
+            WITH {_PARA_CORPUS_SQL}, {_para_dedup_ctes("corpus")}
             SELECT doc_id, text, n_removed FROM scrubbed
         """,
         # chained curation oracle: the full pipeline (lang filter → alpha
@@ -4626,13 +4629,7 @@ def _sql_oracles() -> dict[str, str]:
         # the Dolma chain: paragraph dedup → Gopher gate → packing, all
         # re-derived in one WITH chain from the shared CTE builders
         "dolma_curated_packing": rf"""
-            WITH corpus AS (
-                SELECT doc_id,
-                       coalesce(text, '') || chr(10) || 'promo block '
-                       || (doc_id % 4)
-                       || chr(10) || 'shared footer paragraph' AS text
-                FROM documents
-            ), {_para_dedup_ctes("corpus")},
+            WITH {_PARA_CORPUS_SQL}, {_para_dedup_ctes("corpus")},
             {_gopher_ctes("scrubbed")},
             gkept AS (
                 SELECT s.doc_id, s.text

@@ -231,7 +231,12 @@ def remove_boilerplate_lines(
         return docs.map_batches(_scrub, batch_format="pyarrow")
 
     # ---- bounded scale path: Bloom prune + exact shuffle semi-join ----
-    id_type = docs.schema().base_schema.field(id_col).type
+    # schema().types normalizes via to_arrow_type: pandas-block lineage
+    # reports numpy dtypes which pa.nulls/pa.array reject (CLAUDE.md trap)
+    from ontocast_ray.util import to_arrow_type
+
+    _sch = docs.schema()
+    id_type = to_arrow_type(dict(zip(_sch.names, _sch.types))[id_col])
     bloom = _bloom_build_cols(frequent, ["line_hash"], _BLOOM_BITS)
     bloom_ref = ray.put(bloom)
 
@@ -549,6 +554,9 @@ def paragraph_dedup(
     from ontocast_ray.util import hash_partition
 
     n_parts = resolve_n_parts(docs, n_parts)
+    # consumed 2x (winner + scrub) or 3x (scale path adds the candidate
+    # pass): materialize so the input lineage executes once
+    docs = docs.materialize()
     _ws = " \t\r\f\v"
 
     def _explode(texts: list) -> tuple:
@@ -650,7 +658,12 @@ def paragraph_dedup(
         return docs.map_batches(_scrub, batch_format="pyarrow")
 
     # ---- bounded scale path: Bloom prune + exact shuffle semi-join ----
-    id_type = docs.schema().base_schema.field(id_col).type
+    # schema().types normalizes via to_arrow_type: pandas-block lineage
+    # reports numpy dtypes which pa.nulls/pa.array reject (CLAUDE.md trap)
+    from ontocast_ray.util import to_arrow_type
+
+    _sch = docs.schema()
+    id_type = to_arrow_type(dict(zip(_sch.names, _sch.types))[id_col])
     bloom = _bloom_build_cols(dups, ["para_hash"], _BLOOM_BITS)
     bloom_ref = ray.put(bloom)
 

@@ -995,6 +995,10 @@ def scalar_quantize_embeddings(
 
     from ontocast_ray.util import vectors_2d
 
+    # consumed twice (range partials + quantize map): one materialize
+    # halves the table read/decode
+    emb = emb.materialize()
+
     def ranges(batch: pa.Table) -> pa.Table:
         v = vectors_2d(batch[vec_col], dtype=np.float64)
         if not len(v):

@@ -987,7 +987,6 @@ def gazetteer_mentions(
     bi = {a: e for e, a in aliases if a.count(" ") == 1}
     if len(uni) + len(bi) != len(aliases):
         raise ValueError("aliases must be 1 or 2 tokens")
-    alias_of = dict(aliases)  # entity_id → alias (for the report rows)
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pandas().fillna("")
@@ -998,10 +997,12 @@ def gazetteer_mentions(
         if len(vals):
             doc = ids[idx]
             if uni:
-                ent = pd.Series(vals).map(uni)
+                sv = pd.Series(vals)
+                ent = sv.map(uni)
                 m = ent.notna().to_numpy()
                 frames.append(pd.DataFrame({
                     "entity_id": ent.to_numpy()[m].astype(np.int64),
+                    "alias": sv.to_numpy()[m],
                     id_col: doc[m],
                 }))
             if bi and len(vals) > 1:
@@ -1013,24 +1014,29 @@ def gazetteer_mentions(
                 m = ent.notna().to_numpy()
                 frames.append(pd.DataFrame({
                     "entity_id": ent.to_numpy()[m].astype(np.int64),
+                    "alias": bg.to_numpy()[m],
                     id_col: doc[:-1][same][m] if m.any() else
                             np.zeros(0, dtype=np.int64),
                 }))
         if not frames:
             return pa.table({
                 "entity_id": pa.array([], type=pa.int64()),
+                "alias": pa.array([], type=pa.string()),
                 id_col: pa.array([], type=pa.int64()),
                 "n": pa.array([], type=pa.int64()),
                 "part": pa.array([], type=pa.int64()),
             })
+        # per-(entity, ALIAS) rows: an entity with several aliases keeps
+        # one report row per alias (mention counts never conflated)
         g = (
             pd.concat(frames, ignore_index=True)
-            .groupby(["entity_id", id_col], as_index=False)
+            .groupby(["entity_id", "alias", id_col], as_index=False)
             .size()
             .rename(columns={"size": "n"})
         )
         return pa.table({
             "entity_id": pa.array(g["entity_id"].to_numpy(dtype=np.int64)),
+            "alias": pa.array(g["alias"].to_numpy(), type=pa.string()),
             id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
             "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
             "part": pa.array(
@@ -1040,10 +1046,9 @@ def gazetteer_mentions(
         })
 
     def combine(df: "pd.DataFrame") -> "pd.DataFrame":
-        g = df.groupby("entity_id", as_index=False).agg(
+        g = df.groupby(["entity_id", "alias"], as_index=False).agg(
             n_mentions=("n", "sum"), n_docs=(id_col, "nunique")
         )
-        g["alias"] = g["entity_id"].map(alias_of)
         return g[["entity_id", "alias", "n_mentions", "n_docs"]].astype(
             {"n_mentions": np.int64, "n_docs": np.int64}
         )

@@ -317,16 +317,22 @@ def domain_report(
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
         dom = _domains(df[url_col].astype("string").astype(object))
-        h = hash_u64(df[text_col].fillna("").to_numpy(dtype=object))
+        texts = df[text_col]
+        # SQL count(DISTINCT text) semantics: NULL texts count as pages
+        # but never as distinct texts (fillna would both count and
+        # collide them with genuinely-empty texts)
+        has_text = texts.notna().to_numpy()
+        h = hash_u64(texts.fillna("").to_numpy(dtype=object))
         g = (
             pd.DataFrame({
                 "domain": dom.to_numpy(),
                 "th": h,
+                "has_text": has_text,
                 "n": np.ones(len(df), dtype=np.int64),
                 "raws": df[score_col].to_numpy(dtype=np.int64),
                 "toks": df[tok_col].to_numpy(dtype=np.int64),
             })
-            .groupby(["domain", "th"], as_index=False)
+            .groupby(["domain", "th", "has_text"], as_index=False)
             .sum()
         )
         key = (g["domain"] + "\x1f" + g["th"].astype(str)).to_numpy(object)
@@ -334,7 +340,7 @@ def domain_report(
         return g
 
     def combine_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        g = df.groupby(["domain", "th"], as_index=False)[
+        g = df.groupby(["domain", "th", "has_text"], as_index=False)[
             ["n", "raws", "toks"]
         ].sum()
         g["dpart"] = (
@@ -345,7 +351,7 @@ def domain_report(
     def combine_domains(df: "pd.DataFrame") -> "pd.DataFrame":
         g = df.groupby("domain", as_index=False).agg(
             n_pages=("n", "sum"),
-            n_distinct_texts=("th", "size"),
+            n_distinct_texts=("has_text", "sum"),
             sum_raw_score=("raws", "sum"),
             sum_tokens=("toks", "sum"),
         )

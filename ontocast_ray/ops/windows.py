@@ -1066,6 +1066,9 @@ def grouped_quantile_buckets(
     if len(labels) != len(quantiles) + 1:
         raise ValueError("need len(quantiles)+1 labels")
     n_parts = resolve_n_parts(ds, n_parts)
+    # consumed twice (count pass + assignment map): materialize so the
+    # upstream lineage (e.g. a classifier scoring every document) runs once
+    ds = ds.materialize()
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (

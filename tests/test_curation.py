@@ -305,3 +305,22 @@ def test_paragraph_dedup_scale_path_matches_broadcast(ray_session):
     c = Counter(p for p in all_paras if p.startswith("recurring"))
     assert c and all(v == 1 for v in c.values())
     assert scale["n_removed"].sum() > 0
+
+
+def test_paragraph_dedup_scale_path_pandas_block_lineage(ray_session):
+    """The CLAUDE.md schema trap: pandas-block lineage reports numpy
+    dtypes; the scale path's null-id rows must still build typed arrow
+    columns (to_arrow_type normalization) instead of crashing."""
+    from ontocast_ray.ops.curation import paragraph_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["dup para\nalpha", "dup para\nbeta", "dup para\ngamma"],
+    })
+    out = (
+        paragraph_dedup(ray.data.from_pandas(df).repartition(2),
+                        n_parts=4, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["dup para\nalpha", "beta", "gamma"]
+    assert out["n_removed"].tolist() == [0, 1, 1]

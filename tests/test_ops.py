@@ -3765,3 +3765,56 @@ def test_k_core_peels_to_fixpoint(ray_session):
     empty = k_core(ray.data.from_arrow(tbl), k=10, n_parts=4)
     assert empty.schema().names == ["node", "degree"]
     assert empty.count() == 0
+
+
+def test_domain_report_null_text_semantics(ray_session):
+    """SQL count(DISTINCT text) semantics: NULL texts count as pages but
+    never as distinct texts, and don't collide with genuinely-empty ''."""
+    import ray
+
+    from ontocast_ray.ops.urls import domain_report
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "url": pa.array(["http://a.com/1", "http://a.com/2",
+                         "http://a.com/3", "http://b.com/1"]),
+        "text": pa.array(["", None, "", "x"]),
+        "raw_score": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "n_tokens": pa.array([1, 1, 1, 1], type=pa.int64()),
+    })
+    out = (
+        domain_report(ray.data.from_arrow(tbl), n_parts=4)
+        .to_pandas().set_index("domain").sort_index()
+    )
+    # a.com: 3 pages, distinct texts = 1 ('' once; NULL excluded)
+    assert out.loc["a.com", "n_pages"] == 3
+    assert out.loc["a.com", "n_distinct_texts"] == 1
+    assert out.loc["a.com", "sum_raw_score"] == 6
+    assert out.loc["b.com", "n_distinct_texts"] == 1
+
+
+def test_gazetteer_multi_alias_entity(ray_session):
+    """An entity with several aliases gets one report row PER alias —
+    mention counts are never conflated across aliases."""
+    import ray
+
+    from ontocast_ray.ops.text import gazetteer_mentions
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["acme bought acme corp", "acme corp and acme"]),
+    })
+    out = (
+        gazetteer_mentions(
+            ray.data.from_arrow(tbl),
+            [(1, "acme"), (1, "acme corp"), (2, "widgets")],
+            n_parts=4,
+        )
+        .to_pandas().sort_values(["entity_id", "alias"])
+        .reset_index(drop=True)
+    )
+    got = {(r.entity_id, r.alias): (r.n_mentions, r.n_docs)
+           for r in out.itertuples()}
+    # 'acme' the unigram matches every 'acme' token (2 per doc); the
+    # bigram matches once per doc; 'widgets' never appears
+    assert got == {(1, "acme"): (4, 2), (1, "acme corp"): (2, 2)}
