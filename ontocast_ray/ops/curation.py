@@ -117,6 +117,77 @@ def _distinct_shingles(
     )
 
 
+def _scrub_marked_positions(
+    docs: "ray.data.Dataset",
+    bad_rows: "ray.data.Dataset",
+    *,
+    id_col: str,
+    text_col: str,
+    idx_col: str,
+    n_parts: int,
+) -> "ray.data.Dataset":
+    """Shared tail of the bounded scale paths (`remove_boilerplate_lines`,
+    `paragraph_dedup`): confirmed-bad (id, segment-index) rows meet the
+    documents in ONE ``hash(id) % P`` shuffle and the kernel drops exactly
+    those ``\n``-segment positions. → (id_col, text_col, n_removed)."""
+    from ontocast_ray.util import hash_partition
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table(
+            {
+                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+                "src": pa.array(np.zeros(n, dtype=np.int8)),
+                id_col: ids,
+                text_col: batch[text_col].cast(pa.string()),
+                idx_col: pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def _bad_tagged(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        n = len(batch)
+        return pa.table(
+            {
+                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
+                "src": pa.array(np.ones(n, dtype=np.int8)),
+                id_col: ids,
+                text_col: pa.nulls(n, type=pa.string()),
+                idx_col: batch[idx_col].cast(pa.int64()),
+            }
+        )
+
+    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
+        bad_rows.map_batches(_bad_tagged, batch_format="pyarrow")
+    )
+
+    def _scrub_group(df: pd.DataFrame) -> pd.DataFrame:
+        bad_by_doc = (
+            df[df["src"] == 1].groupby(id_col, sort=False)[idx_col].agg(set)
+        )
+        d = df[df["src"] == 0]
+        out_text, out_removed = [], []
+        for doc_id, t in zip(d[id_col], d[text_col]):
+            segs = (t or "").split("\n")
+            bad_idx = bad_by_doc.get(doc_id, ())
+            out_text.append(
+                "\n".join(sg for i, sg in enumerate(segs) if i not in bad_idx)
+            )
+            out_removed.append(len(bad_idx))
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(),
+                text_col: out_text,
+                "n_removed": np.asarray(out_removed, dtype=np.int64),
+            }
+        )
+
+    return joined.groupby("dpart").map_groups(
+        _scrub_group, batch_format="pandas"
+    )
+
+
 def remove_boilerplate_lines(
     docs: "ray.data.Dataset",
     min_count: int = 2,
@@ -315,60 +386,9 @@ def remove_boilerplate_lines(
         )
 
     bad_rows = tagged.groupby("part").map_groups(_confirm, batch_format="pyarrow")
-
-    def _doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        n = len(batch)
-        return pa.table(
-            {
-                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
-                "src": pa.array(np.zeros(n, dtype=np.int8)),
-                id_col: ids,
-                text_col: batch[text_col].cast(pa.string()),
-                "line_idx": pa.array(np.full(n, -1, dtype=np.int64)),
-            }
-        )
-
-    def _bad_tagged(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        n = len(batch)
-        return pa.table(
-            {
-                "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
-                "src": pa.array(np.ones(n, dtype=np.int8)),
-                id_col: ids,
-                text_col: pa.nulls(n, type=pa.string()),
-                "line_idx": batch["line_idx"].cast(pa.int64()),
-            }
-        )
-
-    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
-        bad_rows.map_batches(_bad_tagged, batch_format="pyarrow")
-    )
-
-    def _scrub_group(df: pd.DataFrame) -> pd.DataFrame:
-        bad_by_doc = (
-            df[df["src"] == 1].groupby(id_col, sort=False)["line_idx"].agg(set)
-        )
-        d = df[df["src"] == 0]
-        out_text, out_removed = [], []
-        for doc_id, t in zip(d[id_col], d[text_col]):
-            lines = (t or "").split("\n")
-            bad_idx = bad_by_doc.get(doc_id, ())
-            out_text.append(
-                "\n".join(ln for i, ln in enumerate(lines) if i not in bad_idx)
-            )
-            out_removed.append(len(bad_idx))
-        return pd.DataFrame(
-            {
-                id_col: d[id_col].to_numpy(),
-                text_col: out_text,
-                "n_removed": np.asarray(out_removed, dtype=np.int64),
-            }
-        )
-
-    return joined.groupby("dpart").map_groups(
-        _scrub_group, batch_format="pandas"
+    return _scrub_marked_positions(
+        docs, bad_rows, id_col=id_col, text_col=text_col,
+        idx_col="line_idx", n_parts=n_parts,
     )
 
 
@@ -733,52 +753,7 @@ def paragraph_dedup(
         })
 
     bad_rows = tagged.groupby("part").map_groups(_confirm, batch_format="pyarrow")
-
-    def _doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        n = len(batch)
-        return pa.table({
-            "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
-            "src": pa.array(np.zeros(n, dtype=np.int8)),
-            id_col: ids,
-            text_col: batch[text_col].cast(pa.string()),
-            "para_idx": pa.array(np.full(n, -1, dtype=np.int64)),
-        })
-
-    def _bad_tagged(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        n = len(batch)
-        return pa.table({
-            "dpart": pa.array(hash_partition(ids, n_parts).astype(np.int64)),
-            "src": pa.array(np.ones(n, dtype=np.int8)),
-            id_col: ids,
-            text_col: pa.nulls(n, type=pa.string()),
-            "para_idx": batch["para_idx"].cast(pa.int64()),
-        })
-
-    joined = docs.map_batches(_doc_rows, batch_format="pyarrow").union(
-        bad_rows.map_batches(_bad_tagged, batch_format="pyarrow")
-    )
-
-    def _scrub_group(df: pd.DataFrame) -> pd.DataFrame:
-        bad_by_doc = (
-            df[df["src"] == 1].groupby(id_col, sort=False)["para_idx"].agg(set)
-        )
-        d = df[df["src"] == 0]
-        out_text, out_removed = [], []
-        for doc_id, t in zip(d[id_col], d[text_col]):
-            paras = (t or "").split("\n")
-            bad_idx = bad_by_doc.get(doc_id, ())
-            out_text.append(
-                "\n".join(p for j, p in enumerate(paras) if j not in bad_idx)
-            )
-            out_removed.append(len(bad_idx))
-        return pd.DataFrame({
-            id_col: d[id_col].to_numpy(),
-            text_col: out_text,
-            "n_removed": np.asarray(out_removed, dtype=np.int64),
-        })
-
-    return joined.groupby("dpart").map_groups(
-        _scrub_group, batch_format="pandas"
+    return _scrub_marked_positions(
+        docs, bad_rows, id_col=id_col, text_col=text_col,
+        idx_col="para_idx", n_parts=n_parts,
     )
