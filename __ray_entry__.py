@@ -1874,6 +1874,53 @@ def _q_sample_exact_k(sf_dir: str):
     return sample_exact_k(docs, k=100, seed=31)
 
 
+def _q_comention_edges(sf_dir: str):
+    """Entity co-mention graph (the KG edge-candidate generator feeding
+    relation extraction): two nation mentions injected per doc
+    (doc%25 and (doc·3+1)%25 — equal for doc≡12 mod 25, which then
+    yields no pair), distinct per-doc entity sets expanded to unordered
+    pairs map-side, one coarse pair-hash combiner. Oracle re-joins
+    exact bigram matches and self-joins on doc_id."""
+    import numpy as np
+
+    from ontocast_ray.ops.text import entity_comention_edges
+
+    nations = _read(sf_dir, "nation", columns=["n_nationkey"]).take_all()
+    aliases = [
+        (int(r["n_nationkey"]), "nation " + chr(97 + int(r["n_nationkey"])))
+        for r in nations
+    ]
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    letters = np.array([chr(97 + i) for i in range(25)], dtype=object)
+
+    def synth(df):
+        d = df["doc_id"].to_numpy()
+        df = df.copy()
+        df["text"] = (
+            df["text"].fillna("")
+            + " nation " + letters[d % 25]
+            + " nation " + letters[(d * 3 + 1) % 25]
+        )
+        return df
+
+    return entity_comention_edges(
+        docs.map_batches(synth, batch_format="pandas"), aliases, n_parts=8
+    )
+
+
+def _q_source_similarity(sf_dir: str):
+    """Corpus-level source-overlap report: exact pairwise Jaccard between
+    every two sources' word-3-shingle sets — the which-sources-duplicate
+    report behind crawl-source retirement. Shingle-hash-partitioned, so
+    sizes AND intersections finish within partitions; the driver sees
+    only O(P·sources²) count rows. Oracle re-derives with exact shingle
+    strings (the _JACCARD_PAIRS_SQL tokenization)."""
+    from ontocast_ray.ops.dedup import source_similarity_matrix
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return source_similarity_matrix(docs, shingle_k=3, n_parts=16)
+
+
 def _q_cdc_dup_stats(sf_dir: str):
     """Content-defined-chunking dedup signal (FastCDC at word
     granularity): variable-length chunks cut where a token's FNV
@@ -3651,6 +3698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality_report": _q_domain_report,
         "span_kind_transitions": _q_span_transitions,
         "cdc_dup_stats": _q_cdc_dup_stats,
+        "source_similarity": _q_source_similarity,
+        "entity_comention_edges": _q_comention_edges,
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
         "gazetteer_mentions": _q_gazetteer,
@@ -4440,6 +4489,76 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(CAST(floor(err * 1048576) AS BIGINT))
                         AS BIGINT) AS err_l1_fp
             FROM errs GROUP BY vec_id
+        """,
+        # co-mention edges: exact bigram matches self-joined on doc_id,
+        # DISTINCT per-doc entity sets, unordered pairs
+        "entity_comention_edges": r"""
+            WITH aliases AS (
+                SELECT n_nationkey AS entity_id,
+                       'nation ' || chr(97 + CAST(n_nationkey AS INT))
+                           AS alias
+                FROM nation
+            ), corpus AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' nation '
+                       || chr(97 + CAST(doc_id % 25 AS INT))
+                       || ' nation '
+                       || chr(97 + CAST((doc_id * 3 + 1) % 25 AS INT))
+                           AS text
+                FROM documents
+            ), bigrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS bg
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z]+') AS ws
+                      FROM corpus)
+                WHERE len(ws) >= 2
+            ), ments AS (
+                SELECT DISTINCT b.doc_id, a.entity_id
+                FROM bigrams b JOIN aliases a ON b.bg = a.alias
+            )
+            SELECT x.entity_id AS entity_a, y.entity_id AS entity_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM ments x JOIN ments y
+              ON x.doc_id = y.doc_id AND x.entity_id < y.entity_id
+            GROUP BY 1, 2
+        """,
+        # corpus-level source Jaccard: exact shingle strings, the
+        # _JACCARD_PAIRS_SQL tokenization (lower/trim/\s+; <3 words →
+        # whole-text shingle), DISTINCT per source
+        "source_similarity": r"""
+            WITH ws AS (
+                SELECT source,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT source,
+                       list_distinct(
+                         CASE WHEN len(w) >= 3
+                              THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' '
+                                        || w[i+2])
+                              ELSE [array_to_string(w, ' ')] END
+                       ) AS shingles
+                FROM ws
+            ), ex AS (
+                SELECT DISTINCT source, unnest(shingles) AS s FROM sh
+            ), sizes AS (
+                SELECT source, count(*) AS n FROM ex GROUP BY source
+            ), inter AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS i
+                FROM ex a JOIN ex b
+                  ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT i.source_a, i.source_b,
+                   CAST(i.i AS BIGINT) AS n_common,
+                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.source = i.source_a
+            JOIN sizes sb ON sb.source = i.source_b
         """,
         "sample_exact_100": f"""
             WITH {_splitmix_sql(31)}

@@ -1577,3 +1577,109 @@ def cdc_chunk_dup_stats(
         .groupby("dpart")
         .map_groups(per_doc, batch_format="pandas")
     )
+
+
+def source_similarity_matrix(
+    docs: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    n_parts: int | None = None,
+) -> "pa.Table":
+    """Corpus-level overlap report: EXACT pairwise Jaccard similarity
+    between every two sources' word-``k``-shingle SETS — the
+    which-sources-duplicate-each-other report that decides crawl-source
+    retirement (the corpus-level companion of per-doc near-dup).
+    → pa.Table (source_a, source_b, n_common, jaccard), pairs with at
+    least one shared shingle (inner-join semantics).
+
+    Scale shape: per-block distinct (shingle_hash, source) rows through
+    one coarse ``hash % P`` shuffle; because the partition key IS the
+    shingle hash, per-source distinct sizes and per-pair intersection
+    counts both finish within partitions — the driver receives only
+    O(P · (sources + sources²)) pre-aggregated count rows, never
+    shingles. A shingle shared by g sources fans out to C(g,2) pair rows
+    — bounded by sources², the op's small-cardinality contract (per-doc
+    dedup is the tool for large g). Shingle identity is the usual 64-bit
+    collision-free assumption (same kernel as MinHash / exact-Jaccard
+    verify); the SQL oracle re-derives with exact shingle strings.
+    """
+    import ray
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(docs, n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        groups = batch[group_col].to_pylist()
+        hashes, ranges, empty = _word_hashes_batch(texts)
+        sh_all, grp_all = [], []
+        for i, (s, e) in enumerate(ranges):
+            if empty[i]:
+                sh = np.zeros(1, dtype=np.uint64)
+            else:
+                sh = np.unique(_fold_kgrams(hashes[s:e], shingle_k))
+            sh_all.append(sh)
+            grp_all.extend([groups[i]] * len(sh))
+        if not sh_all:
+            return pa.table({
+                "sh": pa.array([], type=pa.uint64()),
+                "grp": pa.array([], type=pa.string()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        df = pd.DataFrame({
+            "sh": np.concatenate(sh_all),
+            "grp": np.asarray(grp_all, dtype=object),
+        }).drop_duplicates()
+        return pa.table({
+            "sh": pa.array(df["sh"].to_numpy(dtype=np.uint64)),
+            "grp": pa.array(df["grp"].to_numpy(), type=pa.string()),
+            "part": pa.array(
+                (df["sh"].to_numpy(dtype=np.uint64) % np.uint64(n_parts))
+                .astype(np.int64)
+            ),
+        })
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        dd = df.drop_duplicates(["sh", "grp"])
+        sizes = dd.groupby("grp", as_index=False).size()
+        m = dd.merge(dd, on="sh", suffixes=("_a", "_b"))
+        m = m[m["grp_a"] < m["grp_b"]]
+        pairs = m.groupby(["grp_a", "grp_b"], as_index=False).size()
+        return pd.DataFrame({
+            "ga": pd.concat([sizes["grp"], pairs["grp_a"]],
+                            ignore_index=True),
+            "gb": pd.concat([pd.Series([""] * len(sizes)),
+                             pairs["grp_b"]], ignore_index=True),
+            "n": pd.concat([sizes["size"], pairs["size"]],
+                           ignore_index=True).astype(np.int64),
+        })
+
+    rows = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_partition, batch_format="pandas")
+        .take_all()
+    )
+    sizes: dict = {}
+    inter: dict = {}
+    for r in rows:
+        if r["gb"] == "":
+            sizes[r["ga"]] = sizes.get(r["ga"], 0) + int(r["n"])
+        else:
+            key = (r["ga"], r["gb"])
+            inter[key] = inter.get(key, 0) + int(r["n"])
+    sa, sb, nc, jac = [], [], [], []
+    for (a, b), i in sorted(inter.items()):
+        sa.append(a)
+        sb.append(b)
+        nc.append(i)
+        jac.append(float(i) / float(sizes[a] + sizes[b] - i))
+    return pa.table({
+        "source_a": pa.array(sa, type=pa.string()),
+        "source_b": pa.array(sb, type=pa.string()),
+        "n_common": pa.array(np.asarray(nc, dtype=np.int64)),
+        "jaccard": pa.array(np.asarray(jac, dtype=np.float64)),
+    })

@@ -1058,3 +1058,100 @@ def gazetteer_mentions(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def entity_comention_edges(
+    docs: "ray.data.Dataset",
+    aliases: "list[tuple[int, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Entity co-mention graph construction — the KG edge-CANDIDATE
+    generator that feeds relation extraction: for every document, the
+    DISTINCT set of gazetteer entities mentioned (same 1/2-token
+    matching as `gazetteer_mentions`); every unordered entity pair
+    co-mentioned in a document adds one to that edge.
+    → (entity_a, entity_b, n_docs).
+
+    Scale shape: matching and per-doc pair expansion are map-side (one
+    vectorized self-merge per block over the distinct (doc, entity)
+    rows — fan-out bounded by per-doc entity count²); one coarse
+    ``hash(pair) % P`` combiner shuffle carries (pair, partial count)
+    rows only. Gazetteer broadcast-small as in `gazetteer_mentions`.
+    """
+    import pandas as pd
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(docs, n_parts)
+    uni = {a: e for e, a in aliases if " " not in a}
+    bi = {a: e for e, a in aliases if a.count(" ") == 1}
+    if len(uni) + len(bi) != len(aliases):
+        raise ValueError("aliases must be 1 or 2 tokens")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        idx, vals = _explode_words(words)
+        frames = []
+        if len(vals):
+            doc = ids[idx]
+            if uni:
+                ent = pd.Series(vals).map(uni)
+                m = ent.notna().to_numpy()
+                frames.append(pd.DataFrame({
+                    "ent": ent.to_numpy()[m].astype(np.int64),
+                    id_col: doc[m],
+                }))
+            if bi and len(vals) > 1:
+                same = idx[1:] == idx[:-1]
+                bg = pd.Series(vals[:-1][same]) + " " + pd.Series(
+                    vals[1:][same]
+                )
+                ent = bg.map(bi)
+                m = ent.notna().to_numpy()
+                frames.append(pd.DataFrame({
+                    "ent": ent.to_numpy()[m].astype(np.int64),
+                    id_col: doc[:-1][same][m] if m.any() else
+                            np.zeros(0, dtype=np.int64),
+                }))
+        empty = pa.table({
+            "entity_a": pa.array([], type=pa.int64()),
+            "entity_b": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        })
+        if not frames:
+            return empty
+        de = pd.concat(frames, ignore_index=True).drop_duplicates()
+        m2 = de.merge(de, on=id_col, suffixes=("_a", "_b"))
+        m2 = m2[m2["ent_a"] < m2["ent_b"]]
+        if not len(m2):
+            return empty
+        g = m2.groupby(["ent_a", "ent_b"], as_index=False).size()
+        ea = g["ent_a"].to_numpy(dtype=np.int64)
+        eb = g["ent_b"].to_numpy(dtype=np.int64)
+        key = ea * np.int64(1_000_003) + eb
+        return pa.table({
+            "entity_a": pa.array(ea),
+            "entity_b": pa.array(eb),
+            "n": pa.array(g["size"].to_numpy(dtype=np.int64)),
+            "part": pa.array(
+                (hash_u64(key) % np.uint64(n_parts)).astype(np.int64)
+            ),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["entity_a", "entity_b"], as_index=False)["n"].sum()
+        g = g.rename(columns={"n": "n_docs"})
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

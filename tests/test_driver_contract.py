@@ -186,6 +186,8 @@ _SQL_GATED = [
         "gazetteer_mentions",
         "supplier_k_core",
         "dolma_curated_packing",
+        "source_similarity",
+        "entity_comention_edges",
 ]
 
 
