@@ -1874,6 +1874,33 @@ def _q_sample_exact_k(sf_dir: str):
     return sample_exact_k(docs, k=100, seed=31)
 
 
+def _q_next_event_context(sf_dir: str):
+    """Sequence-model dataset construction: previous-3-event-type context
+    + current type label per event, per user, strict (ts, event_id)
+    order, '<s>' pad before history start (a literal, because NULL→str
+    casts diverge between engines). One coarse user-hash shuffle,
+    vectorized groupby().shift kernel. Oracle: three lag() windows with
+    the same COALESCE."""
+    from ontocast_ray.ops.windows import next_event_context
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return next_event_context(events, context=3, n_parts=16)
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (tokenizer-design stat): token-mass
+    share of the top-{100,1000,10000} terms. Vocabulary-sized combiner
+    shuffle, one distributed sort bounded to max(k) rows, scalar total
+    fold — no full-vocab collection. Oracle: ROW_NUMBER over counts with
+    the same (n DESC, term) tie order."""
+    from ontocast_ray.ops.text import vocab_coverage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_coverage(docs, ks=(100, 1_000, 10_000), n_parts=16)
+
+
 def _q_comention_edges(sf_dir: str):
     """Entity co-mention graph (the KG edge-candidate generator feeding
     relation extraction): two nation mentions injected per doc
@@ -3700,6 +3727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_stats": _q_cdc_dup_stats,
         "source_similarity": _q_source_similarity,
         "entity_comention_edges": _q_comention_edges,
+        "vocab_coverage": _q_vocab_coverage,
+        "next_event_context": _q_next_event_context,
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
         "gazetteer_mentions": _q_gazetteer,
@@ -4489,6 +4518,40 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(CAST(floor(err * 1048576) AS BIGINT))
                         AS BIGINT) AS err_l1_fp
             FROM errs GROUP BY vec_id
+        """,
+        # next-event training pairs: 3 lag() windows, literal '<s>' pad
+        "next_event_context": r"""
+            SELECT event_id, user_id,
+                   COALESCE(lag(event_type, 1) OVER w, '<s>') AS prev1,
+                   COALESCE(lag(event_type, 2) OVER w, '<s>') AS prev2,
+                   COALESCE(lag(event_type, 3) OVER w, '<s>') AS prev3,
+                   event_type AS label
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # coverage curve: ROW_NUMBER over term counts, same tie order
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS w
+                FROM documents
+            ), counts AS (
+                SELECT w, count(*) AS n FROM toks GROUP BY w
+            ), ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rn
+                FROM counts
+            ), tot AS (
+                SELECT sum(n) AS total FROM counts
+            )
+            SELECT k,
+                   CAST(sum(CASE WHEN rn <= k THEN n ELSE 0 END)
+                        AS BIGINT) AS covered_tokens,
+                   CAST(tot.total AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN rn <= k THEN n ELSE 0 END)
+                        AS DOUBLE) / tot.total AS coverage
+            FROM ranked, tot,
+                 (VALUES (100), (1000), (10000)) ks(k)
+            GROUP BY k, tot.total
         """,
         # co-mention edges: exact bigram matches self-joined on doc_id,
         # DISTINCT per-doc entity sets, unordered pairs

@@ -1155,3 +1155,96 @@ def entity_comention_edges(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def vocab_coverage(
+    docs: "ray.data.Dataset",
+    ks: tuple = (100, 1_000, 10_000),
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> pa.Table:
+    """Vocabulary coverage curve — the tokenizer-design / dataset-card
+    statistic: what share of the corpus token mass the k most frequent
+    terms cover, for each k. → pa.Table (k, covered_tokens, total_tokens,
+    coverage), rank ties broken by term (the SQL ROW_NUMBER order).
+
+    Scale shape: per-block term value_counts (map-side combiner — the
+    wire carries vocabulary-sized (term, n) partials, never tokens) →
+    coarse ``hash(term) % P`` sum → one distributed sort DESC limited to
+    max(ks) rows (bounded driver collection); the total token count
+    folds from per-partition scalar sums. No full-vocabulary collection
+    anywhere.
+    """
+    import ray  # noqa: F401
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(docs, n_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        _, vals = _explode_words(words)
+        if len(vals) == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int64()),
+            })
+        counts = pd.Series(vals).value_counts()
+        terms = counts.index.to_numpy()
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "n": pa.array(counts.to_numpy(dtype=np.int64)),
+            "part": pa.array(
+                (hash_u64(terms) % np.uint64(n_parts)).astype(np.int64)
+            ),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("term", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    vocab = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()  # consumed twice: top-k sort + total fold
+    )
+
+    def _sums(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array(
+                [batch["n"].to_numpy(zero_copy_only=False).sum()],
+                type=pa.int64(),
+            )
+        })
+
+    total = sum(
+        r["s"] for r in vocab.map_batches(_sums, batch_format="pyarrow")
+        .take_all()
+    )
+    kmax = max(ks)
+    top = (
+        vocab.sort(["n", "term"], descending=[True, False])
+        .limit(kmax)
+        .take_all()
+    )
+    top_n = np.array([r["n"] for r in top], dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(top_n)))
+    rows_k, rows_cov = [], []
+    for k in ks:
+        rows_k.append(int(k))
+        rows_cov.append(int(cum[min(k, len(top_n))]))
+    return pa.table({
+        "k": pa.array(np.asarray(rows_k, dtype=np.int64)),
+        "covered_tokens": pa.array(np.asarray(rows_cov, dtype=np.int64)),
+        "total_tokens": pa.array(
+            np.full(len(ks), total, dtype=np.int64)
+        ),
+        "coverage": pa.array(
+            np.asarray(rows_cov, dtype=np.float64) / np.float64(total)
+        ),
+    })

@@ -1131,3 +1131,55 @@ def grouped_quantile_buckets(
         return df
 
     return ds.map_batches(_assign, batch_format="pandas")
+
+
+def next_event_context(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    context: int = 3,
+    pad: str = "<s>",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Next-event-prediction training pairs from an event log (the
+    sequence-model dataset constructor): for every event, the previous
+    ``context`` event types of the SAME user in strict (ts, id) order
+    become the input features, the current type the label. Positions
+    before the user's history start are the ``pad`` sentinel (cross-
+    engine: NULL-vs-NaN string casts diverge, a literal never does).
+    → (id_col, key_col, prev1..prevN, label).
+
+    One coarse ``hash(key) % P`` shuffle; the kernel sorts the partition
+    once and takes all lags via vectorized ``groupby().shift`` — all
+    users of a partition in one pass, no per-user Python.
+    """
+    import numpy as np
+
+    n_parts = resolve_n_parts(events, n_parts)
+
+    def kernel(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            cols = {id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64")}
+            for j in range(1, context + 1):
+                cols[f"prev{j}"] = pd.Series([], dtype=object)
+            cols["label"] = pd.Series([], dtype=object)
+            return pd.DataFrame(cols)
+        df = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        out = {id_col: df[id_col].to_numpy(),
+               key_col: df[key_col].to_numpy()}
+        g = df.groupby(key_col, sort=False)[type_col]
+        for j in range(1, context + 1):
+            out[f"prev{j}"] = g.shift(j).fillna(pad).to_numpy()
+        out["label"] = df[type_col].to_numpy()
+        return pd.DataFrame(out)
+
+    return (
+        events.map_batches(
+            _add_part_factory(key_col, n_parts), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )

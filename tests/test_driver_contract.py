@@ -188,6 +188,8 @@ _SQL_GATED = [
         "dolma_curated_packing",
         "source_similarity",
         "entity_comention_edges",
+        "vocab_coverage",
+        "next_event_context",
 ]
 
 
