@@ -2084,6 +2084,140 @@ def _q_kg_two_hop(sf_dir: str):
     )
 
 
+def _q_kg_label_ambiguity(sf_dir: str):
+    """Entity-linking dictionary BUILD from the flagship KG: invert the
+    facts' rdfs:label edges into label → (n_entities, min_entity) — the
+    alias table a gazetteer linker consumes, with the ambiguity count
+    that decides which labels need disambiguation context. One coarse
+    label-hash combiner (map-side distinct (label, entity) first);
+    golden-pinned like the other kg_* queries."""
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    _LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    triples = _q_kg_triples(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[(df["graph_scope"] == "facts")
+                & (df["predicate"] == _LABEL)]
+        g = (
+            pd.DataFrame({
+                "label": df["object"].to_numpy(),
+                "entity": df["subject"].to_numpy(),
+            })
+            .drop_duplicates()
+        )
+        g["part"] = (
+            hash_u64(g["label"].to_numpy(object)) % np.uint64(16)
+        ).astype(np.int64)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        dd = df.drop_duplicates(["label", "entity"])
+        g = dd.groupby("label", as_index=False).agg(
+            n_entities=("entity", "nunique"), min_entity=("entity", "min")
+        )
+        g["n_entities"] = g["n_entities"].astype(np.int64)
+        return g
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_train_test_leakage(sf_dir: str):
+    """Split-leakage audit (the check-your-split step every training run
+    needs): docs assigned train/val/test by the splitmix rule, then
+    exact-text collisions ACROSS splits counted per split pair — one
+    coarse text-hash combiner carrying (hash, split) partial counts,
+    pair expansion on the distinct rows. Known duplicates are injected
+    (every doc_id%10==0 re-appears at +100000 — the incremental_dedup
+    clone rule) so cross-split collisions exist at every SF. Oracle: the
+    pure-SQL splitmix split over the same cloned corpus, self-joined on
+    text."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.util import hash_u64
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch.filter(pa.array(ids % 10 == 0))
+        return c.set_column(
+            c.column_names.index("doc_id"), "doc_id",
+            pc.add(c["doc_id"], 100000),
+        )
+
+    docs = base.union(base.map_batches(clone, batch_format="pyarrow"))
+
+    def assign(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        u = splitmix64(ids, seed=9).astype(np.float64) / float(2**64)
+        split = np.where(u < 0.9, "train", np.where(u < 0.95, "val", "test"))
+        h = hash_u64(df["text"].fillna("").to_numpy(dtype=object))
+        g = (
+            pd.DataFrame({"th": h, "split": split})
+            .groupby(["th", "split"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["part"] = (g["th"] % np.uint64(16)).astype(np.int64)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["th", "split"], as_index=False)["n"].sum()
+        m = g.merge(g, on="th", suffixes=("_a", "_b"))
+        m = m[m["split_a"] < m["split_b"]]
+        if not len(m):
+            return pd.DataFrame({
+                "split_a": pd.Series([], dtype=object),
+                "split_b": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype="int64"),
+            })
+        m["n_pairs"] = (m["n_a"] * m["n_b"]).astype(np.int64)
+        out = m.groupby(["split_a", "split_b"], as_index=False)[
+            "n_pairs"
+        ].sum()
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    leaks = (
+        docs.map_batches(assign, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["split_a", "split_b"], as_index=False)[
+            "n_pairs"
+        ].sum()
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        out["fpart"] = 0
+        return out
+
+    def last(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["split_a", "split_b"], as_index=False)[
+            "n_pairs"
+        ].sum()
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    return (
+        leaks.map_batches(final, batch_format="pandas")
+        .groupby("fpart")
+        .map_groups(last, batch_format="pandas")
+    )
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-2 training shuffle: global sample position =
     exact rank of splitmix64(seed=20+2, doc_id), sharded 256/shard — the
@@ -3729,6 +3863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_comention_edges": _q_comention_edges,
         "vocab_coverage": _q_vocab_coverage,
         "next_event_context": _q_next_event_context,
+        "kg_label_ambiguity": _q_kg_label_ambiguity,
+        "train_test_leakage": _q_train_test_leakage,
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
         "gazetteer_mentions": _q_gazetteer,
@@ -3846,6 +3982,7 @@ _GOLDEN_QUERIES = [
     "hybrid_rrf_top10",
     "sliding_hll_distinct_users",
     "kg_two_hop_preds",
+    "kg_label_ambiguity",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -3889,9 +4026,10 @@ _JACCARD_PAIRS_SQL = r"""
 # 64-bit wrapping multiply via 32-bit constant halves inside HUGEINT (a full
 # 64×64 product overflows INT128), xor-shift on UBIGINT. Bit-exact vs the
 # numpy kernel — verified in tests and by the corpus_interleave hash match.
-def _splitmix_sql(seed: int, sfx: str = "") -> str:
+def _splitmix_sql(seed: int, sfx: str = "", src: str = "documents") -> str:
     # sfx renames the CTEs (s0{sfx}…mixed{sfx}) so several seeds can
-    # coexist in one WITH clause (e.g. the k negative-sample draws)
+    # coexist in one WITH clause (e.g. the k negative-sample draws);
+    # src lets the chain run over a CTE instead of the documents view
     T = "18446744073709551616"  # 2^64
     gamma = 0x9E3779B97F4A7C15
     m1, m2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
@@ -3909,7 +4047,7 @@ def _splitmix_sql(seed: int, sfx: str = "") -> str:
         s0{sfx} AS (
             SELECT doc_id,
                    CAST((CAST(doc_id AS HUGEINT) + {add}) % {T} AS UBIGINT) AS z
-            FROM documents
+            FROM {src}
         ), s1{sfx} AS (
             SELECT doc_id, {mul_mod("xor(z, z >> 30)", m1)} AS z FROM s0{sfx}
         ), s2{sfx} AS (
@@ -4518,6 +4656,31 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(CAST(floor(err * 1048576) AS BIGINT))
                         AS BIGINT) AS err_l1_fp
             FROM errs GROUP BY vec_id
+        """,
+        # split-leakage audit: pure-SQL splitmix split, exact-text
+        # self-join across splits, pair counts = n_a·n_b per text
+        "train_test_leakage": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ), {_splitmix_sql(9, src="corpus")},
+            assigned AS (
+                SELECT d.doc_id, d.text,
+                       CASE WHEN m.u < 0.9 THEN 'train'
+                            WHEN m.u < 0.95 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM corpus d JOIN mixed m USING (doc_id)
+            ), counts AS (
+                SELECT text, split, count(*) AS n
+                FROM assigned GROUP BY text, split
+            )
+            SELECT a.split AS split_a, b.split AS split_b,
+                   CAST(sum(a.n * b.n) AS BIGINT) AS n_pairs
+            FROM counts a JOIN counts b
+              ON a.text = b.text AND a.split < b.split
+            GROUP BY 1, 2
         """,
         # next-event training pairs: 3 lag() windows, literal '<s>' pad
         "next_event_context": r"""

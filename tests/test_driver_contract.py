@@ -190,6 +190,7 @@ _SQL_GATED = [
         "entity_comention_edges",
         "vocab_coverage",
         "next_event_context",
+        "train_test_leakage",
 ]
 
 
