@@ -2084,6 +2084,104 @@ def _q_kg_two_hop(sf_dir: str):
     )
 
 
+def _q_user_max_gap(sf_dir: str):
+    """Inactivity-gap analysis (churn signal): per user, the LONGEST gap
+    between consecutive events in strict (ts, event_id) order, exact
+    integer microseconds (float-free, engine-exact), plus a churn-risk
+    flag (> 12h). One coarse user-hash shuffle, vectorized
+    groupby().diff kernel; lag()-window SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.ops.windows import resolve_n_parts
+    from ontocast_ray.util import hash_partition
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    n_parts = 16
+    _ = resolve_n_parts  # explicit n_parts: query-scoped
+
+    def add_part(batch):
+        import pyarrow as pa
+
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["user_id"], n_parts))
+        )
+
+    thresh_us = np.int64(12 * 3600 * 1_000_000)
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+                "churn_risk": pd.Series([], dtype=bool),
+            })
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        diffs = df.groupby("user_id", sort=False)["ts"].diff()
+        # integer ns → us truncation: NO float roundtrip (total_seconds()
+        # · 1e6 loses ulps on large gaps and diverges from epoch_us)
+        gap_ns = diffs.to_numpy().astype("timedelta64[ns]").astype(np.int64)
+        gap_us = np.where(diffs.isna().to_numpy(), 0, gap_ns // 1000)
+        df = df.assign(gap=gap_us.astype(np.int64))
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"), max_gap_us=("gap", "max")
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["max_gap_us"] = g["max_gap_us"].astype(np.int64)
+        g["churn_risk"] = g["max_gap_us"] > thresh_us
+        return g
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    """Corpus length profile: documents bucketed by the BINARY LENGTH of
+    n_chars (the exact integer stand-in for floor(log2)+1 — log2() is
+    not cross-engine bit-stable, bit length is) with doc counts and
+    total chars per bucket. Pure-map bucket key + one small combiner.
+    Oracle: length(bin(n_chars))."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = df["n_chars"].to_numpy(dtype=np.int64)
+        # bit length == len(bin(n)) - 2 for n>0; DuckDB bin() has no '0b'
+        # prefix so the oracle uses length(bin(n)) directly — mirror that
+        bucket = np.asarray(
+            [len(np.binary_repr(v)) for v in n], dtype=np.int64
+        )
+        g = (
+            pd.DataFrame({"bucket": bucket, "n_chars": n})
+            .groupby("bucket", as_index=False)
+            .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["total_chars"] = g["total_chars"].astype(np.int64)
+        g["part"] = (g["bucket"] % 4).astype(np.int64)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("bucket", as_index=False)[
+            ["n_docs", "total_chars"]
+        ].sum()
+        for c in ("n_docs", "total_chars"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_kg_label_ambiguity(sf_dir: str):
     """Entity-linking dictionary BUILD from the flagship KG: invert the
     facts' rdfs:label edges into label → (n_entities, min_entity) — the
@@ -3865,6 +3963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_context": _q_next_event_context,
         "kg_label_ambiguity": _q_kg_label_ambiguity,
         "train_test_leakage": _q_train_test_leakage,
+        "user_max_gap": _q_user_max_gap,
+        "doc_length_histogram": _q_doc_length_histogram,
         "sample_exact_100": _q_sample_exact_k,
         "embedding_sq8": _q_scalar_quant,
         "gazetteer_mentions": _q_gazetteer,
@@ -4656,6 +4756,30 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(sum(CAST(floor(err * 1048576) AS BIGINT))
                         AS BIGINT) AS err_l1_fp
             FROM errs GROUP BY vec_id
+        """,
+        # churn gaps: lag() diff in exact integer microseconds
+        "user_max_gap": r"""
+            WITH gaps AS (
+                SELECT user_id, event_id,
+                       CAST(coalesce(epoch_us(ts - lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )), 0) AS BIGINT) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   max(gap) > 43200000000 AS churn_risk
+            FROM gaps GROUP BY user_id
+        """,
+        # length histogram: length(bin(n)) == the bit length of n —
+        # the exact integer floor(log2)+1 (log2() is not bit-stable
+        # across engines)
+        "doc_length_histogram": r"""
+            SELECT length(bin(n_chars)) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1
         """,
         # split-leakage audit: pure-SQL splitmix split, exact-text
         # self-join across splits, pair counts = n_a·n_b per text

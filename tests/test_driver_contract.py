@@ -191,6 +191,8 @@ _SQL_GATED = [
         "vocab_coverage",
         "next_event_context",
         "train_test_leakage",
+        "user_max_gap",
+        "doc_length_histogram",
 ]
 
 
