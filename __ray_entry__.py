@@ -3881,6 +3881,304 @@ def _q_dataset_card(sf_dir: str):
     )
 
 
+def _q_fuzzy_name_matches(sf_dir: str):
+    """Blocked edit-distance similarity join (record linkage): customer ×
+    supplier names within Levenshtein ≤ 6, blocked on nationkey — the
+    fuzzy-matching table join (one coarse block-hash shuffle of
+    3-column projections, batched-DP distance over all pairs at once,
+    byte-level to match DuckDB ``levenshtein()`` exactly)."""
+    from ontocast_ray.ops.fuzzy import edit_distance_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    return edit_distance_join(
+        cust,
+        supp,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_name="c_name",
+        right_name="s_name",
+        left_block="c_nationkey",
+        right_block="s_nationkey",
+        max_dist=6,
+        n_parts=16,
+    )
+
+
+def _q_events_running_total(sf_dir: str):
+    """Per-user RUNNING total of event value in strict (ts, event_id)
+    order — the classic cumulative window, in exact integer cents
+    (floor(value·100): float cumsum order-of-accumulation never leaks
+    into the compare). One coarse user-hash shuffle, vectorized
+    groupby().cumsum kernel; SUM OVER ROWS UNBOUNDED PRECEDING oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    events = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    n_parts = 16
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["user_id"], n_parts))
+        )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "running_cents": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(df["value"].to_numpy() * 100.0).astype(np.int64)
+        run = (
+            df.assign(c=cents)
+            .groupby("user_id", sort=False)["c"]
+            .cumsum()
+            .to_numpy()
+        )
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "running_cents": run.astype(np.int64),
+        })
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _q_hits_scores(sf_dir: str):
+    """Integer HITS (Kleinberg hubs & authorities) over the supplier↔
+    customer bipartite graph — two unrolled half-iterations from
+    hub0 = 1: auth1(c) = supplier-degree, hub1(s) = Σ auth1(c),
+    auth2(c) = Σ hub1(s). All-integer (no normalization floats) →
+    bit-exact across engines. Same distinct-pair edge derivation as
+    pagerank_suppliers; each half-iteration = one partitioned hash join
+    + a coarse-shuffle keyed sum (map-side combiner, never a fine-key
+    groupby)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.util import hash_partition
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    # edges consumed by 3 downstream passes → materialize (CLAUDE.md rule)
+    edges = distinct_on(
+        joined, ["l_suppkey", "o_custkey"], n_parts=16
+    ).materialize()
+
+    def _keyed_sum(ds, key: str, val: str | None, out: str, n_parts=16):
+        """Σ val per key (val=None → count) via map-side combiner + one
+        coarse hash shuffle — the engine-wide grouped-sum shape."""
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            if val is None:
+                g = df.groupby(key, as_index=False).size()
+                g = g.rename(columns={"size": out})
+            else:
+                g = df.groupby(key, as_index=False)[val].sum()
+                g = g.rename(columns={val: out})
+            g[out] = g[out].astype(np.int64)
+            g["part"] = hash_partition(g[key].to_numpy(), n_parts)
+            return g
+
+        def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby(key, as_index=False)[out].sum()
+            g[out] = g[out].astype(np.int64)
+            return g
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+        )
+
+    # auth1(c) = |{s : s→c}| (hub0 = 1)
+    auth1 = _keyed_sum(edges, "o_custkey", None, "auth1")
+    # hub1(s) = Σ_{c: s→c} auth1(c)
+    hub1 = _keyed_sum(
+        hash_join(
+            edges, auth1,
+            left_on="o_custkey", right_on="o_custkey",
+            left_cols=["l_suppkey"], right_cols=["auth1"], n_parts=16,
+        ),
+        "l_suppkey", "auth1", "hub",
+    )
+    # auth2(c) = Σ_{s: s→c} hub1(s)
+    auth2 = _keyed_sum(
+        hash_join(
+            edges, hub1,
+            left_on="l_suppkey", right_on="l_suppkey",
+            left_cols=["o_custkey"], right_cols=["hub"], n_parts=16,
+        ),
+        "o_custkey", "hub", "score",
+    )
+
+    def tag_supp(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "node_type": np.full(len(df), "supplier", dtype=object),
+            "node_id": df["l_suppkey"].to_numpy().astype(np.int64),
+            "score": df["hub"].to_numpy().astype(np.int64),
+        })
+
+    def tag_cust(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "node_type": np.full(len(df), "customer", dtype=object),
+            "node_id": df["o_custkey"].to_numpy().astype(np.int64),
+            "score": df["score"].to_numpy().astype(np.int64),
+        })
+
+    return hub1.map_batches(tag_supp, batch_format="pandas").union(
+        auth2.map_batches(tag_cust, batch_format="pandas")
+    )
+
+
+def _q_balanced_shards(sf_dir: str):
+    """Output-shard balancing: docs assigned to 8 shards ROUND-ROBIN by
+    global length rank (n_chars DESC, doc_id) — the size-balanced sink
+    layout a corpus export writes. Rank without a global sort: composite
+    int64 key (inverted length ‖ doc_id) → per-length-shard counts →
+    driver exclusive scan over the tiny distinct-length list → broadcast
+    base offsets (the ops/rank.py two-phase scan). Output = 8-row
+    per-shard accounting (the balance report)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_shards = 8
+    inv_bits = np.int64(1) << np.int64(31)  # n_chars < 2^31 by contract
+
+    def meta(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        inv = inv_bits - np.int64(1) - nch  # descending length order
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_chars": pa.array(nch),
+            "lshard": pa.array(inv),  # one rank-shard per distinct length
+        })
+
+    keyed = docs.map_batches(meta, batch_format="pyarrow").materialize()
+    counts = keyed.groupby("lshard").count().take_all()
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["lshard"]):
+        base[r["lshard"]] = acc
+        acc += int(r["count()"])
+    base_ref = ray.put(base)
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        ls = batch["lshard"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((ls % np.int64(64)).astype(np.int32))
+        )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "total_chars": pd.Series([], dtype="int64"),
+                "fpart": pd.Series([], dtype="int32"),
+            })
+        df = df.sort_values(["lshard", "doc_id"], kind="mergesort")
+        b = df["lshard"].map(ray.get(base_ref)).to_numpy(np.int64)
+        intra = df.groupby("lshard", sort=False).cumcount().to_numpy(np.int64)
+        shard = (b + intra) % np.int64(n_shards)
+        g = (
+            df.assign(shard=shard)
+            .groupby("shard", as_index=False)
+            .agg(n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"))
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["total_chars"] = g["total_chars"].astype(np.int64)
+        g["fpart"] = np.int32(0)
+        return g
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("shard", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")
+        )
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["total_chars"] = g["total_chars"].astype(np.int64)
+        return g
+
+    return (
+        keyed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+        .groupby("fpart")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _q_nucleus_docs(sf_dir: str):
+    """Per-source nucleus (top-p) selection: keep the longest docs of each
+    source while the cumulative char mass BEFORE a doc stays under 80% of
+    the source total — the top-p data-selection rule (quality-ordered
+    cumulative cutoff). Exact integers: keep iff 10·before < 8·total.
+    One coarse source-hash shuffle; the kernel vectorizes the per-source
+    cumsum via groupby().transform across ALL sources in the partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    n_parts = 16
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["source"], n_parts))
+        )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        nch = df["n_chars"].to_numpy().astype(np.int64)
+        grp = df.groupby("source", sort=False)["n_chars"]
+        before = (grp.cumsum().to_numpy().astype(np.int64) - nch)
+        total = grp.transform("sum").to_numpy().astype(np.int64)
+        keep = 10 * before < 8 * total
+        out = df[keep]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "source": out["source"].to_numpy(dtype=object),
+            "n_chars": out["n_chars"].to_numpy().astype(np.int64),
+        })
+
+    return (
+        docs.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4048,6 +4346,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_hll_distinct_users": _q_sliding_hll,
         "followed_by_pairs": _q_followed_by,
         "dataset_card": _q_dataset_card,
+        "fuzzy_name_matches": _q_fuzzy_name_matches,
+        "events_running_total": _q_events_running_total,
+        "hits_scores": _q_hits_scores,
+        "balanced_shards": _q_balanced_shards,
+        "nucleus_top80_docs": _q_nucleus_docs,
     }
 
 
@@ -6404,6 +6707,75 @@ def _sql_oracles() -> dict[str, str]:
              AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 10 MINUTE
             GROUP BY type_a, type_b
+        """,
+        # blocked record linkage: DuckDB levenshtein() is utf-8
+        # byte-level — the Ray kernel matches it byte-for-byte
+        "fuzzy_name_matches": r"""
+            SELECT c_custkey, s_suppkey,
+                   CAST(levenshtein(c_name, s_name) AS BIGINT) AS dist
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            WHERE levenshtein(c_name, s_name) <= 6
+        """,
+        # integer HITS: two unrolled half-iterations, pure join+sum SQL
+        "hits_scores": r"""
+            WITH edges AS (
+                SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), auth1 AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY c
+            ), hub1 AS (
+                SELECT s, CAST(sum(a) AS BIGINT) AS h
+                FROM edges JOIN auth1 USING (c) GROUP BY s
+            ), auth2 AS (
+                SELECT c, CAST(sum(h) AS BIGINT) AS a2
+                FROM edges JOIN hub1 USING (s) GROUP BY c
+            )
+            SELECT 'supplier' AS node_type, s AS node_id, h AS score
+            FROM hub1
+            UNION ALL
+            SELECT 'customer' AS node_type, c AS node_id, a2 AS score
+            FROM auth2
+        """,
+        # round-robin-by-length-rank shard balance report
+        "balanced_shards": r"""
+            WITH ranked AS (
+                SELECT doc_id, n_chars,
+                       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                           AS rn
+                FROM documents
+            )
+            SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM ranked GROUP BY 1
+        """,
+        # per-source nucleus cutoff: strictly-before cumulative rule,
+        # exact integer comparison (10*before < 8*total)
+        "nucleus_top80_docs": r"""
+            WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_chars AS before_chars,
+                       sum(n_chars) OVER (PARTITION BY source)
+                           AS total_chars
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM t WHERE 10 * before_chars < 8 * total_chars
+        """,
+        # cumulative window in exact integer cents (floor(value*100):
+        # both engines do the same double multiply+floor, then integer
+        # cumsum — no float accumulation-order hazard)
+        "events_running_total": r"""
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS running_cents
+            FROM events
         """,
         "dataset_card": r"""
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -193,6 +193,11 @@ _SQL_GATED = [
         "train_test_leakage",
         "user_max_gap",
         "doc_length_histogram",
+        "fuzzy_name_matches",
+        "events_running_total",
+        "hits_scores",
+        "balanced_shards",
+        "nucleus_top80_docs",
 ]
 
 

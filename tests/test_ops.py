@@ -3818,3 +3818,74 @@ def test_gazetteer_multi_alias_entity(ray_session):
     # 'acme' the unigram matches every 'acme' token (2 per doc); the
     # bigram matches once per doc; 'widgets' never appears
     assert got == {(1, "acme"): (4, 2), (1, "acme corp"): (2, 2)}
+
+
+def test_levenshtein_batch_matches_classic_dp():
+    """The batched prefix-min DP equals the textbook O(la*lb) DP on random
+    pairs (utf-8 BYTE level — the DuckDB levenshtein() unit) including
+    empty strings and multi-byte codepoints."""
+    import random
+
+    import numpy as np
+
+    from ontocast_ray.ops.fuzzy import levenshtein_batch
+
+    def classic(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i]
+            for j in range(1, len(b) + 1):
+                cost = 0 if a[i - 1] == b[j - 1] else 1
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + cost))
+            prev = cur
+        return prev[len(b)]
+
+    rng = random.Random(11)
+    alpha = "abcXY01é中#"
+    pairs = [("", ""), ("abc", ""), ("", "xyz"), ("kitten", "sitting")]
+    pairs += [
+        (
+            "".join(rng.choices(alpha, k=rng.randint(0, 15))),
+            "".join(rng.choices(alpha, k=rng.randint(0, 15))),
+        )
+        for _ in range(200)
+    ]
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = levenshtein_batch(a, b)
+    want = [classic(x.encode(), y.encode()) for x, y in pairs]
+    assert got.tolist() == want
+
+
+def test_edit_distance_join_blocks_and_threshold(ray_session):
+    """Blocked join: pairs only within equal block keys, dist <= max_dist,
+    symmetric distance, empty when blocks never meet."""
+    import pyarrow as pa
+
+    import ray
+
+    from ontocast_ray.ops.fuzzy import edit_distance_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lk": pa.array([1, 2, 3], type=pa.int64()),
+        "lname": pa.array(["alpha", "beta", "gamma"]),
+        "lb": pa.array([0, 0, 1], type=pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([10, 11], type=pa.int64()),
+        "rname": pa.array(["alphq", "gamma"]),
+        "rb": pa.array([0, 1], type=pa.int64()),
+    }))
+    out = edit_distance_join(
+        left, right,
+        left_key="lk", right_key="rk",
+        left_name="lname", right_name="rname",
+        left_block="lb", right_block="rb",
+        max_dist=2, n_parts=4,
+    ).to_pandas().sort_values(["lk", "rk"]).reset_index(drop=True)
+    # block 0: alpha~alphq dist 1 (beta~alphq dist 4 > 2);
+    # block 1: gamma~gamma dist 0; cross-block alpha~gamma never compared
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, 10, 1), (3, 11, 0)
+    ]
