@@ -4179,6 +4179,74 @@ def _q_nucleus_docs(sf_dir: str):
     )
 
 
+def _q_deepwalk(sf_dir: str):
+    """DeepWalk-style corpus prep: one deterministic 3-hop walk from every
+    supplier node of the supplier↔customer bipartite graph. Neighbor
+    choice at (node, step) = splitmix64(node·4+step, seed=41) %
+    degree(node) over the dst-ASC-ranked adjacency — a pure function of
+    the graph, so the SQL oracle re-derives every hop exactly (ranked
+    adjacency + the splitmix mirror). Each hop = two partitioned hash
+    joins on composite keys; adjacency ranked once and reused."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.ops.walks import deterministic_walks
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders,
+        left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
+
+    def mk_edges(batch: "pa.Table") -> "pa.Table":
+        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
+        c = pc.add(
+            batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000
+        )
+        return pa.table({
+            "src": pa.concat_arrays([s, c]),
+            "dst": pa.concat_arrays([c, s]),
+        })
+
+    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    return deterministic_walks(
+        edges, n_steps=3, seed=41, start_below=1_000_000, n_parts=16
+    )
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Sentence segmentation profile (the curation primitive under
+    sentence-level dedup / per-sentence filters): split on [.!?]+ runs,
+    count segments containing an alphanumeric and their total codepoint
+    length — pure vectorized map (split + explode + two index-level
+    sums), zero shuffle; list-lambda SQL mirror."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        texts = df["text"].fillna("").reset_index(drop=True)
+        segs = texts.str.split(r"[.!?]+", regex=True).explode()
+        real = segs.str.contains(r"[a-zA-Z0-9]", regex=True, na=False)
+        lens = segs.str.len().fillna(0).astype(np.int64) * real
+        n_sent = real.groupby(level=0).sum().reindex(
+            texts.index, fill_value=0
+        )
+        total = lens.groupby(level=0).sum().reindex(texts.index, fill_value=0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_sentences": n_sent.to_numpy().astype(np.int64),
+            "sentence_chars": total.to_numpy().astype(np.int64),
+        })
+
+    return docs.map_batches(kern, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4351,6 +4419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "balanced_shards": _q_balanced_shards,
         "nucleus_top80_docs": _q_nucleus_docs,
+        "deepwalk_walks": _q_deepwalk,
+        "sentence_stats": _q_sentence_stats,
     }
 
 
@@ -6715,6 +6785,65 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(levenshtein(c_name, s_name) AS BIGINT) AS dist
             FROM customer JOIN supplier ON c_nationkey = s_nationkey
             WHERE levenshtein(c_name, s_name) <= 6
+        """,
+        # deterministic 3-hop walks: ranked adjacency + splitmix mirror,
+        # each hop one expression join (walk schedule re-derived exactly)
+        "deepwalk_walks": f"""
+            WITH pairs AS (
+                SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), edges AS (
+                SELECT s AS src, c + 1000000 AS dst FROM pairs
+                UNION ALL
+                SELECT c + 1000000 AS src, s AS dst FROM pairs
+            ), adj AS (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                           - 1 AS rnk,
+                       COUNT(*) OVER (PARTITION BY src) AS deg
+                FROM edges
+            ), s0 AS (
+                SELECT DISTINCT src AS wstart, src AS cur FROM edges
+                WHERE src < 1000000
+            ), s1 AS (
+                SELECT s0.wstart, a.dst AS cur FROM s0 JOIN adj a
+                  ON a.src = s0.cur AND CAST(a.rnk AS UBIGINT) =
+                     {_splitmix_expr_sql('CAST(s0.cur * 4 + 1 AS UBIGINT)', 41)}
+                     % CAST(a.deg AS UBIGINT)
+            ), s2 AS (
+                SELECT s1.wstart, a.dst AS cur FROM s1 JOIN adj a
+                  ON a.src = s1.cur AND CAST(a.rnk AS UBIGINT) =
+                     {_splitmix_expr_sql('CAST(s1.cur * 4 + 2 AS UBIGINT)', 41)}
+                     % CAST(a.deg AS UBIGINT)
+            ), s3 AS (
+                SELECT s2.wstart, a.dst AS cur FROM s2 JOIN adj a
+                  ON a.src = s2.cur AND CAST(a.rnk AS UBIGINT) =
+                     {_splitmix_expr_sql('CAST(s2.cur * 4 + 3 AS UBIGINT)', 41)}
+                     % CAST(a.deg AS UBIGINT)
+            )
+            SELECT wstart AS start, CAST(0 AS BIGINT) AS step,
+                   cur AS node FROM s0
+            UNION ALL SELECT wstart, CAST(1 AS BIGINT), cur FROM s1
+            UNION ALL SELECT wstart, CAST(2 AS BIGINT), cur FROM s2
+            UNION ALL SELECT wstart, CAST(3 AS BIGINT), cur FROM s3
+        """,
+        # sentence segmentation: list-lambda mirror of split+filter+sum
+        "sentence_stats": r"""
+            WITH segs AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(COALESCE(text, ''),
+                                                 '[.!?]+'),
+                           x -> regexp_matches(x, '[a-zA-Z0-9]')
+                       ) AS ss
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(ss) AS BIGINT) AS n_sentences,
+                   CAST(COALESCE(list_sum(
+                       list_transform(ss, x -> length(x))), 0)
+                        AS BIGINT) AS sentence_chars
+            FROM segs
         """,
         # integer HITS: two unrolled half-iterations, pure join+sum SQL
         "hits_scores": r"""

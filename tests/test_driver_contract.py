@@ -198,6 +198,8 @@ _SQL_GATED = [
         "hits_scores",
         "balanced_shards",
         "nucleus_top80_docs",
+        "deepwalk_walks",
+        "sentence_stats",
 ]
 
 

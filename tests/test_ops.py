@@ -3889,3 +3889,47 @@ def test_edit_distance_join_blocks_and_threshold(ray_session):
     assert [tuple(r) for r in out.itertuples(index=False)] == [
         (1, 10, 1), (3, 11, 0)
     ]
+
+
+def test_deterministic_walks_match_reference(ray_session):
+    """3-hop walks on a small undirected graph equal a pure-Python replay
+    of the splitmix neighbor rule, and are parallelism-invariant (n_parts
+    2 vs 8 → identical rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from ontocast_ray.ops.interleave import splitmix64
+    from ontocast_ray.ops.walks import deterministic_walks
+
+    und = [(0, 100), (0, 101), (1, 100), (1, 102), (2, 102), (2, 101)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+    }))
+
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(a, set()).add(b)
+    adj = {k: sorted(v) for k, v in adj.items()}
+
+    want = set()
+    for start in [0, 1, 2]:
+        cur = start
+        want.add((start, 0, cur))
+        for t in (1, 2, 3):
+            draw = int(splitmix64(
+                np.array([cur * 4 + t], dtype=np.uint64), seed=41
+            )[0])
+            cur = adj[cur][draw % len(adj[cur])]
+            want.add((start, t, cur))
+
+    for parts in (2, 8):
+        out = deterministic_walks(
+            edges, n_steps=3, seed=41, start_below=100, n_parts=parts
+        ).to_pandas()
+        got = {tuple(r) for r in out.itertuples(index=False)}
+        assert got == want, parts
