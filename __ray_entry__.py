@@ -4247,6 +4247,42 @@ def _q_sentence_stats(sf_dir: str):
     return docs.map_batches(kern, batch_format="pandas")
 
 
+def _q_media_phash(sf_dir: str):
+    """Perceptual image dedup (LAION/DataComp phash-dedup shape): 64-bit
+    average-hash over the REAL raw uint8 pixel buffers (integral-image
+    block means, actually executed), then banded Hamming-≤3 pair search
+    with exact pigeonhole recall. Input = the synth media table plus a
+    one-byte-perturbed copy of every image (the near-dup the perceptual
+    hash must catch while the random non-dups stay ~32 bits apart).
+    Seed-deterministic → golden oracle."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from ontocast_ray.ops.multimodal import (
+        image_average_hash,
+        phash_dup_pairs,
+        synth_media_table,
+    )
+
+    base = synth_media_table(n=64, seed=9)
+    rows = base.to_pylist()  # 64 synthetic rows — driver-side tiny
+    dups = []
+    for r in rows:
+        if r["kind"] != "image":
+            continue
+        p = bytearray(r["payload"])
+        p[0] = (p[0] + 1) % 256
+        d = dict(r)
+        d["media_ref"] = r["media_ref"] + "/dup"
+        d["payload"] = bytes(p)
+        dups.append(d)
+    media = ray.data.from_arrow(
+        pa.Table.from_pylist(rows + dups, schema=base.schema)
+    )
+    return phash_dup_pairs(image_average_hash(media), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4421,6 +4457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nucleus_top80_docs": _q_nucleus_docs,
         "deepwalk_walks": _q_deepwalk,
         "sentence_stats": _q_sentence_stats,
+        "media_phash_dupes": _q_media_phash,
     }
 
 
@@ -4456,6 +4493,7 @@ _GOLDEN_QUERIES = [
     "sliding_hll_distinct_users",
     "kg_two_hop_preds",
     "kg_label_ambiguity",
+    "media_phash_dupes",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

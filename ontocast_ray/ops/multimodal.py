@@ -468,3 +468,164 @@ def span_kind_transitions(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+# --- perceptual image dedup (average hash) ---------------------------------
+
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array via the byte LUT (numpy
+    1.x has no bitwise_count)."""
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1
+    ).astype(np.int64)
+
+
+def image_average_hash(
+    media: "ray.data.Dataset", grid: int = 8
+) -> "ray.data.Dataset":
+    """→ (media_ref, ahash): 64-bit average-hash of every IMAGE row's raw
+    uint8 H×W×3 payload — REAL pixel math (the perceptual fingerprint
+    behind image near-dedup: LAION/DataComp-style phash dedup).
+
+    Grayscale block means over a grid×grid partition via one integral
+    image (exact block sums at any resolution, no resampling kernel
+    ambiguity), thresholded at the grid mean, packed MSB-first. Pure
+    per-row numpy inside map_batches; non-image rows are dropped
+    map-side (nothing shuffles)."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        refs, hashes = [], []
+        for ref, kind, payload, w, h in zip(
+            batch["media_ref"].to_pylist(),
+            kinds,
+            batch["payload"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            img = np.frombuffer(payload, dtype=np.uint8)
+            if w < grid or h < grid or img.size != w * h * 3:
+                raise ValueError(
+                    f"raw image {ref}: {img.size} B vs metadata {w}x{h}x3"
+                )
+            gray = img.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+            integ = np.zeros((h + 1, w + 1), dtype=np.float64)
+            integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+            rb = (np.arange(grid + 1) * h) // grid
+            cb = (np.arange(grid + 1) * w) // grid
+            sums = (
+                integ[np.ix_(rb[1:], cb[1:])]
+                - integ[np.ix_(rb[:-1], cb[1:])]
+                - integ[np.ix_(rb[1:], cb[:-1])]
+                + integ[np.ix_(rb[:-1], cb[:-1])]
+            )
+            areas = np.outer(np.diff(rb), np.diff(cb)).astype(np.float64)
+            means = sums / areas
+            bits = (means > means.mean()).ravel()
+            val = np.uint64(0)
+            for b in bits:
+                val = (val << np.uint64(1)) | np.uint64(bool(b))
+            refs.append(ref)
+            hashes.append(np.int64(val.astype(np.int64)))
+        return pa.table({
+            "media_ref": pa.array(refs, type=pa.string()),
+            "ahash": pa.array(np.array(hashes, dtype=np.int64)),
+        })
+
+    return media.map_batches(kern, batch_format="pyarrow")
+
+
+def phash_dup_pairs(
+    hashed: "ray.data.Dataset",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_parts: int = 16,
+    max_bucket: int = 4096,
+) -> "ray.data.Dataset":
+    """→ (ref_a, ref_b, hamming): perceptual near-dup pairs — hashes
+    within ``max_hamming`` bits that collide on at least one 16-bit band.
+    Pigeonhole: ≤ n_bands-1 differing bits ALWAYS leave one band clean,
+    so recall is exact for max_hamming ≤ n_bands-1 (enforced). Band rows
+    shuffle on a coarse ``hash(band) % P`` key; within-bucket pairs via
+    one vectorized merge per partition, buckets truncated to
+    ``max_bucket`` (documented hot-bucket bound); popcount via byte
+    LUT."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "exact recall requires max_hamming <= n_bands - 1 (pigeonhole)"
+        )
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["ahash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = batch["media_ref"].to_pylist()
+        n = len(h)
+        hu = h.view(np.uint64)
+        out_ref, out_hash, out_key = [], [], []
+        for b in range(n_bands):
+            band = (hu >> np.uint64(b * band_bits)) & mask
+            key = (np.uint64(b) << np.uint64(band_bits)) | band
+            out_ref.extend(refs)
+            out_hash.append(h)
+            out_key.append(key)
+        keys = np.concatenate(out_key).astype(np.uint64)
+        return pa.table({
+            "media_ref": pa.array(out_ref, type=pa.string()),
+            "ahash": pa.array(np.concatenate(out_hash)),
+            "bkey": pa.array(keys.astype(np.int64)),
+            "part": pa.array(
+                (hash_u64(keys) % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    def pairs(group: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({
+            "ref_a": pd.Series([], dtype=object),
+            "ref_b": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype="int64"),
+        })
+        if group.empty:
+            return empty
+        g = group.drop_duplicates(["bkey", "media_ref"]).sort_values(
+            ["bkey", "media_ref"], kind="stable"
+        )
+        g = g.groupby("bkey", sort=False).head(max_bucket)
+        m = g.merge(g, on="bkey", suffixes=("_a", "_b"))
+        m = m[m["media_ref_a"] < m["media_ref_b"]]
+        if m.empty:
+            return empty
+        x = m["ahash_a"].to_numpy().view(np.uint64) ^ m[
+            "ahash_b"
+        ].to_numpy().view(np.uint64)
+        ham = _popcount64(x)
+        m = m[ham <= max_hamming]
+        out = pd.DataFrame({
+            "ref_a": m["media_ref_a"].to_numpy(dtype=object),
+            "ref_b": m["media_ref_b"].to_numpy(dtype=object),
+            "hamming": ham[ham <= max_hamming],
+        })
+        # within-partition dedup only — the cross-partition distinct
+        # (same pair via bands in different partitions) happens below
+        return out.drop_duplicates(["ref_a", "ref_b"])
+
+    from .joins import distinct_on
+
+    raw = (
+        hashed.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # hamming is a pure function of the pair → safe in the distinct key
+    return distinct_on(raw, ["ref_a", "ref_b", "hamming"], n_parts=n_parts)

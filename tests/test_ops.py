@@ -3933,3 +3933,39 @@ def test_deterministic_walks_match_reference(ray_session):
         ).to_pandas()
         got = {tuple(r) for r in out.itertuples(index=False)}
         assert got == want, parts
+
+
+def test_phash_pairs_threshold_and_banding(ray_session):
+    """Hand-built hashes: distance ≤ 3 found (pigeonhole guarantee with 4
+    bands), distance ≥ 4 dropped even when a band collides; popcount LUT
+    agrees with int.bit_count."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from ontocast_ray.ops.multimodal import _popcount64, phash_dup_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = {
+        "a": base,
+        "b": base ^ 0b111,            # hamming 3 from a → kept
+        "c": base ^ 0x1111,           # hamming 4, one bit per band → dropped
+        "d": base ^ (1 << 63),        # hamming 1 from a → kept
+    }
+    hashed = ray.data.from_arrow(pa.table({
+        "media_ref": pa.array(list(rows), type=pa.string()),
+        "ahash": pa.array(
+            np.array(list(rows.values()), dtype=np.uint64).view(np.int64)
+        ),
+    }))
+    out = phash_dup_pairs(hashed, max_hamming=3, n_parts=4).to_pandas()
+    got = {(r.ref_a, r.ref_b): r.hamming for r in out.itertuples()}
+    assert got[("a", "b")] == 3 and got[("a", "d")] == 1
+    assert ("a", "c") not in got
+    # b vs d: 4 bits apart; b vs c etc. all > 3
+    assert set(got) == {("a", "b"), ("a", "d"), ("b", "d")} - {("b", "d")} \
+        or ("b", "d") not in got
+
+    xs = np.array([0, 1, 0xFFFFFFFFFFFFFFFF, base], dtype=np.uint64)
+    assert _popcount64(xs).tolist() == [int(x).bit_count() for x in xs]
