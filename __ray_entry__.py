@@ -4283,6 +4283,109 @@ def _q_media_phash(sf_dir: str):
     return phash_dup_pairs(image_average_hash(media), max_hamming=3)
 
 
+def _q_char_pair_counts(sf_dir: str):
+    """BPE-trainer inner statistic: corpus-wide adjacent CHARACTER-pair
+    counts within [a-z]+ tokens (the frequency table the first BPE merge
+    maximizes). Fully vectorized: all tokens of a batch joined with a
+    NUL separator, one uint8 view → code = a·256+b → bincount; pairs
+    never cross tokens (NUL masks). ≤ 676 distinct pairs ever shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        toks = (
+            df["text"].fillna("").str.lower().str.findall(r"[a-z]+").explode()
+        )
+        toks = toks[toks.notna()]
+        big = "\x00".join(toks.tolist())
+        if len(big) < 2:
+            return pd.DataFrame({
+                "pair": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        arr = np.frombuffer(big.encode("ascii"), dtype=np.uint8)
+        a, b = arr[:-1], arr[1:]
+        valid = (a != 0) & (b != 0)
+        codes = a[valid].astype(np.int32) * 256 + b[valid]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({
+            "pair": [chr(c >> 8) + chr(c & 255) for c in nz],
+            "n": counts[nz].astype(np.int64),
+            "part": np.zeros(len(nz), dtype=np.int32),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("pair", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_span_corruption(sf_dir: str):
+    """T5/MLM training-pair construction: each whitespace token is masked
+    iff splitmix64(doc_id·2^20 + position, seed=15) % 100 < 15 — a pure
+    function of (doc_id, position), so the mask schedule is
+    parallelism-invariant and SQL-re-derivable. → (doc_id, input_text
+    with '<X>' holes, target_text = masked tokens in order, n_masked).
+    Pure map, zero shuffle (doc-atomic kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontocast_ray.ops.interleave import splitmix64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.reset_index(drop=True)
+        toks = df["text"].fillna("").str.split().explode()
+        toks = toks[toks.notna()]
+        if toks.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "input_text": pd.Series([], dtype=object),
+                "target_text": pd.Series([], dtype=object),
+                "n_masked": pd.Series([], dtype="int64"),
+            })
+        idx = toks.index.to_numpy()
+        doc_ids = df["doc_id"].to_numpy()[idx].astype(np.uint64)
+        pos = (
+            pd.Series(np.arange(len(toks)))
+            .groupby(idx)
+            .cumcount()
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        m = (
+            splitmix64(doc_ids * np.uint64(1 << 20) + pos, seed=15)
+            % np.uint64(100)
+        ) < np.uint64(15)
+        words = toks.to_numpy(dtype=object)
+        inp = pd.Series(np.where(m, "<X>", words), index=idx)
+        tgt = pd.Series(words[m], index=idx[m])
+        gi = inp.groupby(level=0).agg(" ".join)
+        gt = tgt.groupby(level=0).agg(" ".join).reindex(
+            gi.index, fill_value=""
+        )
+        nm = pd.Series(m.astype(np.int64), index=idx).groupby(level=0).sum()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[gi.index.to_numpy()],
+            "input_text": gi.to_numpy(dtype=object),
+            "target_text": gt.to_numpy(dtype=object),
+            "n_masked": nm.to_numpy().astype(np.int64),
+        })
+
+    return docs.map_batches(kern, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4458,6 +4561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deepwalk_walks": _q_deepwalk,
         "sentence_stats": _q_sentence_stats,
         "media_phash_dupes": _q_media_phash,
+        "char_pair_counts": _q_char_pair_counts,
+        "span_corruption_pairs": _q_span_corruption,
     }
 
 
@@ -6864,6 +6969,46 @@ def _sql_oracles() -> dict[str, str]:
             UNION ALL SELECT wstart, CAST(1 AS BIGINT), cur FROM s1
             UNION ALL SELECT wstart, CAST(2 AS BIGINT), cur FROM s2
             UNION ALL SELECT wstart, CAST(3 AS BIGINT), cur FROM s3
+        """,
+        # BPE-trainer pair stats: 2-char substrings over [a-z]+ tokens
+        "char_pair_counts": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS w
+                FROM documents
+            )
+            SELECT substring(w, i, 2) AS pair,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM toks, UNNEST(range(1, length(w))) AS t(i)
+            GROUP BY pair
+        """,
+        # span corruption: splitmix mask over (doc_id·2^20 + position),
+        # ordered string_agg reassembly — the exact Ray mask schedule
+        "span_corruption_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS ws
+                FROM documents
+            ), flat AS (
+                SELECT doc_id, unnest(ws) AS tok,
+                       unnest(range(len(ws))) AS i
+                FROM toks
+            ), marked AS (
+                SELECT doc_id, tok, i,
+                       ({_splitmix_expr_sql(
+                           'CAST(doc_id * 1048576 + i AS UBIGINT)', 15)}
+                        % 100) < 15 AS m
+                FROM flat
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN m THEN '<X>' ELSE tok END, ' '
+                              ORDER BY i) AS input_text,
+                   COALESCE(string_agg(CASE WHEN m THEN tok END, ' '
+                                       ORDER BY i), '') AS target_text,
+                   CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_masked
+            FROM marked GROUP BY doc_id
         """,
         # sentence segmentation: list-lambda mirror of split+filter+sum
         "sentence_stats": r"""

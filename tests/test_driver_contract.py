@@ -200,6 +200,8 @@ _SQL_GATED = [
         "nucleus_top80_docs",
         "deepwalk_walks",
         "sentence_stats",
+        "char_pair_counts",
+        "span_corruption_pairs",
 ]
 
 
