@@ -4386,6 +4386,112 @@ def _q_span_corruption(sf_dir: str):
     return docs.map_batches(kern, batch_format="pandas")
 
 
+def _q_events_cume_dist(sf_dir: str):
+    """Per-user CUME_DIST of event value (the empirical-CDF feature):
+    cd = |{rows with value ≤ v}| / n within the user — one coarse
+    user-hash shuffle, tie handling via a vectorized per-(user, value)
+    max-position transform; the final division is the same two integers
+    on both engines → bit-exact doubles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    n_parts = 16
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["user_id"], n_parts))
+        )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "cd": pd.Series([], dtype="float64"),
+            })
+        df = df.sort_values(["user_id", "value"], kind="mergesort")
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        peers = (
+            df.assign(pos=pos)
+            .groupby(["user_id", "value"], sort=False)["pos"]
+            .transform("max")
+            .to_numpy()
+            .astype(np.float64)
+        )
+        n = (
+            df.groupby("user_id", sort=False)["value"]
+            .transform("size")
+            .to_numpy()
+            .astype(np.float64)
+        )
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "cd": peers / n,
+        })
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Per-user winsorization report (robust feature preprocessing): clip
+    values to the user's [p05, p95] discrete quantiles and sum the
+    clipped series in exact integer cents; counts of low/high clips.
+    ONE colocate shuffle computes quantiles AND clips in the same kernel
+    (no second join); quantile index = ceil(p·n)−1, the SQL
+    quantile_disc rule, so the clip boundaries match bit-for-bit."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_partition
+
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+    n_parts = 16
+
+    def add_part(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column(
+            "part", pa.array(hash_partition(batch["user_id"], n_parts))
+        )
+
+    def kernel(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {
+            "user_id": [], "n_events": [], "n_clip_low": [],
+            "n_clip_high": [], "winsorized_cents": [],
+        }
+        for uid, rows in df.groupby("user_id", sort=False):
+            v = rows["value"].to_numpy()
+            sv = np.sort(v)
+            n = len(sv)
+            lo = sv[max(0, _math.ceil(0.05 * n) - 1)]
+            hi = sv[max(0, _math.ceil(0.95 * n) - 1)]
+            clipped = np.minimum(np.maximum(v, lo), hi)
+            out["user_id"].append(uid)
+            out["n_events"].append(np.int64(n))
+            out["n_clip_low"].append(np.int64((v < lo).sum()))
+            out["n_clip_high"].append(np.int64((v > hi).sum()))
+            out["winsorized_cents"].append(
+                np.int64(np.floor(clipped * 100.0).astype(np.int64).sum())
+            )
+        return pd.DataFrame(out)
+
+    return (
+        events.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4563,6 +4669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_phash_dupes": _q_media_phash,
         "char_pair_counts": _q_char_pair_counts,
         "span_corruption_pairs": _q_span_corruption,
+        "events_user_cume_dist": _q_events_cume_dist,
+        "events_winsorized": _q_events_winsorized,
     }
 
 
@@ -6969,6 +7077,34 @@ def _sql_oracles() -> dict[str, str]:
             UNION ALL SELECT wstart, CAST(1 AS BIGINT), cur FROM s1
             UNION ALL SELECT wstart, CAST(2 AS BIGINT), cur FROM s2
             UNION ALL SELECT wstart, CAST(3 AS BIGINT), cur FROM s3
+        """,
+        # empirical CDF per user — same integer division both engines
+        "events_user_cume_dist": r"""
+            SELECT event_id, user_id,
+                   cume_dist() OVER (
+                       PARTITION BY user_id ORDER BY value
+                   ) AS cd
+            FROM events
+        """,
+        # winsorized sums in exact integer cents; quantile_disc bounds
+        "events_winsorized": r"""
+            WITH q AS (
+                SELECT user_id,
+                       quantile_disc(value, 0.05) AS lo,
+                       quantile_disc(value, 0.95) AS hi
+                FROM events GROUP BY user_id
+            )
+            SELECT e.user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (WHERE e.value < q.lo)
+                        AS BIGINT) AS n_clip_low,
+                   CAST(count(*) FILTER (WHERE e.value > q.hi)
+                        AS BIGINT) AS n_clip_high,
+                   CAST(sum(CAST(floor(
+                       least(greatest(e.value, q.lo), q.hi) * 100)
+                       AS BIGINT)) AS BIGINT) AS winsorized_cents
+            FROM events e JOIN q USING (user_id)
+            GROUP BY e.user_id
         """,
         # BPE-trainer pair stats: 2-char substrings over [a-z]+ tokens
         "char_pair_counts": r"""

@@ -202,6 +202,8 @@ _SQL_GATED = [
         "sentence_stats",
         "char_pair_counts",
         "span_corruption_pairs",
+        "events_user_cume_dist",
+        "events_winsorized",
 ]
 
 
