@@ -4492,6 +4492,150 @@ def _q_events_winsorized(sf_dir: str):
     )
 
 
+def _q_link_prediction(sf_dir: str):
+    """Neighbor-set Jaccard link prediction over the supplier projection:
+    for supplier pairs sharing ≥2 customers, |N(a)∩N(b)| / |N(a)∪N(b)|
+    (the classic similarity-based edge-candidate score). Intersections
+    via per-customer pair expansion with packed int64 keys + map-side
+    combiners; degrees broadcast (supplier dim = the small side, the
+    documented star-schema contract); the ratio is the same two ints
+    divided on both engines → bit-exact doubles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.util import hash_partition
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    )
+    pairs = distinct_on(
+        joined, ["l_suppkey", "o_custkey"], n_parts=16
+    ).materialize()  # consumed by degrees + pair expansion
+
+    # degrees: map-side combiner + driver fold (suppliers = small dim)
+    def deg_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("l_suppkey", as_index=False).size()
+        return g.rename(columns={"size": "d"})
+
+    deg_rows = pairs.map_batches(deg_partial, batch_format="pandas")
+    deg: dict[int, int] = {}
+    for r in deg_rows.take_all():
+        deg[r["l_suppkey"]] = deg.get(r["l_suppkey"], 0) + int(r["d"])
+    deg_ref = ray.put(deg)
+
+    n_parts = 16
+
+    def by_customer(batch: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "s": batch["l_suppkey"].combine_chunks().cast(pa.int64()),
+            "c": batch["o_custkey"].combine_chunks().cast(pa.int64()),
+            "part": pa.array(hash_partition(batch["o_custkey"], n_parts)),
+        })
+
+    def expand(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "kpart": pd.Series([], dtype="int32"),
+            })
+        m = df.merge(df, on="c", suffixes=("_a", "_b"))
+        m = m[m["s_a"] < m["s_b"]]
+        key = (m["s_a"].to_numpy() << np.int64(31)) | m["s_b"].to_numpy()
+        g = pd.DataFrame({"key": key}).groupby("key", as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        g["kpart"] = (g["key"].to_numpy() % np.int64(n_parts)).astype(
+            np.int32
+        )
+        return g
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "s_a": pd.Series([], dtype="int64"),
+                "s_b": pd.Series([], dtype="int64"),
+                "n_common": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            })
+        g = df.groupby("key", as_index=False)["n"].sum()
+        g = g[g["n"] >= 2]
+        a = (g["key"].to_numpy() >> np.int64(31)).astype(np.int64)
+        b = (g["key"].to_numpy() & np.int64((1 << 31) - 1)).astype(np.int64)
+        n = g["n"].to_numpy().astype(np.int64)
+        dd = ray.get(deg_ref)
+        da = np.array([dd[x] for x in a], dtype=np.int64)
+        db = np.array([dd[x] for x in b], dtype=np.int64)
+        return pd.DataFrame({
+            "s_a": a, "s_b": b, "n_common": n,
+            "jaccard": n.astype(np.float64) / (da + db - n),
+        })
+
+    return (
+        pairs.map_batches(by_customer, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(expand, batch_format="pandas")
+        .groupby("kpart")
+        .map_groups(score, batch_format="pandas")
+    )
+
+
+def _q_events_per_minute(sf_dir: str):
+    """Gap-filled dense time series: global events-per-minute between the
+    corpus min and max minute, zeros included (the rate series every
+    monitoring/feature pipeline densifies). Map-side per-minute partial
+    counts (bounded by the time range, never the event count) → one
+    single-group combine that folds partials and zero-fills with
+    np.arange — the driver never sees a row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    events = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        minute = ts.astype("datetime64[us]").astype(np.int64) // np.int64(
+            60_000_000
+        )
+        uniq, cnt = np.unique(minute, return_counts=True)
+        return pa.table({
+            "minute": pa.array(uniq),
+            "n": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(np.zeros(len(uniq), dtype=np.int32)),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "minute": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            })
+        g = df.groupby("minute")["n"].sum()
+        lo, hi = int(g.index.min()), int(g.index.max())
+        dense = np.arange(lo, hi + 1, dtype=np.int64)
+        filled = g.reindex(dense, fill_value=0)
+        return pd.DataFrame({
+            "minute": dense,
+            "n_events": filled.to_numpy().astype(np.int64),
+        })
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4671,6 +4815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption_pairs": _q_span_corruption,
         "events_user_cume_dist": _q_events_cume_dist,
         "events_winsorized": _q_events_winsorized,
+        "supplier_link_prediction": _q_link_prediction,
+        "events_per_minute_dense": _q_events_per_minute,
     }
 
 
@@ -7077,6 +7223,40 @@ def _sql_oracles() -> dict[str, str]:
             UNION ALL SELECT wstart, CAST(1 AS BIGINT), cur FROM s1
             UNION ALL SELECT wstart, CAST(2 AS BIGINT), cur FROM s2
             UNION ALL SELECT wstart, CAST(3 AS BIGINT), cur FROM s3
+        """,
+        # neighbor-set Jaccard link prediction (≥2 shared customers);
+        # ratio = same two ints divided → bit-exact
+        "supplier_link_prediction": r"""
+            WITH pairs AS (
+                SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), deg AS (
+                SELECT s, count(*) AS d FROM pairs GROUP BY s
+            ), inter AS (
+                SELECT a.s AS s_a, b.s AS s_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+                GROUP BY a.s, b.s HAVING count(*) >= 2
+            )
+            SELECT s_a, s_b, n_common,
+                   CAST(n_common AS DOUBLE) / (da.d + db.d - n_common)
+                       AS jaccard
+            FROM inter
+            JOIN deg da ON da.s = s_a
+            JOIN deg db ON db.s = s_b
+        """,
+        # dense per-minute rate series, zero-filled over the full range
+        "events_per_minute_dense": r"""
+            WITH m AS (
+                SELECT epoch_us(ts) // 60000000 AS minute FROM events
+            ), b AS (
+                SELECT min(minute) AS lo, max(minute) AS hi FROM m
+            ), g AS (
+                SELECT unnest(range(lo, hi + 1)) AS minute FROM b
+            )
+            SELECT g.minute, CAST(count(m.minute) AS BIGINT) AS n_events
+            FROM g LEFT JOIN m ON m.minute = g.minute
+            GROUP BY g.minute
         """,
         # empirical CDF per user — same integer division both engines
         "events_user_cume_dist": r"""

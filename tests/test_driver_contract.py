@@ -204,6 +204,8 @@ _SQL_GATED = [
         "span_corruption_pairs",
         "events_user_cume_dist",
         "events_winsorized",
+        "supplier_link_prediction",
+        "events_per_minute_dense",
 ]
 
 
