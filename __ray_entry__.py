@@ -4636,6 +4636,18 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_bigram_lm(sf_dir: str):
+    """Corpus bigram-LM likelihood scoring (CCNet/RedPajama perplexity
+    filter) in exact fixed-point: each bigram occurrence contributes
+    (c(w1,w2)·10^6) // c(w1) under the corpus's own counts. No broadcast
+    model: ONE hash(w1)%P shuffle co-locates counts + scoring, one
+    doc-hash shuffle sums (ops/lm.py)."""
+    from ontocast_ray.ops.lm import bigram_lm_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_scores(docs, n_parts=32, out_parts=16)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -4817,6 +4829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorized,
         "supplier_link_prediction": _q_link_prediction,
         "events_per_minute_dense": _q_events_per_minute,
+        "bigram_lm_scores": _q_bigram_lm,
     }
 
 
@@ -7471,5 +7484,46 @@ def _sql_oracles() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, url_canon,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM canon GROUP BY url_canon
+        """,
+        # corpus bigram-LM fixed-point likelihood: self-trained counts,
+        # per-type contribution ((n12 * 10^6) // n1) * n_occ — integer
+        # division order matches the Ray kernel exactly
+        "bigram_lm_scores": r"""
+            WITH bg AS (
+                SELECT doc_id, w1, w2,
+                       CAST(count(*) AS BIGINT) AS n_occ
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i])) AS w1,
+                           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i+1])) AS w2
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(
+                                     lower(COALESCE(text, '')),
+                                     '[a-z]+') AS ws
+                          FROM documents)
+                    WHERE len(ws) >= 2
+                )
+                GROUP BY 1, 2, 3
+            ), c12 AS (
+                SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS n12
+                FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, CAST(sum(n_occ) AS BIGINT) AS n1
+                FROM bg GROUP BY 1
+            )
+            SELECT bg.doc_id,
+                   CAST(sum(bg.n_occ) AS BIGINT) AS n_bigrams,
+                   CAST(sum(((c12.n12 * 1000000) // c1.n1) * bg.n_occ)
+                        AS BIGINT) AS lm_score,
+                   CAST(CAST(sum(((c12.n12 * 1000000) // c1.n1)
+                                 * bg.n_occ) AS BIGINT)
+                        // greatest(CAST(sum(bg.n_occ) AS BIGINT), 1)
+                        AS BIGINT) AS lm_avg
+            FROM bg
+            JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+            JOIN c1 ON bg.w1 = c1.w1
+            GROUP BY bg.doc_id
         """,
     }

@@ -443,6 +443,31 @@ def run_label_propagation() -> int:
     ).count()
 
 
+def run_fuzzy_join() -> int:
+    # blocked Levenshtein record linkage: 15k × 1k names in 25 nation
+    # blocks at sf0.1 → ~600k batched-DP distances
+    from ontocast_ray.ops.fuzzy import edit_distance_join
+
+    cust = _read("customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    supp = _read("supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    return edit_distance_join(
+        cust, supp,
+        left_key="c_custkey", right_key="s_suppkey",
+        left_name="c_name", right_name="s_name",
+        left_block="c_nationkey", right_block="s_nationkey",
+        max_dist=6, n_parts=32,
+    ).count()
+
+
+def run_bigram_lm() -> int:
+    # self-trained corpus bigram LM scoring: one w1-hash shuffle of the
+    # partial counts, one doc-hash sum
+    from ontocast_ray.ops.lm import bigram_lm_scores
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    return bigram_lm_scores(docs, n_parts=64, out_parts=32).count()
+
+
 def run_text_stats() -> int:
     from ontocast_ray.ops.text import quality_stats, token_stats
 
@@ -643,6 +668,14 @@ def main() -> None:
     t = time.perf_counter()
     run_dolma_pipeline()
     extras["dolma_pipeline"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_fuzzy_join()
+    extras["fuzzy_join"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_bigram_lm()
+    extras["bigram_lm"] = round(time.perf_counter() - t, 3)
 
     print(
         json.dumps(

@@ -206,6 +206,7 @@ _SQL_GATED = [
         "events_winsorized",
         "supplier_link_prediction",
         "events_per_minute_dense",
+        "bigram_lm_scores",
 ]
 
 

@@ -3969,3 +3969,54 @@ def test_phash_pairs_threshold_and_banding(ray_session):
 
     xs = np.array([0, 1, 0xFFFFFFFFFFFFFFFF, base], dtype=np.uint64)
     assert _popcount64(xs).tolist() == [int(x).bit_count() for x in xs]
+
+
+def test_bigram_lm_scores_hand_computed(ray_session):
+    """3-doc corpus with hand-derived bigram counts: doc-boundary bigrams
+    never form, short docs are absent, and the fixed-point score matches
+    the by-hand ML conditional sums. model_docs path: scoring against a
+    disjoint reference corpus gives zero contributions."""
+    import pandas as pd
+
+    import ray
+
+    from ontocast_ray.ops.lm import bigram_lm_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat",        # bigrams: (the,cat) (cat,sat)
+            "the cat ran",        # (the,cat) (cat,ran)
+            "the dog sat",        # (the,dog) (dog,sat)
+            "solo",               # 1 token → no bigrams → absent
+        ],
+    })
+    out = (
+        bigram_lm_scores(
+            ray.data.from_pandas(docs).repartition(3),
+            n_parts=4, out_parts=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus counts: c1(the)=3, c1(cat)=2, c1(dog)=1
+    # c12: (the,cat)=2 (the,dog)=1 (cat,sat)=1 (cat,ran)=1 (dog,sat)=1
+    s = 1_000_000
+    d1 = (2 * s) // 3 + (1 * s) // 2
+    d2 = (2 * s) // 3 + (1 * s) // 2
+    d3 = (1 * s) // 3 + (1 * s) // 1
+    assert out.index.tolist() == [1, 2, 3]
+    assert out["lm_score"].tolist() == [d1, d2, d3]
+    assert out["n_bigrams"].tolist() == [2, 2, 2]
+    assert out["lm_avg"].tolist() == [d1 // 2, d2 // 2, d3 // 2]
+
+    # reference-corpus mode: disjoint vocab → every contribution is 0
+    ref = pd.DataFrame({"doc_id": [9], "text": ["alpha beta gamma"]})
+    out2 = bigram_lm_scores(
+        ray.data.from_pandas(docs),
+        model_docs=ray.data.from_pandas(ref),
+        n_parts=4, out_parts=2,
+    ).to_pandas()
+    assert out2["lm_score"].tolist() == [0] * len(out2)
+    assert sorted(out2["doc_id"]) == [1, 2, 3]
