@@ -4636,6 +4636,21 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Exact shingle-containment near-dup pairs (quote-inclusion/subset
+    duplicates Jaccard misses): inverted-index join on hash(shingle)%P —
+    no LSH, no candidate list — with the df≤64 boilerplate cap applied
+    where the posting list is globally exact (ops/dedup.py
+    containment_pairs)."""
+    from ontocast_ray.ops.dedup import containment_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(
+        docs, shingle_k=3, threshold_ppm=600_000, max_df=64,
+        n_parts=32, out_parts=16,
+    )
+
+
 def _q_bigram_lm(sf_dir: str):
     """Corpus bigram-LM likelihood scoring (CCNet/RedPajama perplexity
     filter) in exact fixed-point: each bigram occurrence contributes
@@ -4830,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_link_prediction": _q_link_prediction,
         "events_per_minute_dense": _q_events_per_minute,
         "bigram_lm_scores": _q_bigram_lm,
+        "containment_dup_pairs": _q_containment_pairs,
     }
 
 
@@ -7525,5 +7541,48 @@ def _sql_oracles() -> dict[str, str]:
             JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
             JOIN c1 ON bg.w1 = c1.w1
             GROUP BY bg.doc_id
+        """,
+        # exact containment pairs: the _JACCARD_PAIRS_SQL shingle rule
+        # + df<=64 boilerplate cap + integer-ppm one-sided overlap
+        "containment_dup_pairs": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(w) >= 3
+                              THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' '
+                                        || w[i+2])
+                              ELSE [array_to_string(w, ' ')] END
+                       ) AS shingles
+                FROM ws
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sh
+            ), keepsh AS (
+                SELECT s FROM ex GROUP BY s HAVING count(*) <= 64
+            ), ex2 AS (
+                SELECT ex.doc_id, ex.s FROM ex JOIN keepsh USING (s)
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CAST(count(*) AS BIGINT) AS i
+                FROM ex2 a JOIN ex2 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b, i AS n_shared,
+                   CAST(na.n AS BIGINT) AS n_a,
+                   CAST(nb.n AS BIGINT) AS n_b,
+                   CAST((i * 1000000) // na.n AS BIGINT) AS cont_a_ppm,
+                   CAST((i * 1000000) // nb.n AS BIGINT) AS cont_b_ppm
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_id_a
+            JOIN sizes nb ON nb.doc_id = doc_id_b
+            WHERE greatest((i * 1000000) // na.n,
+                           (i * 1000000) // nb.n) >= 600000
         """,
     }

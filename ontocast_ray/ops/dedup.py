@@ -1683,3 +1683,137 @@ def source_similarity_matrix(
         "n_common": pa.array(np.asarray(nc, dtype=np.int64)),
         "jaccard": pa.array(np.asarray(jac, dtype=np.float64)),
     })
+
+
+def containment_pairs(
+    docs: "ray.data.Dataset",
+    shingle_k: int = 3,
+    threshold_ppm: int = 600_000,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+    out_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Exact shingle-CONTAINMENT near-dup pairs: C(A→B) = |sh(A) ∩ sh(B)|
+    / |sh(A)| in fixed-point ppm — the one-sided overlap that catches
+    quote-inclusion / subset duplicates symmetric Jaccard misses
+    (a 100-line doc fully embedded in a 10k-line doc has Jaccard ≈ 0.01
+    but containment 1.0). → (doc_id_a, doc_id_b, n_shared, n_a, n_b,
+    cont_a_ppm, cont_b_ppm) for pairs with max(cont) ≥ ``threshold_ppm``.
+
+    Scale shape — an inverted-index join, no LSH and no candidate list:
+    per-block DISTINCT (shingle_hash, doc_id, n_sh) rows through ONE
+    coarse ``hash(shingle) % P`` shuffle. Because the partition key IS
+    the shingle, each shingle's full posting list lands in one kernel:
+    document frequency is globally exact there, and postings longer than
+    ``max_df`` are dropped wholesale (a shingle shared by >max_df docs is
+    boilerplate — the standard df-cap that bounds the C(df,2) pair
+    fan-out; the cap is part of the op's contract and the SQL oracle
+    mirrors it). Pair partials then take one ``hash(pair) % P`` shuffle;
+    integer ppm division keeps the threshold bit-exact across engines.
+    Shingle identity is the usual 64-bit collision-free assumption
+    (same kernel as MinHash/exact-Jaccard verify).
+    """
+    from ontocast_ray.util import hash_u64
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, ranges, empty = _word_hashes_batch(texts)
+        sh_all, id_all, nsh_all = [], [], []
+        for i, (s, e) in enumerate(ranges):
+            if empty[i]:
+                sh = np.zeros(1, dtype=np.uint64)
+            else:
+                sh = _fold_kgrams(hashes[s:e], shingle_k)  # already unique
+            sh_all.append(sh)
+            id_all.append(np.full(len(sh), ids[i], dtype=np.int64))
+            nsh_all.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not sh_all:
+            return pa.table({
+                "sh": pa.array([], type=pa.uint64()),
+                id_col: pa.array([], type=pa.int64()),
+                "n_sh": pa.array([], type=pa.int64()),
+                "part": pa.array([], type=pa.int32()),
+            })
+        sh = np.concatenate(sh_all)
+        return pa.table({
+            "sh": pa.array(sh),
+            id_col: pa.array(np.concatenate(id_all)),
+            "n_sh": pa.array(np.concatenate(nsh_all)),
+            "part": pa.array((sh % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def pair_partials(df: "pd.DataFrame") -> "pd.DataFrame":
+        emptyf = pd.DataFrame({
+            "doc_id_a": pd.Series([], dtype="int64"),
+            "doc_id_b": pd.Series([], dtype="int64"),
+            "n_shared": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "ppart": pd.Series([], dtype="int32"),
+        })
+        if df.empty:
+            return emptyf
+        # global df is exact here: every row of a shingle is co-located
+        df = df[df.groupby("sh")["sh"].transform("size") <= max_df]
+        if df.empty:
+            return emptyf
+        m = df.merge(df, on="sh", suffixes=("_l", "_r"))
+        m = m[m[f"{id_col}_l"] < m[f"{id_col}_r"]]
+        if m.empty:
+            return emptyf
+        g = m.groupby(
+            [f"{id_col}_l", f"{id_col}_r", "n_sh_l", "n_sh_r"],
+            as_index=False,
+        ).size()
+        a = g[f"{id_col}_l"].to_numpy(np.int64)
+        b = g[f"{id_col}_r"].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            ph = hash_u64(a) * np.uint64(0x9E3779B97F4A7C15) ^ hash_u64(b)
+        return pd.DataFrame({
+            "doc_id_a": a,
+            "doc_id_b": b,
+            "n_shared": g["size"].to_numpy(np.int64),
+            "n_a": g["n_sh_l"].to_numpy(np.int64),
+            "n_b": g["n_sh_r"].to_numpy(np.int64),
+            "ppart": (ph % np.uint64(out_parts)).astype(np.int32),
+        })
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id_a": pd.Series([], dtype="int64"),
+                "doc_id_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "cont_a_ppm": pd.Series([], dtype="int64"),
+                "cont_b_ppm": pd.Series([], dtype="int64"),
+            })
+        g = df.groupby(
+            ["doc_id_a", "doc_id_b", "n_a", "n_b"], as_index=False
+        )["n_shared"].sum()
+        i = g["n_shared"].to_numpy(np.int64)
+        ca = (i * np.int64(1_000_000)) // g["n_a"].to_numpy(np.int64)
+        cb = (i * np.int64(1_000_000)) // g["n_b"].to_numpy(np.int64)
+        keep = np.maximum(ca, cb) >= np.int64(threshold_ppm)
+        out = pd.DataFrame({
+            "doc_id_a": g["doc_id_a"].to_numpy(np.int64),
+            "doc_id_b": g["doc_id_b"].to_numpy(np.int64),
+            "n_shared": i,
+            "n_a": g["n_a"].to_numpy(np.int64),
+            "n_b": g["n_b"].to_numpy(np.int64),
+            "cont_a_ppm": ca,
+            "cont_b_ppm": cb,
+        })
+        return out[keep]
+
+    return (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(finalize, batch_format="pandas")
+    )

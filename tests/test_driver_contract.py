@@ -207,6 +207,7 @@ _SQL_GATED = [
         "supplier_link_prediction",
         "events_per_minute_dense",
         "bigram_lm_scores",
+        "containment_dup_pairs",
 ]
 
 

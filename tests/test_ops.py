@@ -4020,3 +4020,45 @@ def test_bigram_lm_scores_hand_computed(ray_session):
     ).to_pandas()
     assert out2["lm_score"].tolist() == [0] * len(out2)
     assert sorted(out2["doc_id"]) == [1, 2, 3]
+
+
+def test_containment_pairs_subset_doc(ray_session):
+    """A doc fully embedded in a larger doc: containment 1.0 one way even
+    though Jaccard is small; unrelated docs produce no pair; the df cap
+    drops boilerplate-shingle postings entirely."""
+    import pandas as pd
+
+    import ray
+
+    from ontocast_ray.ops.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"          # 3 shingles
+    big = small + " zeta eta theta iota kappa " + \
+        "lam mu nu xi omicron pi rho sigma tau"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [small, big, "unrelated words only here today friend"],
+    })
+    out = containment_pairs(
+        ray.data.from_pandas(docs).repartition(2),
+        shingle_k=3, threshold_ppm=900_000, max_df=64,
+        n_parts=4, out_parts=2,
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.doc_id_a, r.doc_id_b) == (1, 2)
+    assert r.n_shared == 3 and r.n_a == 3
+    assert r.cont_a_ppm == 1_000_000          # small ⊂ big
+    assert r.cont_b_ppm < 300_000             # Jaccard-side is tiny
+
+    # df cap: every doc shares ONE hot shingle -> with max_df=2 the
+    # posting is dropped and no pair survives
+    hot = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common seq here"] * 3,
+    })
+    out2 = containment_pairs(
+        ray.data.from_pandas(hot), shingle_k=3,
+        threshold_ppm=500_000, max_df=2, n_parts=4, out_parts=2,
+    )
+    assert out2.count() == 0
