@@ -4636,6 +4636,42 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_link_host_degrees(sf_dir: str):
+    """Link-graph construction (the host-level PageRank input every web
+    crawl builds): synthesize anchors per doc — two absolute links
+    (one mixed-case scheme/host/attr), a relative link that must be
+    skipped, a duplicate anchor on even ids — extract hrefs, lowercase
+    hosts, aggregate per-host link + distinct-linking-doc counts
+    (ops/urls.py link_host_degrees)."""
+    from ontocast_ray.ops.urls import link_host_degrees
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        d = df["doc_id"]
+        a1 = (
+            '<a class="x" href="https://site' + (d % 7).astype(str)
+            + ".example.com/p" + (d % 3).astype(str) + '">l1</a>'
+        )
+        a2 = (
+            '<A HREF="HTTPS://Site' + ((d * 3 + 1) % 7).astype(str)
+            + '.Example.COM/q?a=1">l2</A>'
+        )
+        dup = a1.str.replace(">l1<", ">dup<", regex=False).where(
+            d % 2 == 0, ""
+        )
+        df["html"] = (
+            "<html><body><p>" + df["text"].fillna("") + "</p>"
+            + a1 + a2 + '<a href="/rel/path">rel</a>' + dup
+            + "</body></html>"
+        )
+        return df[["doc_id", "html"]]
+
+    return link_host_degrees(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=16
+    )
+
+
 def _q_containment_pairs(sf_dir: str):
     """Exact shingle-containment near-dup pairs (quote-inclusion/subset
     duplicates Jaccard misses): inverted-index join on hash(shingle)%P —
@@ -4846,6 +4882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_minute_dense": _q_events_per_minute,
         "bigram_lm_scores": _q_bigram_lm,
         "containment_dup_pairs": _q_containment_pairs,
+        "link_host_degrees": _q_link_host_degrees,
     }
 
 
@@ -7584,5 +7621,46 @@ def _sql_oracles() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = doc_id_b
             WHERE greatest((i * 1000000) // na.n,
                            (i * 1000000) // nb.n) >= 600000
+        """,
+        # link graph: same synthetic anchors, regexp_extract_all('is')
+        # href pull, absolute-URL host lowering, relative links skipped
+        "link_host_degrees": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><p>' || COALESCE(text, '') || '</p>'
+                       || '<a class="x" href="https://site'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'
+                       || CAST(doc_id % 3 AS VARCHAR) || '">l1</a>'
+                       || '<A HREF="HTTPS://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.Example.COM/q?a=1">l2</A>'
+                       || '<a href="/rel/path">rel</a>'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<a class="x" href="https://site'
+                              || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example.com/p'
+                              || CAST(doc_id % 3 AS VARCHAR) || '">dup</a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), hrefs AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           html, '<a\s[^>]*href="([^"]+)"', 1, 'is'))
+                           AS href
+                FROM pages
+            ), hosts AS (
+                SELECT doc_id,
+                       lower(regexp_extract(href,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                           AS dst_host
+                FROM hrefs
+                WHERE regexp_matches(href,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://')
+            )
+            SELECT dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+            FROM hosts GROUP BY dst_host
         """,
     }

@@ -379,3 +379,85 @@ def domain_report(
         .groupby("dpart")
         .map_groups(combine_domains, batch_format="pandas")
     )
+
+
+_HREF_RE = re.compile(r'<a\s[^>]*href="([^"]+)"', re.IGNORECASE)
+_HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)")
+
+
+def link_host_degrees(
+    pages: "ray.data.Dataset",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Link-graph construction from crawled HTML — the stage behind every
+    host-level PageRank / CommonCrawl host ranking. Extracts
+    ``<a href="...">`` targets, lowercases the absolute-URL host
+    (relative links have no host and are skipped), and aggregates
+    per target host → (dst_host, n_links, n_src_docs) where
+    ``n_src_docs`` counts DISTINCT linking documents.
+
+    Scale shape: href extraction is a pure vectorized map
+    (``str.extractall`` — one C regex pass per batch); the shuffle
+    carries pre-combined (host, src) distinct rows + per-(host) partial
+    link counts on ``hash(host) % P`` — bounded by hosts × docs, never
+    the HTML. The anchor regex is RE2-simple so the DuckDB
+    ``regexp_extract_all(..., 1)`` oracle mirrors byte-for-byte.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        emptyf = pd.DataFrame({
+            "dst_host": pd.Series([], dtype=object),
+            "src": pd.Series([], dtype="int64"),
+            "n_links": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="int32"),
+        })
+        if df.empty:
+            return emptyf
+        df = df.reset_index(drop=True)
+        hrefs = df[html_col].fillna("").str.extractall(_HREF_RE)[0]
+        if hrefs.empty:
+            return emptyf
+        hosts = hrefs.str.extract(_HOST_RE)[0].str.lower()
+        hosts = hosts[hosts.notna()]
+        if hosts.empty:
+            return emptyf
+        src = df[id_col].to_numpy()[
+            hosts.index.get_level_values(0).to_numpy()
+        ]
+        g = (
+            pd.DataFrame({"dst_host": hosts.to_numpy(), "src": src})
+            .groupby(["dst_host", "src"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_links"})
+        )
+        g["n_links"] = g["n_links"].astype(np.int64)
+        g["src"] = g["src"].astype(np.int64)
+        g["part"] = hash_partition(g["dst_host"].to_numpy(), n_parts)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "dst_host": pd.Series([], dtype=object),
+                "n_links": pd.Series([], dtype="int64"),
+                "n_src_docs": pd.Series([], dtype="int64"),
+            })
+        # (host, src) partials may split across input blocks: re-combine
+        d = df.groupby(["dst_host", "src"], as_index=False)["n_links"].sum()
+        g = d.groupby("dst_host", as_index=False).agg(
+            n_links=("n_links", "sum"), n_src_docs=("src", "nunique")
+        )
+        g["n_links"] = g["n_links"].astype(np.int64)
+        g["n_src_docs"] = g["n_src_docs"].astype(np.int64)
+        return g
+
+    return (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -208,6 +208,7 @@ _SQL_GATED = [
         "events_per_minute_dense",
         "bigram_lm_scores",
         "containment_dup_pairs",
+        "link_host_degrees",
 ]
 
 

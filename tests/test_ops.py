@@ -4062,3 +4062,38 @@ def test_containment_pairs_subset_doc(ray_session):
         threshold_ppm=500_000, max_df=2, n_parts=4, out_parts=2,
     )
     assert out2.count() == 0
+
+
+def test_link_host_degrees_extraction(ray_session):
+    """Hand-built pages: mixed-case tags/hosts fold to one host, relative
+    and missing hrefs are skipped, duplicate anchors count as links but
+    not as extra source docs."""
+    import pandas as pd
+
+    import ray
+
+    from ontocast_ray.ops.urls import link_host_degrees
+
+    pages = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "html": [
+            '<a href="https://a.com/x">1</a>'
+            '<A HREF="HTTPS://A.COM/y">2</A>'
+            '<a href="/rel">r</a>',
+            '<a class="z" href="http://b.org/p?q=1">1</a>'
+            '<a href="https://a.com/z">2</a>',
+            "<p>no links at all</p>",
+        ],
+    })
+    out = (
+        link_host_degrees(ray.data.from_pandas(pages).repartition(2),
+                          n_parts=4)
+        .to_pandas()
+        .set_index("dst_host")
+        .sort_index()
+    )
+    assert out.loc["a.com", "n_links"] == 3
+    assert out.loc["a.com", "n_src_docs"] == 2
+    assert out.loc["b.org", "n_links"] == 1
+    assert out.loc["b.org", "n_src_docs"] == 1
+    assert len(out) == 2
