@@ -4636,6 +4636,86 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_compression_ratio(sf_dir: str):
+    """zlib-compressibility quality signal per doc (template spam is
+    highly compressible, binary junk is not) — pure map, fixed-point
+    ratio; golden-pinned (no SQL zlib)."""
+    from ontocast_ray.ops.text import compression_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(compression_stats, batch_format="pyarrow")
+
+
+def _q_kg_predicate_profile(sf_dir: str):
+    """KG schema-usage profile over the FLAGSHIP pipeline output: per
+    predicate — triple count, distinct subjects, distinct objects,
+    literal-valued share. The ontology-side 'which relations carry the
+    graph' report (reference exposes graph stats via its aggregation
+    status; this is the per-predicate breakdown). One coarse
+    hash(predicate)%P shuffle of batch-combined partials; golden-pinned
+    like the other kg_* queries (content-hash IRIs)."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "facts"]
+        if df.empty:
+            return pd.DataFrame({
+                "predicate": pd.Series([], dtype=object),
+                "subject": pd.Series([], dtype=object),
+                "object": pd.Series([], dtype=object),
+                "is_lit": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        g = (
+            df.assign(is_lit=df["object_is_literal"].astype("int64"))
+            .groupby(["predicate", "subject", "object", "is_lit"],
+                     as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype("int64")
+        g["part"] = hash_partition(g["predicate"].to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame({
+                "predicate": pd.Series([], dtype=object),
+                "n_triples": pd.Series([], dtype="int64"),
+                "n_subjects": pd.Series([], dtype="int64"),
+                "n_objects": pd.Series([], dtype="int64"),
+                "n_literal": pd.Series([], dtype="int64"),
+            })
+        d = g.groupby(["predicate", "subject", "object", "is_lit"],
+                      as_index=False)["n"].sum()
+        out = d.groupby("predicate", as_index=False).agg(
+            n_triples=("n", "sum"),
+            n_subjects=("subject", "nunique"),
+            n_objects=("object", "nunique"),
+        )
+        lit = (
+            d[d["is_lit"] == 1]
+            .groupby("predicate", as_index=False)["n"].sum()
+            .rename(columns={"n": "n_literal"})
+        )
+        out = out.merge(lit, on="predicate", how="left")
+        out["n_literal"] = out["n_literal"].fillna(0).astype("int64")
+        for c in ("n_triples", "n_subjects", "n_objects"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_link_host_degrees(sf_dir: str):
     """Link-graph construction (the host-level PageRank input every web
     crawl builds): synthesize anchors per doc — two absolute links
@@ -4883,6 +4963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": _q_bigram_lm,
         "containment_dup_pairs": _q_containment_pairs,
         "link_host_degrees": _q_link_host_degrees,
+        "compression_ratio": _q_compression_ratio,
+        "kg_predicate_profile": _q_kg_predicate_profile,
     }
 
 
@@ -4919,6 +5001,8 @@ _GOLDEN_QUERIES = [
     "kg_two_hop_preds",
     "kg_label_ambiguity",
     "media_phash_dupes",
+    "compression_ratio",
+    "kg_predicate_profile",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

@@ -1248,3 +1248,36 @@ def vocab_coverage(
             np.asarray(rows_cov, dtype=np.float64) / np.float64(total)
         ),
     })
+
+
+def compression_stats(batch: pa.Table, level: int = 6) -> pa.Table:
+    """→ (doc_id, n_bytes, n_zlib, ratio_ppm): zlib-compressibility — the
+    classic repetition/boilerplate quality signal (highly compressible
+    text is template spam; near-incompressible text is often binary
+    junk; both tails get filtered in Gopher-style gates).
+
+    Pure map, zero shuffles. The per-doc ``zlib.compress`` is one C call
+    dispatched from a thin loop (compression is inherently per-blob —
+    there is no vectorized kernel to miss). ``ratio_ppm`` is fixed-point
+    ``n_zlib·10⁶ // n_bytes`` so the value set is integer-exact;
+    determinism contract: zlib output length is a pure function of
+    (bytes, level) for the pinned container zlib — the golden regen
+    path, not live SQL, gates it.
+    """
+    import zlib
+
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    raw = [(t or "").encode("utf-8") for t in texts]
+    nb = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    nz = np.fromiter(
+        (len(zlib.compress(b, level)) for b in raw),
+        dtype=np.int64, count=len(raw),
+    )
+    ratio = (nz * np.int64(1_000_000)) // np.maximum(nb, 1)
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64)),
+        "n_bytes": pa.array(nb),
+        "n_zlib": pa.array(nz),
+        "ratio_ppm": pa.array(ratio),
+    })
