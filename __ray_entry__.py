@@ -4636,6 +4636,27 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_fim_psm(sf_dir: str):
+    """Fill-in-the-middle PSM reordering (code-LM pretraining transform):
+    deterministic splitmix character split points per doc, zero shuffles
+    (ops/lm.py fim_transform); substring+splitmix SQL mirror."""
+    from ontocast_ray.ops.lm import fim_transform
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return fim_transform(docs, seed=7)
+
+
+def _q_wordset_dedup(sf_dir: str):
+    """Bag-of-words exact dedup (reordered/re-punctuated boilerplate
+    catcher): sorted-distinct-word-set fingerprint, exact_dedup shuffle
+    shape — the shuffle carries (key, min_id, count), never text
+    (ops/dedup.py wordset_dedup)."""
+    from ontocast_ray.ops.dedup import wordset_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return wordset_dedup(docs, n_parts=32)
+
+
 def _q_compression_ratio(sf_dir: str):
     """zlib-compressibility quality signal per doc (template spam is
     highly compressible, binary junk is not) — pure map, fixed-point
@@ -4965,6 +4986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_host_degrees": _q_link_host_degrees,
         "compression_ratio": _q_compression_ratio,
         "kg_predicate_profile": _q_kg_predicate_profile,
+        "fim_psm_docs": _q_fim_psm,
+        "wordset_dedup": _q_wordset_dedup,
     }
 
 
@@ -7746,5 +7769,49 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_links,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
             FROM hosts GROUP BY dst_host
+        """,
+        # FIM: substring + the splitmix HUGEINT mirror, seeds 7/8
+        "fim_psm_docs": f"""
+            WITH base AS (
+                SELECT doc_id, COALESCE(text, '') AS t,
+                       CAST(length(COALESCE(text, '')) AS BIGINT) AS L
+                FROM documents
+            ), sp AS (
+                SELECT doc_id, t, L,
+                       CAST({_splitmix_expr_sql(
+                           'CAST(doc_id AS UBIGINT)', 7)}
+                            % CAST(L + 1 AS UBIGINT) AS BIGINT) AS i
+                FROM base
+            ), sp2 AS (
+                SELECT doc_id, t, L, i,
+                       i + CAST({_splitmix_expr_sql(
+                           'CAST(doc_id AS UBIGINT)', 8)}
+                            % CAST(L - i + 1 AS UBIGINT) AS BIGINT) AS j
+                FROM sp
+            )
+            SELECT doc_id, L AS n_chars, i AS split_i, j AS split_j,
+                   '<PRE>' || substring(t, 1, i) || '<SUF>'
+                   || substring(t, j + 1) || '<MID>'
+                   || substring(t, i + 1, j - i) AS fim_text
+            FROM sp2
+        """,
+        # bag-of-words dedup: group by the sorted-distinct-words string
+        # (the Ray side hashes the same canonical form map-side)
+        "wordset_dedup": r"""
+            WITH canon AS (
+                SELECT doc_id,
+                       array_to_string(list_sort(list_distinct(
+                           regexp_split_to_array(
+                               lower(trim(COALESCE(text, ''))), '\s+'))),
+                           ' ') AS ws,
+                       len(list_distinct(regexp_split_to_array(
+                           lower(trim(COALESCE(text, ''))), '\s+')))
+                           AS nw
+                FROM documents
+            )
+            SELECT min(doc_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(nw) AS BIGINT) AS n_distinct_words
+            FROM canon GROUP BY ws
         """,
     }

@@ -1817,3 +1817,71 @@ def containment_pairs(
         .groupby("ppart")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def wordset_dedup(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Bag-of-words exact dedup: two documents are duplicates iff their
+    DISTINCT word SETS are equal (tokenization = the dedup rule: lower +
+    strip + split on \\s+) — catches reordered/re-punctuated boilerplate
+    byte-exact dedup misses while staying exact (no thresholds).
+    → (doc_id, n_copies, n_distinct_words): the smallest doc_id per
+    word-set group.
+
+    Scale shape (the exact_dedup shape with a set fingerprint as key):
+    the canonical form — sorted distinct words joined by one space — is
+    hashed to u64 map-side, so the shuffle carries pre-combined
+    (key, min_id, count) rows, never the text. 64-bit collision-free
+    assumption, same as MinHash/exact-Jaccard; the SQL oracle groups by
+    the canonical STRING itself, independently re-deriving the groups.
+    """
+    from ontocast_ray.util import hash_u64
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype="uint64"),
+                id_col: pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "n_words": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        df = df.reset_index(drop=True)
+        canon, n_words = [], []
+        for t in df[text_col].fillna("").tolist():
+            ws = sorted(set(_WS.split(t.strip().lower())))
+            canon.append(" ".join(ws))
+            n_words.append(len(ws))
+        d = pd.DataFrame({
+            "key": hash_u64(np.asarray(canon, dtype=object)),
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_words": np.asarray(n_words, dtype=np.int64),
+        })
+        g = d.groupby(["key", "n_words"], as_index=False).agg(
+            **{id_col: (id_col, "min"), "n": (id_col, "size")}
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (
+            g["key"].to_numpy(np.uint64) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["key", "n_words"], as_index=False).agg(
+            **{id_col: (id_col, "min"), "n": ("n", "sum")}
+        )
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(np.int64),
+            "n_copies": out["n"].to_numpy(np.int64),
+            "n_distinct_words": out["n_words"].to_numpy(np.int64),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -185,3 +185,56 @@ def bigram_lm_scores(
     return scored.groupby("dpart").map_groups(
         final_kern, batch_format="pandas"
     )
+
+
+def fim_transform(
+    docs: "ray.data.Dataset",
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> "ray.data.Dataset":
+    """Fill-in-the-middle training transform (Bavarian et al. 2022, the
+    code-LM pretraining op): split each document at two deterministic
+    character offsets i ≤ j and emit the PSM reordering
+    ``<PRE>prefix<SUF>suffix<MID>middle``. → (doc_id, n_chars, split_i,
+    split_j, fim_text).
+
+    Pure map, zero shuffles, zero RNG state: the split points are
+    splitmix64(doc_id, seed) draws — parallelism- and epoch-invariant,
+    re-derivable in SQL (substring + the splitmix HUGEINT mirror).
+    Offsets are code-point positions (Python slicing ≡ DuckDB substring
+    on non-surrogate text). The variable-position slice has no
+    vectorized kernel anywhere (Arrow's utf8_slice takes scalars only);
+    the per-row slice loop dispatches C string copies.
+    """
+    from ontocast_ray.ops.interleave import splitmix64
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.reset_index(drop=True)
+        texts = df[text_col].fillna("").tolist()
+        ids = df[id_col].to_numpy(np.int64)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        u = ids.astype(np.uint64)
+        i = (splitmix64(u, seed) % (lens + 1).astype(np.uint64)).astype(
+            np.int64
+        )
+        j = i + (
+            splitmix64(u, seed + 1) % (lens - i + 1).astype(np.uint64)
+        ).astype(np.int64)
+        fim = [
+            pre_tok + t[:a] + suf_tok + t[b:] + mid_tok + t[a:b]
+            for t, a, b in zip(texts, i, j)
+        ]
+        return pd.DataFrame({
+            id_col: ids,
+            "n_chars": lens,
+            "split_i": i,
+            "split_j": j,
+            "fim_text": fim,
+        })
+
+    return docs.map_batches(kern, batch_format="pandas")

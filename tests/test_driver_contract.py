@@ -209,6 +209,8 @@ _SQL_GATED = [
         "bigram_lm_scores",
         "containment_dup_pairs",
         "link_host_degrees",
+        "fim_psm_docs",
+        "wordset_dedup",
 ]
 
 

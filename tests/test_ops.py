@@ -4097,3 +4097,62 @@ def test_link_host_degrees_extraction(ray_session):
     assert out.loc["b.org", "n_links"] == 1
     assert out.loc["b.org", "n_src_docs"] == 1
     assert len(out) == 2
+
+
+def test_fim_transform_reassembles(ray_session):
+    """PSM pieces always reassemble to the original text; split points are
+    in range and deterministic across runs/partitionings."""
+    import pandas as pd
+
+    import ray
+
+    from ontocast_ray.ops.lm import fim_transform
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["hello world fill in the middle", "ab", "", "x" * 100],
+    })
+    out1 = fim_transform(
+        ray.data.from_pandas(docs).repartition(3), seed=7
+    ).to_pandas().set_index("doc_id").sort_index()
+    out2 = fim_transform(
+        ray.data.from_pandas(docs), seed=7
+    ).to_pandas().set_index("doc_id").sort_index()
+    assert out1.equals(out2)
+    orig = docs.set_index("doc_id")["text"]
+    for d, r in out1.iterrows():
+        assert 0 <= r.split_i <= r.split_j <= r.n_chars == len(orig[d])
+        body = r.fim_text
+        assert body.startswith("<PRE>")
+        pre, rest = body[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == orig[d]
+
+
+def test_wordset_dedup_order_and_multiplicity_insensitive(ray_session):
+    """Docs with the same word SET (any order, any repetition) collapse;
+    different sets do not."""
+    import pandas as pd
+
+    import ray
+
+    from ontocast_ray.ops.dedup import wordset_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox",
+            "fox brown THE quick quick",   # same set, reordered+repeated
+            "the quick brown foxes",       # different set
+            "",                            # empty -> its own group
+        ],
+    })
+    out = (
+        wordset_dedup(ray.data.from_pandas(docs).repartition(2), n_parts=4)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "n_copies"] == 2
+    assert out.loc[1, "n_distinct_words"] == 4
+    assert out.loc[3, "n_copies"] == 1
+    assert out.loc[4, "n_copies"] == 1
+    assert 2 not in out.index
