@@ -362,11 +362,18 @@ def apply_keep_list(
     keep_list: "ray.data.Dataset",
     id_col: str = "doc_id",
     n_parts: int = 64,
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Drop non-representative duplicates from the corpus — fully
     distributed (nothing corpus-sized touches the driver).
 
-    Shape (the ``ngram_jaccard_verify`` template at dedup.py:362):
+    Fast path: a dropped-id set at or below ``broadcast_limit`` (≈40 MB
+    of int64 at the default — tiny next to any corpus that produced it)
+    is broadcast ONCE as a sorted array and every doc filters map-side
+    via searchsorted — zero shuffles, exact (the k_core fringe lesson:
+    broadcasting a small id set beats an anti-join exchange by the whole
+    fixed AllToAll overhead). Above the limit, the scale path
+    (the ``ngram_jaccard_verify`` template at dedup.py:362):
 
     1. dropped ids (components minus representatives) → fixed-size Bloom
        bitmap, OR-ed from per-block partials on the driver (bounded driver
@@ -378,8 +385,8 @@ def apply_keep_list(
        exactly inside a coarse-partition kernel.
 
     Shuffled volume ≈ the dropped fraction of the corpus (web-scale dedup
-    drops 30-50%) — unavoidable for an exact filter, and never resident
-    in one place.
+    drops 30-50%) — unavoidable for an exact filter above the broadcast
+    limit, and never resident in one place.
     """
     import ray
 
@@ -390,8 +397,37 @@ def apply_keep_list(
         lambda b: pa.table({id_col: b.filter(pa.compute.invert(b["keep"]))["doc_id"]}),
         batch_format="pyarrow",
     ).materialize()
-    if dropped.count() == 0:
+    n_dropped = dropped.count()
+    if n_dropped == 0:
         return docs
+
+    if n_dropped <= broadcast_limit:
+        drop_sorted = np.sort(
+            np.concatenate([
+                b[id_col].to_numpy(zero_copy_only=False)
+                for b in dropped.iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            ])
+        )
+        drop_ref = ray.put(drop_sorted)
+
+        class KeepByBroadcast:
+            """Exact map-side anti-filter against the broadcast id array."""
+
+            def __init__(self):
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.drop, ids)
+                pos[pos >= len(self.drop)] = len(self.drop) - 1
+                hit = self.drop[pos] == ids
+                return batch.filter(pa.array(~hit))
+
+        return docs.map_batches(
+            KeepByBroadcast, batch_format="pyarrow", concurrency=(1, 8)
+        )
 
     from ontocast_ray.util import to_arrow_type
 
@@ -941,6 +977,7 @@ def dedup_keep_best(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     n_parts: int = 16,
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """→ (doc_id, keep_id, keep): quality-aware near-dup representative —
     within each connected component of the pair graph the member with the
@@ -961,10 +998,117 @@ def dedup_keep_best(
     """
     import pandas as pd
 
+    import ray
+
     from ontocast_ray.ops.joins import hash_join
     from ontocast_ray.util import hash_partition
 
     comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+
+    # Broadcast fast path: the member list is PAIR-GRAPH-sized (docs in at
+    # least one near-dup pair), typically orders of magnitude smaller than
+    # the corpus. Under the limit it is collected once, the scores stream
+    # is reduced map-side to per-batch per-component (best_score, best_id)
+    # partials, ONE tiny shuffle combines them (partial rows only — the
+    # corpus and the scores never enter an AllToAll), and the winner map
+    # is broadcast back to mark the member rows. Above the limit: the
+    # partitioned hash_join + component-hash pick (both corpus-scale
+    # shuffles, unavoidable there).
+    comp = comp.materialize()
+    n_members = comp.count()
+    if n_members and n_members <= broadcast_limit:
+        mem_ids, mem_comps = [], []
+        for b in comp.iter_batches(batch_size=None, batch_format="pyarrow"):
+            mem_ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
+            mem_comps.append(b["component"].to_numpy(zero_copy_only=False))
+        mem_ids = np.concatenate(mem_ids).astype(np.int64)
+        mem_comps = np.concatenate(mem_comps).astype(np.int64)
+        order = np.argsort(mem_ids, kind="stable")
+        ids_s, comps_s = mem_ids[order], mem_comps[order]
+        mem_ref = ray.put((ids_s, comps_s))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            i_s, c_s = ray.get(mem_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(i_s, ids)
+            pos[pos >= len(i_s)] = len(i_s) - 1
+            hit = i_s[pos] == ids
+            if not hit.any():
+                return pa.table({
+                    "component": pa.array([], type=pa.int64()),
+                    "best_score": pa.array(
+                        [], type=batch.schema.field(score_col).type
+                    ),
+                    "best_id": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int32()),
+                })
+            sc = batch[score_col].to_numpy(zero_copy_only=False)[hit]
+            g = (
+                pd.DataFrame({
+                    "component": c_s[pos[hit]],
+                    "s": sc,
+                    "doc_id": ids[hit],
+                })
+                .sort_values(["component", "s", "doc_id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+                .drop_duplicates("component")
+            )
+            return pa.table({
+                "component": pa.array(g["component"].to_numpy()),
+                "best_score": pa.array(g["s"].to_numpy()),
+                "best_id": pa.array(g["doc_id"].to_numpy()),
+                "part": pa.array(
+                    hash_partition(g["component"].to_numpy(), 8)
+                ),
+            })
+
+        def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+            if df.empty:
+                return pd.DataFrame({
+                    "component": pd.Series([], dtype="int64"),
+                    "best_id": pd.Series([], dtype="int64"),
+                })
+            g = df.sort_values(
+                ["component", "best_score", "best_id"],
+                ascending=[True, False, True], kind="mergesort",
+            ).drop_duplicates("component")
+            return g[["component", "best_id"]]
+
+        win_rows = (
+            scores.map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(combine, batch_format="pandas")
+            .take_all()
+        )
+        # components whose every member is unscored fall back to min id
+        # (the hash_join path's fillna(int64-min) + min-id tiebreak rule)
+        fallback = (
+            pd.DataFrame({"c": mem_comps, "d": mem_ids})
+            .groupby("c")["d"].min()
+        )
+        win = fallback.copy()
+        for r in win_rows:
+            win[r["component"]] = r["best_id"]
+        comp_keys = win.index.to_numpy(np.int64)  # sorted (groupby index)
+        win_ids = win.to_numpy(np.int64)
+        win_ref = ray.put((comp_keys, win_ids))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            keys, wids = ray.get(win_ref)
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            c = batch["component"].to_numpy(zero_copy_only=False)
+            keep_id = wids[np.searchsorted(keys, c)]
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "keep_id": pa.array(keep_id),
+                "keep": pa.array(d == keep_id),
+            })
+
+        return comp.map_batches(mark, batch_format="pyarrow")
+
     # LEFT join: a member with no score row must still appear (absence
     # would read as implicitly-kept downstream, silently disabling the
     # dedup for its component); unscored members rank lowest

@@ -523,8 +523,14 @@ def test_apply_keep_list_large_dropped_fraction(ray_session):
             }
         )
     )
+    # broadcast fast path (default limit) and the Bloom+shuffle anti-join
+    # scale path (broadcast_limit=0) must produce the identical survivor set
     out = apply_keep_list(docs, keep_list).take_all()
+    out_shuffle = apply_keep_list(
+        docs, keep_list, broadcast_limit=0
+    ).take_all()
     assert {r["doc_id"] for r in out} == set(ids[~dropped_mask].tolist())
+    assert {r["doc_id"] for r in out_shuffle} == {r["doc_id"] for r in out}
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[4]["text"] == "doc 4" and by_id[4]["score"] == 4 / 7.0
 
@@ -4156,3 +4162,32 @@ def test_wordset_dedup_order_and_multiplicity_insensitive(ray_session):
     assert out.loc[3, "n_copies"] == 1
     assert out.loc[4, "n_copies"] == 1
     assert 2 not in out.index
+
+
+def test_dedup_keep_best_paths_agree(ray_session):
+    """Broadcast winner-map fast path ≡ hash_join+pick scale path
+    (broadcast_limit=0), including unscored members and ties."""
+    import ray
+
+    from ontocast_ray.ops.graph_cc import dedup_keep_best
+
+    pairs = pd.DataFrame({
+        "doc_id_a": [1, 2, 7, 20],
+        "doc_id_b": [2, 3, 9, 21],
+    })
+    scores = pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 9],   # 20, 21 unscored -> min id wins
+        "q": [10, 99, 99, 5, 50],
+    })
+    outs = []
+    for limit in (1_000_000, 0):
+        outs.append(
+            dedup_keep_best(
+                ray.data.from_pandas(pairs).repartition(2),
+                ray.data.from_pandas(scores).repartition(2),
+                score_col="q", n_parts=4, broadcast_limit=limit,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])
+    assert outs[0][outs[0]["keep"]]["doc_id"].tolist() == [2, 9, 20]
