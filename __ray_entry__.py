@@ -4636,6 +4636,45 @@ def _q_events_per_minute(sf_dir: str):
     )
 
 
+def _q_lm_band_filter(sf_dir: str):
+    """CCNet's middle-band perplexity selection: keep docs whose bigram-LM
+    average likelihood sits between the corpus P10 and P90 (both tails
+    are suspect — too predictable = boilerplate, too surprising = junk).
+    Scores via ops/lm.py (one w1-hash shuffle); band bounds via the
+    shuffle-free distributed radix selection (ops/windows.py
+    global_quantiles_exact — driver sees two scalars); the filter is a
+    pure map. Scores materialize once (consumed by bounds + filter)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontocast_ray.ops.lm import bigram_lm_scores
+    from ontocast_ray.ops.windows import global_quantiles_exact
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = bigram_lm_scores(docs, n_parts=32, out_parts=16).materialize()
+
+    def as_value(batch: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "value": batch["lm_avg"].cast(pa.float64()),
+        })
+
+    qrows = global_quantiles_exact(
+        scores.map_batches(as_value, batch_format="pyarrow"),
+        value_col="value", quantiles=(0.10, 0.90),
+    ).take_all()
+    bounds = {round(r["q"], 2): r["value"] for r in qrows}
+    lo, hi = np.int64(bounds[0.10]), np.int64(bounds[0.90])
+
+    def band(batch: "pa.Table") -> "pa.Table":
+        v = batch["lm_avg"].to_numpy(zero_copy_only=False)
+        keep = (v >= lo) & (v <= hi)
+        return batch.filter(pa.array(keep)).select(
+            ["doc_id", "n_bigrams", "lm_avg"]
+        )
+
+    return scores.map_batches(band, batch_format="pyarrow")
+
+
 def _q_fim_psm(sf_dir: str):
     """Fill-in-the-middle PSM reordering (code-LM pretraining transform):
     deterministic splitmix character split points per doc, zero shuffles
@@ -4988,6 +5027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicate_profile": _q_kg_predicate_profile,
         "fim_psm_docs": _q_fim_psm,
         "wordset_dedup": _q_wordset_dedup,
+        "lm_band_filtered_docs": _q_lm_band_filter,
     }
 
 
@@ -5035,6 +5075,48 @@ _GOLDEN_QUERIES = [
 # ops/dedup.py:_word_hashes_batch: lower, strip, split on \s+; docs with
 # < 3 words collapse to one whole-text shingle; jaccard is the raw IEEE
 # |∩|/|∪| integer division on both sides.
+# corpus bigram-LM fixed-point likelihood per doc — shared by the raw
+# scores oracle and the CCNet-style band filter built on top of it
+_BIGRAM_LM_SQL = r"""
+            WITH bg AS (
+                SELECT doc_id, w1, w2,
+                       CAST(count(*) AS BIGINT) AS n_occ
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i])) AS w1,
+                           unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i+1])) AS w2
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(
+                                     lower(COALESCE(text, '')),
+                                     '[a-z]+') AS ws
+                          FROM documents)
+                    WHERE len(ws) >= 2
+                )
+                GROUP BY 1, 2, 3
+            ), c12 AS (
+                SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS n12
+                FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, CAST(sum(n_occ) AS BIGINT) AS n1
+                FROM bg GROUP BY 1
+            )
+            SELECT bg.doc_id,
+                   CAST(sum(bg.n_occ) AS BIGINT) AS n_bigrams,
+                   CAST(sum(((c12.n12 * 1000000) // c1.n1) * bg.n_occ)
+                        AS BIGINT) AS lm_score,
+                   CAST(CAST(sum(((c12.n12 * 1000000) // c1.n1)
+                                 * bg.n_occ) AS BIGINT)
+                        // greatest(CAST(sum(bg.n_occ) AS BIGINT), 1)
+                        AS BIGINT) AS lm_avg
+            FROM bg
+            JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+            JOIN c1 ON bg.w1 = c1.w1
+            GROUP BY bg.doc_id
+"""
+
+
 _JACCARD_PAIRS_SQL = r"""
     WITH ws AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -7648,43 +7730,18 @@ def _sql_oracles() -> dict[str, str]:
         # corpus bigram-LM fixed-point likelihood: self-trained counts,
         # per-type contribution ((n12 * 10^6) // n1) * n_occ — integer
         # division order matches the Ray kernel exactly
-        "bigram_lm_scores": r"""
-            WITH bg AS (
-                SELECT doc_id, w1, w2,
-                       CAST(count(*) AS BIGINT) AS n_occ
-                FROM (
-                    SELECT doc_id,
-                           unnest(list_transform(range(1, len(ws)),
-                                  i -> ws[i])) AS w1,
-                           unnest(list_transform(range(1, len(ws)),
-                                  i -> ws[i+1])) AS w2
-                    FROM (SELECT doc_id,
-                                 regexp_extract_all(
-                                     lower(COALESCE(text, '')),
-                                     '[a-z]+') AS ws
-                          FROM documents)
-                    WHERE len(ws) >= 2
-                )
-                GROUP BY 1, 2, 3
-            ), c12 AS (
-                SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS n12
-                FROM bg GROUP BY 1, 2
-            ), c1 AS (
-                SELECT w1, CAST(sum(n_occ) AS BIGINT) AS n1
-                FROM bg GROUP BY 1
+        "bigram_lm_scores": _BIGRAM_LM_SQL,
+        # CCNet band filter: quantile_disc bounds over the same scores
+        "lm_band_filtered_docs": f"""
+            WITH scores AS ({_BIGRAM_LM_SQL}),
+            b AS (
+                SELECT quantile_disc(lm_avg, 0.10) AS lo,
+                       quantile_disc(lm_avg, 0.90) AS hi
+                FROM scores
             )
-            SELECT bg.doc_id,
-                   CAST(sum(bg.n_occ) AS BIGINT) AS n_bigrams,
-                   CAST(sum(((c12.n12 * 1000000) // c1.n1) * bg.n_occ)
-                        AS BIGINT) AS lm_score,
-                   CAST(CAST(sum(((c12.n12 * 1000000) // c1.n1)
-                                 * bg.n_occ) AS BIGINT)
-                        // greatest(CAST(sum(bg.n_occ) AS BIGINT), 1)
-                        AS BIGINT) AS lm_avg
-            FROM bg
-            JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
-            JOIN c1 ON bg.w1 = c1.w1
-            GROUP BY bg.doc_id
+            SELECT s.doc_id, s.n_bigrams, s.lm_avg
+            FROM scores s, b
+            WHERE s.lm_avg BETWEEN b.lo AND b.hi
         """,
         # exact containment pairs: the _JACCARD_PAIRS_SQL shingle rule
         # + df<=64 boilerplate cap + integer-ppm one-sided overlap

@@ -211,6 +211,7 @@ _SQL_GATED = [
         "link_host_degrees",
         "fim_psm_docs",
         "wordset_dedup",
+        "lm_band_filtered_docs",
 ]
 
 
