@@ -4675,6 +4675,76 @@ def _q_lm_band_filter(sf_dir: str):
     return scores.map_batches(band, batch_format="pyarrow")
 
 
+def _q_length_drift(sf_dir: str):
+    """Distribution-drift report (the PSI-style monitoring table every
+    production feed watches): reference = even doc_ids, current = odd;
+    reference quartile boundaries (exact radix selection, 3 scalars to
+    the driver) bucket BOTH halves; per-bucket counts and integer-ppm
+    fractions. Map-side bucket counts → one single-group combine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.windows import global_quantiles_exact
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def ref_vals(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({"value": pa.array(
+            v[ids % 2 == 0].astype(np.float64)
+        )})
+
+    qrows = global_quantiles_exact(
+        docs.map_batches(ref_vals, batch_format="pyarrow"),
+        value_col="value", quantiles=(0.25, 0.50, 0.75),
+    ).take_all()
+    bmap = {round(r["q"], 2): r["value"] for r in qrows}
+    cuts = np.array(
+        [bmap[0.25], bmap[0.50], bmap[0.75]], dtype=np.float64
+    )
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        bucket = np.searchsorted(cuts, v, side="left").astype(np.int64)
+        is_ref = (ids % 2 == 0)
+        rows = []
+        for flag in (True, False):
+            u, c = np.unique(bucket[is_ref == flag], return_counts=True)
+            rows.append(pd.DataFrame({
+                "bucket": u, "is_ref": np.int8(flag),
+                "n": c.astype(np.int64),
+            }))
+        out = pd.concat(rows, ignore_index=True)
+        out["part"] = np.int32(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        full = pd.DataFrame({"bucket": np.arange(4, dtype=np.int64)})
+        r = (df[df["is_ref"] == 1].groupby("bucket")["n"].sum()
+             .reindex(full["bucket"], fill_value=0).to_numpy(np.int64))
+        c = (df[df["is_ref"] == 0].groupby("bucket")["n"].sum()
+             .reindex(full["bucket"], fill_value=0).to_numpy(np.int64))
+        tr, tc = max(int(r.sum()), 1), max(int(c.sum()), 1)
+        return pd.DataFrame({
+            "bucket": full["bucket"],
+            "n_ref": r,
+            "n_cur": c,
+            "frac_ref_ppm": (r * np.int64(1_000_000)) // np.int64(tr),
+            "frac_cur_ppm": (c * np.int64(1_000_000)) // np.int64(tc),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_fim_psm(sf_dir: str):
     """Fill-in-the-middle PSM reordering (code-LM pretraining transform):
     deterministic splitmix character split points per doc, zero shuffles
@@ -5028,6 +5098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_psm_docs": _q_fim_psm,
         "wordset_dedup": _q_wordset_dedup,
         "lm_band_filtered_docs": _q_lm_band_filter,
+        "length_drift_report": _q_length_drift,
     }
 
 
@@ -7742,6 +7813,52 @@ def _sql_oracles() -> dict[str, str]:
             SELECT s.doc_id, s.n_bigrams, s.lm_avg
             FROM scores s, b
             WHERE s.lm_avg BETWEEN b.lo AND b.hi
+        """,
+        # PSI-style drift buckets: reference-quartile boundaries, <=-chain
+        # bucketing, integer-ppm fractions
+        "length_drift_report": r"""
+            WITH ref AS (
+                SELECT n_chars FROM documents WHERE doc_id % 2 = 0
+            ), cur AS (
+                SELECT n_chars FROM documents WHERE doc_id % 2 = 1
+            ), b AS (
+                SELECT quantile_disc(n_chars, 0.25) AS q1,
+                       quantile_disc(n_chars, 0.50) AS q2,
+                       quantile_disc(n_chars, 0.75) AS q3
+                FROM ref
+            ), rb AS (
+                SELECT CASE WHEN n_chars <= q1 THEN 0
+                            WHEN n_chars <= q2 THEN 1
+                            WHEN n_chars <= q3 THEN 2
+                            ELSE 3 END AS bucket
+                FROM ref, b
+            ), cb AS (
+                SELECT CASE WHEN n_chars <= q1 THEN 0
+                            WHEN n_chars <= q2 THEN 1
+                            WHEN n_chars <= q3 THEN 2
+                            ELSE 3 END AS bucket
+                FROM cur, b
+            ), rc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+                FROM rb GROUP BY 1
+            ), cc AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur
+                FROM cb GROUP BY 1
+            ), tot AS (
+                SELECT greatest((SELECT count(*) FROM ref), 1) AS tr,
+                       greatest((SELECT count(*) FROM cur), 1) AS tc
+            ), g AS (
+                SELECT unnest(range(4)) AS bucket
+            )
+            SELECT g.bucket,
+                   COALESCE(rc.n_ref, 0) AS n_ref,
+                   COALESCE(cc.n_cur, 0) AS n_cur,
+                   (COALESCE(rc.n_ref, 0) * 1000000) // tot.tr
+                       AS frac_ref_ppm,
+                   (COALESCE(cc.n_cur, 0) * 1000000) // tot.tc
+                       AS frac_cur_ppm
+            FROM g LEFT JOIN rc ON g.bucket = rc.bucket
+                   LEFT JOIN cc ON g.bucket = cc.bucket, tot
         """,
         # exact containment pairs: the _JACCARD_PAIRS_SQL shingle rule
         # + df<=64 boilerplate cap + integer-ppm one-sided overlap

@@ -212,6 +212,7 @@ _SQL_GATED = [
         "fim_psm_docs",
         "wordset_dedup",
         "lm_band_filtered_docs",
+        "length_drift_report",
 ]
 
 
