@@ -4675,6 +4675,77 @@ def _q_lm_band_filter(sf_dir: str):
     return scores.map_batches(band, batch_format="pyarrow")
 
 
+def _q_kg_validation_report(sf_dir: str):
+    """Per-document connectivity/predicate-hygiene report over the
+    FLAGSHIP pipeline's fact graphs — the reference's
+    connectivity_report + validate_predicates surface (ref
+    validate.py:157-281) exposed as a table: components, entities,
+    largest component, isolated entities, predicate label coverage.
+    One coarse hash(doc)%P shuffle; the per-doc report is the
+    reference's own pure-Python graph walk (doc-scoped graphs are
+    chunk-sized — the same per-group contract as canonicalization).
+    Golden-pinned (content-hash IRIs)."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+
+    def add_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "facts"]
+        if df.empty:
+            return df.assign(part=pd.Series([], dtype="int32"))
+        return df.assign(
+            part=hash_partition(df["doc_id"].to_numpy(), 16)
+        )
+
+    def report(group: "pd.DataFrame") -> "pd.DataFrame":
+        from ontocast_ray.model import rows_to_graph
+        from ontocast_ray.stages.validate import connectivity_report
+
+        rows = []
+        for doc_id, df in group.groupby("doc_id", sort=False):
+            g = rows_to_graph(
+                df["subject"].tolist(),
+                df["predicate"].tolist(),
+                df["object"].tolist(),
+                df["object_is_literal"].tolist(),
+                df["object_datatype"].tolist(),
+                df["object_lang"].tolist(),
+            )
+            r = connectivity_report(g)
+            rows.append({
+                "doc_id": doc_id,
+                "num_components": int(r["num_components"]),
+                "total_entities": int(r["total_entities"]),
+                "largest_component": int(r["largest_component_size"]),
+                "n_isolated": len(r["isolated_entities"]),
+                "n_predicates": int(r["predicate_stats"]["total"]),
+                "n_pred_labeled": int(
+                    r["predicate_stats"]["with_labels"]
+                ),
+                "fully_connected": bool(r["is_fully_connected"]),
+            })
+        if not rows:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                "num_components": pd.Series([], dtype="int64"),
+                "total_entities": pd.Series([], dtype="int64"),
+                "largest_component": pd.Series([], dtype="int64"),
+                "n_isolated": pd.Series([], dtype="int64"),
+                "n_predicates": pd.Series([], dtype="int64"),
+                "n_pred_labeled": pd.Series([], dtype="int64"),
+                "fully_connected": pd.Series([], dtype=bool),
+            })
+        return pd.DataFrame(rows)
+
+    return (
+        triples.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(report, batch_format="pandas")
+    )
+
+
 def _q_length_drift(sf_dir: str):
     """Distribution-drift report (the PSI-style monitoring table every
     production feed watches): reference = even doc_ids, current = odd;
@@ -5099,6 +5170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordset_dedup": _q_wordset_dedup,
         "lm_band_filtered_docs": _q_lm_band_filter,
         "length_drift_report": _q_length_drift,
+        "kg_validation_report": _q_kg_validation_report,
     }
 
 
@@ -5137,6 +5209,7 @@ _GOLDEN_QUERIES = [
     "media_phash_dupes",
     "compression_ratio",
     "kg_predicate_profile",
+    "kg_validation_report",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
