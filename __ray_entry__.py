@@ -4746,6 +4746,116 @@ def _q_kg_validation_report(sf_dir: str):
     )
 
 
+def _q_curation_funnel(sf_dir: str):
+    """Per-source curation REJECTION LEDGER (the Dolma-style attribute
+    accounting every production pipeline ships): each doc is attributed
+    to its FIRST failing gate — declared-lang → alpha-ratio → full
+    Gopher rule set → exact dedup — and the report counts every stage
+    per source. Gates are pure maps; only the surviving docs' (sha, id,
+    source) rows shuffle for the dedup verdict; per-source stage counts
+    are a second tiny shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.ops.text import gopher_quality_filter
+    from ontocast_ray.util import hash_partition
+
+    docs = _read(
+        sf_dir, "documents", columns=["doc_id", "source", "lang", "text"]
+    )
+
+    def stage_map(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.reset_index(drop=True)
+        text = df["text"].fillna("")
+        lang_ok = df["lang"].fillna("") == "en"
+        n_alpha = text.str.count(r"[A-Za-z]").to_numpy(np.int64)
+        n_chars = text.str.len().to_numpy(np.int64)
+        alpha_ok = (n_alpha / np.maximum(n_chars, 1)) >= 0.6
+        stage = np.full(len(df), 9, dtype=np.int64)  # 9 = survivor
+        stage[~lang_ok] = 0
+        stage[lang_ok & ~alpha_ok] = 1
+        surv = stage == 9
+        if surv.any():
+            sub = pa.table({
+                "doc_id": pa.array(df.loc[surv, "doc_id"].to_numpy()),
+                "text": pa.array(text[surv].tolist(), type=pa.string()),
+            })
+            gop = gopher_quality_filter(sub)
+            kept = gop["kept"].to_numpy(zero_copy_only=False)
+            idx = np.nonzero(surv)[0][~kept]
+            stage[idx] = 2
+        surv = stage == 9
+        shas = np.array(
+            [
+                hashlib.sha256(t.encode()).hexdigest()[:32] if s else ""
+                for t, s in zip(text, surv)
+            ],
+            dtype=object,
+        )
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(),
+            "stage": stage,
+            "sha": shas,
+        })
+        out["part"] = np.where(
+            surv, hash_partition(shas, 16), np.int32(16)
+        ).astype(np.int32)
+        return out
+
+    def dedup_verdict(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.copy()
+        surv = g["stage"] == 9
+        if surv.any():
+            rep = g.loc[surv].groupby("sha")["doc_id"].transform("min")
+            is_rep = g.loc[surv, "doc_id"] == rep
+            g.loc[surv, "stage"] = np.where(is_rep, 4, 3)
+        out = g.groupby(["source", "stage"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        out["fpart"] = np.int32(0)
+        return out[["source", "stage", "n", "fpart"]]
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_fail_lang": pd.Series([], dtype="int64"),
+                "n_fail_alpha": pd.Series([], dtype="int64"),
+                "n_fail_gopher": pd.Series([], dtype="int64"),
+                "n_dup_dropped": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+            })
+        g = df.groupby(["source", "stage"])["n"].sum().unstack(
+            fill_value=0
+        )
+        for s in (0, 1, 2, 3, 4):
+            if s not in g.columns:
+                g[s] = 0
+        return pd.DataFrame({
+            "source": g.index.to_numpy(),
+            "n_docs": g[[0, 1, 2, 3, 4]].sum(axis=1)
+            .to_numpy(np.int64),
+            "n_fail_lang": g[0].to_numpy(np.int64),
+            "n_fail_alpha": g[1].to_numpy(np.int64),
+            "n_fail_gopher": g[2].to_numpy(np.int64),
+            "n_dup_dropped": g[3].to_numpy(np.int64),
+            "n_kept": g[4].to_numpy(np.int64),
+        })
+
+    return (
+        docs.map_batches(stage_map, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup_verdict, batch_format="pandas")
+        .groupby("fpart")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def _q_length_drift(sf_dir: str):
     """Distribution-drift report (the PSI-style monitoring table every
     production feed watches): reference = even doc_ids, current = odd;
@@ -5171,6 +5281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_band_filtered_docs": _q_lm_band_filter,
         "length_drift_report": _q_length_drift,
         "kg_validation_report": _q_kg_validation_report,
+        "curation_funnel_report": _q_curation_funnel,
     }
 
 
@@ -7886,6 +7997,57 @@ def _sql_oracles() -> dict[str, str]:
             SELECT s.doc_id, s.n_bigrams, s.lm_avg
             FROM scores s, b
             WHERE s.lm_avg BETWEEN b.lo AND b.hi
+        """,
+        # curation funnel: first-failing-gate attribution re-derived with
+        # the shared Gopher CTE builders + windowed exact-dedup verdict
+        "curation_funnel_report": f"""
+            WITH base AS (
+                SELECT doc_id, source, lang, text FROM documents
+            ), alpha AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(COALESCE(text, ''),
+                           '[A-Za-z]'))::DOUBLE
+                       / greatest(length(COALESCE(text, '')), 1) AS ar
+                FROM base
+            ), s2 AS (
+                SELECT b.doc_id, b.source, b.text
+                FROM base b JOIN alpha a ON b.doc_id = a.doc_id
+                WHERE COALESCE(b.lang, '') = 'en' AND a.ar >= 0.6
+            ), {_gopher_ctes("s2")},
+            s3 AS (
+                SELECT s2.doc_id, s2.source, s2.text
+                FROM s2 JOIN g_sig ON s2.doc_id = g_sig.doc_id
+                WHERE {_GOPHER_KEPT_PRED}
+            ), dd AS (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (
+                           PARTITION BY COALESCE(text, '')) AS is_rep
+                FROM s3
+            ), stage AS (
+                SELECT b.doc_id, b.source,
+                       CASE WHEN COALESCE(b.lang, '') <> 'en' THEN 0
+                            WHEN a.ar < 0.6 THEN 1
+                            WHEN gk.doc_id IS NULL THEN 2
+                            WHEN NOT dd.is_rep THEN 3
+                            ELSE 4 END AS stage
+                FROM base b
+                JOIN alpha a ON b.doc_id = a.doc_id
+                LEFT JOIN s3 gk ON b.doc_id = gk.doc_id
+                LEFT JOIN dd ON b.doc_id = dd.doc_id
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE stage = 0) AS BIGINT)
+                       AS n_fail_lang,
+                   CAST(count(*) FILTER (WHERE stage = 1) AS BIGINT)
+                       AS n_fail_alpha,
+                   CAST(count(*) FILTER (WHERE stage = 2) AS BIGINT)
+                       AS n_fail_gopher,
+                   CAST(count(*) FILTER (WHERE stage = 3) AS BIGINT)
+                       AS n_dup_dropped,
+                   CAST(count(*) FILTER (WHERE stage = 4) AS BIGINT)
+                       AS n_kept
+            FROM stage GROUP BY source
         """,
         # PSI-style drift buckets: reference-quartile boundaries, <=-chain
         # bucketing, integer-ppm fractions

@@ -213,6 +213,7 @@ _SQL_GATED = [
         "wordset_dedup",
         "lm_band_filtered_docs",
         "length_drift_report",
+        "curation_funnel_report",
 ]
 
 
