@@ -5063,6 +5063,39 @@ def _q_link_host_degrees(sf_dir: str):
     )
 
 
+def _q_anchor_text_top(sf_dir: str):
+    """Per-target-host anchor-text mining over the same synthetic anchors
+    as link_host_degrees: most frequent lowercased anchor per host +
+    total inbound anchors (ops/urls.py anchor_text_top)."""
+    from ontocast_ray.ops.urls import anchor_text_top
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(df):
+        d = df["doc_id"]
+        a1 = (
+            '<a class="x" href="https://site' + (d % 7).astype(str)
+            + ".example.com/p" + (d % 3).astype(str) + '">Link One</a>'
+        )
+        a2 = (
+            '<A HREF="HTTPS://Site' + ((d * 3 + 1) % 7).astype(str)
+            + '.Example.COM/q?a=1"> MORE here </A>'
+        )
+        dup = a1.str.replace(">Link One<", ">link one <", regex=False).where(
+            d % 2 == 0, ""
+        )
+        df["html"] = (
+            "<html><body><p>" + df["text"].fillna("") + "</p>"
+            + a1 + a2 + '<a href="/rel/path">rel</a>' + dup
+            + "</body></html>"
+        )
+        return df[["doc_id", "html"]]
+
+    return anchor_text_top(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=16
+    )
+
+
 def _q_containment_pairs(sf_dir: str):
     """Exact shingle-containment near-dup pairs (quote-inclusion/subset
     duplicates Jaccard misses): inverted-index join on hash(shingle)%P —
@@ -5282,6 +5315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_drift_report": _q_length_drift,
         "kg_validation_report": _q_kg_validation_report,
         "curation_funnel_report": _q_curation_funnel,
+        "anchor_text_top": _q_anchor_text_top,
     }
 
 
@@ -8178,6 +8212,65 @@ def _sql_oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_links,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_docs
             FROM hosts GROUP BY dst_host
+        """,
+        # anchor-text mining: list_zip of the two capture groups, trim+
+        # lower, per-host argmax with (n DESC, anchor) tie rule
+        "anchor_text_top": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><p>' || COALESCE(text, '') || '</p>'
+                       || '<a class="x" href="https://site'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '">Link One</a>'
+                       || '<A HREF="HTTPS://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.Example.COM/q?a=1"> MORE here </A>'
+                       || '<a href="/rel/path">rel</a>'
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<a class="x" href="https://site'
+                              || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example.com/p'
+                              || CAST(doc_id % 3 AS VARCHAR)
+                              || '">link one </a>'
+                          ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id,
+                       unnest(list_zip(
+                           regexp_extract_all(html,
+                               '<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>',
+                               1, 'is'),
+                           regexp_extract_all(html,
+                               '<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>',
+                               2, 'is'))) AS z
+                FROM pages
+            ), h AS (
+                SELECT lower(regexp_extract(z[1],
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+                           AS dst_host,
+                       lower(trim(z[2])) AS anchor
+                FROM pairs
+                WHERE regexp_matches(z[1],
+                          '^[A-Za-z][A-Za-z0-9+.-]*://')
+            ), c AS (
+                SELECT dst_host, anchor,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM h GROUP BY 1, 2
+            ), t AS (
+                SELECT dst_host, CAST(sum(n) AS BIGINT) AS n_anchors
+                FROM c GROUP BY 1
+            ), r AS (
+                SELECT dst_host, anchor AS top_anchor, n AS n_top,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dst_host
+                           ORDER BY n DESC, anchor) AS rn
+                FROM c
+            )
+            SELECT r.dst_host, r.top_anchor, r.n_top, t.n_anchors
+            FROM r JOIN t ON r.dst_host = t.dst_host
+            WHERE r.rn = 1
         """,
         # FIM: substring + the splitmix HUGEINT mirror, seeds 7/8
         "fim_psm_docs": f"""

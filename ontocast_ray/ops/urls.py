@@ -461,3 +461,88 @@ def link_host_degrees(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+_ANCHOR_RE = re.compile(
+    r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>', re.IGNORECASE | re.DOTALL
+)
+
+
+def anchor_text_top(
+    pages: "ray.data.Dataset",
+    html_col: str = "html",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Anchor-text aggregation per link TARGET host — the classic
+    link-graph signal (anchor text describes the target better than the
+    target's own page; search and LLM-curation stacks both mine it).
+    → (dst_host, top_anchor, n_top, n_anchors): each host's most frequent
+    lowercased-trimmed anchor text (ties → lexicographically smallest)
+    plus its total inbound-anchor count. Relative links (no host) skip.
+
+    Scale shape: one C-regex ``str.extractall`` pass per batch, shuffle
+    carries pre-combined (host, anchor, count) rows on ``hash(host)%P``
+    — bounded by hosts × distinct anchors, never the HTML; the argmax is
+    one vectorized sort + drop_duplicates per partition.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        emptyf = pd.DataFrame({
+            "dst_host": pd.Series([], dtype=object),
+            "anchor": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "part": pd.Series([], dtype="int32"),
+        })
+        if df.empty:
+            return emptyf
+        df = df.reset_index(drop=True)
+        m = df[html_col].fillna("").str.extractall(_ANCHOR_RE)
+        if m.empty:
+            return emptyf
+        hosts = m[0].str.extract(_HOST_RE)[0].str.lower()
+        ok = hosts.notna()
+        if not ok.any():
+            return emptyf
+        g = (
+            pd.DataFrame({
+                "dst_host": hosts[ok].to_numpy(),
+                "anchor": m[1][ok].str.strip().str.lower().to_numpy(),
+            })
+            .groupby(["dst_host", "anchor"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = hash_partition(g["dst_host"].to_numpy(), n_parts)
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "dst_host": pd.Series([], dtype=object),
+                "top_anchor": pd.Series([], dtype=object),
+                "n_top": pd.Series([], dtype="int64"),
+                "n_anchors": pd.Series([], dtype="int64"),
+            })
+        c = df.groupby(["dst_host", "anchor"], as_index=False)["n"].sum()
+        tot = c.groupby("dst_host")["n"].sum()
+        top = (
+            c.sort_values(["dst_host", "n", "anchor"],
+                          ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("dst_host")
+        )
+        return pd.DataFrame({
+            "dst_host": top["dst_host"].to_numpy(),
+            "top_anchor": top["anchor"].to_numpy(),
+            "n_top": top["n"].to_numpy(np.int64),
+            "n_anchors": tot.reindex(top["dst_host"]).to_numpy(np.int64),
+        })
+
+    return (
+        pages.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

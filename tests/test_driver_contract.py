@@ -214,6 +214,7 @@ _SQL_GATED = [
         "lm_band_filtered_docs",
         "length_drift_report",
         "curation_funnel_report",
+        "anchor_text_top",
 ]
 
 
