@@ -5123,6 +5123,184 @@ def _q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(docs, n_parts=32, out_parts=16)
 
 
+def _q_c4_line_filter(sf_dir: str):
+    """The C4 line-rule set (Raffel et al. 2020 §2.2) end-to-end: a
+    deterministic multi-line page is synthesized per doc (good sentences,
+    a punctuation-less base line, a too-short line, a javascript notice on
+    doc_id%4, lorem-ipsum on %11, a ``{`` code line on %13), then lines
+    are kept only if terminal-punctuated + ≥3 words + no 'javascript',
+    and pages are dropped on lorem-ipsum / '{' / <2 kept lines. Pure map,
+    zero shuffle. Oracle re-derives line-by-line with parallel UNNEST."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.curation import c4_line_filter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            lines = [
+                "This is a good sentence line ok.",
+                t or "",
+                "tiny.",
+            ]
+            if d % 4 == 0:
+                lines.append("Please enable javascript to continue here.")
+            if d % 2 == 0:
+                lines.append("Another complete sentence appears right here!")
+            if d % 11 == 0:
+                lines.append("this page uses lorem ipsum filler text.")
+            if d % 13 == 0:
+                lines.append("function f() { return 1; }")
+            texts.append("\n".join(lines))
+        return pa.table({
+            "doc_id": batch["doc_id"], "text": pa.array(texts),
+        })
+
+    return c4_line_filter(
+        docs.map_batches(synth, batch_format="pyarrow"),
+        min_words_per_line=3, min_kept_lines=2,
+    )
+
+
+def _q_script_profile(sf_dir: str):
+    """Unicode-script character profile (the CCNet script-routing signal):
+    deterministic Cyrillic/Greek/Han runs are appended per doc_id (and
+    doc_id%9 pages replaced by a pure-Cyrillic body), then per-doc counts
+    over the FIXED codepoint table shared verbatim with the SQL oracle's
+    RE2 classes — counts + argmax main_script must match bit-for-bit.
+    Pure map: one utf-32 decode + four vectorized range masks per batch."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.text import script_profile
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            if d % 9 == 0:
+                texts.append("аб" * 40)
+                continue
+            t = t or ""
+            if d % 3 == 0:
+                t += " " + "аб" * (d % 5 + 1)
+            elif d % 3 == 1:
+                t += " " + "λμ" * (d % 4 + 1)
+            else:
+                t += " " + "中文" * (d % 3 + 1)
+            texts.append(t)
+        return pa.table({
+            "doc_id": batch["doc_id"], "text": pa.array(texts),
+        })
+
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        script_profile, batch_format="pyarrow"
+    )
+
+
+def _q_url_templates(sf_dir: str):
+    """Crawl path-template mining (calendar-trap / pagination-family
+    report): synthesize a deterministic item URL per doc (mixed-case
+    host, www., digit segments, trailing slash on doc_id%2, query+
+    fragment noise, an unparseable string on %17), collapse digit runs in
+    the PATH to 'N', count pages per (host, template). Map-side combiner
+    → one coarse shuffle of (host, template, count) rows. Oracle
+    re-derives host/path/template independently with DuckDB regexes."""
+    from ontocast_ray.ops.urls import url_path_templates
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(df):
+        d = df["doc_id"]
+        base = (
+            "https://WWW.Shop" + (d % 5).astype(str)
+            + ".Example.com"
+            + ("/p/" + d.astype(str) + "/x").where(
+                d % 3 == 0,
+                "/cat/" + (d % 7).astype(str)
+                + "/item/" + (d * 97 % 1000).astype(str),
+            )
+            + (d % 2).map({0: "/", 1: ""})
+            + "?page=" + (d % 4).astype(str) + "#frag"
+        )
+        df["url"] = base.where(d % 17 != 0, "not a url " + d.astype(str))
+        return df
+
+    return url_path_templates(
+        docs.map_batches(synth, batch_format="pandas"), n_parts=16
+    )
+
+
+def _q_mention_contexts(sf_dir: str):
+    """Entity-linker training windows (the BLINK/GENRE data-prep shape):
+    catalog terms alpha/beta/gamma are injected at deterministic spots
+    (doc start on %4 — left-clamp; end of doc — right-clamp), then every
+    occurrence in the [a-z]+ token stream emits its ±2-token context.
+    Pure map, zero shuffle; matches (sparse) are the only Python loop.
+    Oracle: parallel UNNEST with ordinality + list slice on the words."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.text import mention_contexts
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            t = ("alpha leads " if d % 4 == 0 else "") + (t or "")
+            t += " sees alpha by the old mill"
+            if d % 3 == 0:
+                t += " beta rises"
+            if d % 5 == 0:
+                t += " gamma"
+            texts.append(t)
+        return pa.table({
+            "doc_id": batch["doc_id"], "text": pa.array(texts),
+        })
+
+    return mention_contexts(
+        docs.map_batches(synth, batch_format="pyarrow"),
+        terms=("alpha", "beta", "gamma"), window=2,
+    )
+
+
+def _q_taxonomy_closure(sf_dir: str):
+    """rdfs:subClassOf-style transitive ancestor closure by RECURSIVE
+    DOUBLING (O(log depth) rounds, not O(depth)): the hierarchy is the
+    deterministic ternary forest parent(d) = (d-1)//3 over doc_ids. The
+    jump table (node-sized) takes the broadcast fast path; the closed set
+    — the depth-multiplied big side — never leaves the cluster. Oracle:
+    WITH RECURSIVE over the same parent rule."""
+    import pyarrow as pa
+
+    from ontocast_ray.ops.graph_cc import ancestor_closure
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = d[d > 0]
+        return pa.table({
+            "child": pa.array(d),
+            "parent": pa.array((d - 1) // 3),
+        })
+
+    return ancestor_closure(
+        docs.map_batches(edges, batch_format="pyarrow"),
+        n_parts=16,
+    ).map_batches(
+        lambda b: b.select(["node", "ancestor", "depth"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -5316,6 +5494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validation_report": _q_kg_validation_report,
         "curation_funnel_report": _q_curation_funnel,
         "anchor_text_top": _q_anchor_text_top,
+        "c4_filtered_docs": _q_c4_line_filter,
+        "script_profile": _q_script_profile,
+        "url_templates": _q_url_templates,
+        "mention_contexts": _q_mention_contexts,
+        "taxonomy_closure": _q_taxonomy_closure,
     }
 
 
@@ -8296,6 +8479,192 @@ def _sql_oracles() -> dict[str, str]:
                    || substring(t, j + 1) || '<MID>'
                    || substring(t, i + 1, j - i) AS fim_text
             FROM sp2
+        """,
+        # C4 line rules: parallel UNNEST of lines with ordinality, line
+        # predicates mirror the kernel byte-for-byte (space-only trim,
+        # [^ ]+ word count, terminal-punct class), page rules on the
+        # ORIGINAL text + kept-line count
+        "c4_filtered_docs": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       'This is a good sentence line ok.' || chr(10)
+                       || COALESCE(text, '') || chr(10) || 'tiny.'
+                       || CASE WHEN doc_id % 4 = 0 THEN chr(10)
+                           || 'Please enable javascript to continue here.'
+                           ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+                           || 'Another complete sentence appears right here!'
+                           ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                           || 'this page uses lorem ipsum filler text.'
+                           ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN chr(10)
+                           || 'function f() { return 1; }'
+                           ELSE '' END AS text
+                FROM documents
+            ), pages AS (
+                SELECT doc_id, text, string_split(text, chr(10)) AS ls
+                FROM corpus
+                WHERE NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
+            ), ex AS (
+                SELECT doc_id, len(ls) AS n_lines, ls,
+                       unnest(range(1, len(ls) + 1)) AS ord
+                FROM pages
+            ), lines AS (
+                SELECT doc_id, n_lines, ord,
+                       trim(ls[ord], ' ') AS s
+                FROM ex
+            ), kept AS (
+                SELECT doc_id, n_lines, ord, s FROM lines
+                WHERE regexp_matches(s, '[.!?"'']$')
+                  AND len(regexp_extract_all(s, '[^ ]+')) >= 3
+                  AND NOT contains(lower(s), 'javascript')
+            )
+            SELECT doc_id,
+                   string_agg(s, chr(10) ORDER BY ord) AS text,
+                   CAST(min(n_lines) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+            HAVING count(*) >= 2
+        """,
+        # script profile: RE2 char classes over the SAME fixed codepoint
+        # ranges as ops/text.py _SCRIPT_RANGES; argmax with first-max
+        # (latin>cyrillic>greek>han) tie priority
+        "script_profile": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN doc_id % 9 = 0
+                               THEN repeat(chr(1072) || chr(1073), 40)
+                           WHEN doc_id % 3 = 0 THEN COALESCE(text, '')
+                               || ' ' || repeat(chr(1072) || chr(1073),
+                                                CAST(doc_id % 5 + 1 AS INT))
+                           WHEN doc_id % 3 = 1 THEN COALESCE(text, '')
+                               || ' ' || repeat(chr(955) || chr(956),
+                                                CAST(doc_id % 4 + 1 AS INT))
+                           ELSE COALESCE(text, '')
+                               || ' ' || repeat(chr(20013) || chr(25991),
+                                                CAST(doc_id % 3 + 1 AS INT))
+                       END AS text
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       CAST(length(regexp_replace(text,
+                           '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g'))
+                           AS BIGINT) AS n_latin,
+                       CAST(length(regexp_replace(text,
+                           '[^\x{0400}-\x{04FF}]', '', 'g'))
+                           AS BIGINT) AS n_cyrillic,
+                       CAST(length(regexp_replace(text,
+                           '[^\x{0370}-\x{03FF}]', '', 'g'))
+                           AS BIGINT) AS n_greek,
+                       CAST(length(regexp_replace(text,
+                           '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                           AS BIGINT) AS n_han
+                FROM corpus
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han,
+                   CASE
+                       WHEN n_latin = 0 AND n_cyrillic = 0
+                            AND n_greek = 0 AND n_han = 0 THEN 'none'
+                       WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                            AND n_latin >= n_han THEN 'latin'
+                       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+                            THEN 'cyrillic'
+                       WHEN n_greek >= n_han THEN 'greek'
+                       ELSE 'han'
+                   END AS main_script
+            FROM counts
+        """,
+        # URL templates: independent host/path re-derivation with DuckDB
+        # regexes (lower + www-strip, trailing-slash collapse, digits→N);
+        # unparseable rows pass through as host '' / template = raw url
+        "url_templates": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0
+                            THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                            ELSE 'https://WWW.Shop'
+                             || CAST(doc_id % 5 AS VARCHAR)
+                             || '.Example.com'
+                             || CASE WHEN doc_id % 3 = 0
+                                 THEN '/p/' || CAST(doc_id AS VARCHAR) || '/x'
+                                 ELSE '/cat/' || CAST(doc_id % 7 AS VARCHAR)
+                                  || '/item/'
+                                  || CAST(doc_id * 97 % 1000 AS VARCHAR)
+                                END
+                             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                             || '?page=' || CAST(doc_id % 4 AS VARCHAR)
+                             || '#frag'
+                       END AS url
+                FROM documents
+            ), parsed AS (
+                SELECT url,
+                       regexp_matches(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://') AS ok,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+                           '^www\.', '') AS host0,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+(/[^?#]*)',
+                           1) AS path0
+                FROM urls
+            ), rows_ AS (
+                SELECT CASE WHEN ok THEN host0 ELSE '' END AS host,
+                       CASE WHEN ok THEN regexp_replace(
+                           CASE WHEN regexp_replace(COALESCE(path0, ''),
+                                    '/+$', '') = '' THEN '/'
+                                ELSE regexp_replace(COALESCE(path0, ''),
+                                    '/+$', '') END,
+                           '[0-9]+', 'N', 'g')
+                            ELSE url END AS template
+                FROM parsed
+            )
+            SELECT host, template, CAST(count(*) AS BIGINT) AS n_pages
+            FROM rows_ GROUP BY host, template
+        """,
+        # mention contexts: words + ordinality parallel unnest, list
+        # slice with the same ±2 clamp as the kernel
+        "mention_contexts": r"""
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN 'alpha leads '
+                            ELSE '' END
+                       || COALESCE(text, '')
+                       || ' sees alpha by the old mill'
+                       || CASE WHEN doc_id % 3 = 0 THEN ' beta rises'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' gamma'
+                          ELSE '' END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z]+') AS ws
+                FROM corpus
+            ), ex AS (
+                SELECT doc_id, ws, unnest(ws) AS term,
+                       unnest(range(1, len(ws) + 1)) AS pos
+                FROM toks
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, term,
+                   array_to_string(ws[greatest(1, pos - 2):
+                                      least(len(ws), pos + 2)],
+                                   ' ') AS context
+            FROM ex
+            WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # taxonomy closure: WITH RECURSIVE over the same ternary parent
+        # rule — the O(depth) re-derivation of the O(log depth) doubling
+        "taxonomy_closure": r"""
+            WITH RECURSIVE anc(node, ancestor, depth) AS (
+                SELECT doc_id, (doc_id - 1) // 3, CAST(1 AS BIGINT)
+                FROM documents WHERE doc_id > 0
+                UNION ALL
+                SELECT node, (ancestor - 1) // 3, depth + 1
+                FROM anc WHERE ancestor > 0
+            )
+            SELECT node, ancestor, depth FROM anc
         """,
         # bag-of-words dedup: group by the sorted-distinct-words string
         # (the Ray side hashes the same canonical form map-side)

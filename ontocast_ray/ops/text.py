@@ -1281,3 +1281,111 @@ def compression_stats(batch: pa.Table, level: int = 6) -> pa.Table:
         "n_zlib": pa.array(nz),
         "ratio_ppm": pa.array(ratio),
     })
+
+
+# Fixed codepoint ranges (inclusive) — written explicitly, NOT \p{Script},
+# so the numpy kernel and the SQL RE2 oracle use the IDENTICAL table and
+# cannot drift with a unicodedata version bump.
+_SCRIPT_RANGES = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF),),
+    "greek": ((0x370, 0x3FF),),
+    "han": ((0x4E00, 0x9FFF),),
+}
+_SCRIPT_PRIORITY = ("latin", "cyrillic", "greek", "han")
+
+
+def script_profile(batch: pa.Table, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Unicode-script character profile per document — the signal behind
+    script-based language routing (CCNet buckets by script before lang-ID;
+    mixed-script spam is a standard web-crawl reject). → (id_col,
+    n_latin, n_cyrillic, n_greek, n_han, main_script) where counts use the
+    fixed ``_SCRIPT_RANGES`` codepoint table and ``main_script`` is the
+    argmax with ties broken by latin>cyrillic>greek>han priority ('none'
+    when all are zero).
+
+    Pure map, zero shuffle. Kernel: one utf-32 decode per doc, then
+    vectorized range masks (one searchsorted per script over the corpus
+    of codepoints in the batch) — no per-character Python.
+    """
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    counts = {s: np.zeros(n, dtype=np.int64) for s in _SCRIPT_PRIORITY}
+    # flatten the batch to ONE codepoint array + row offsets
+    bufs = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64, count=n)
+    if lens.sum():
+        cps = np.frombuffer(b"".join(bufs), dtype=np.uint32)
+        row = np.repeat(np.arange(n), lens)
+        for script, ranges in _SCRIPT_RANGES.items():
+            mask = np.zeros(len(cps), dtype=bool)
+            for lo, hi in ranges:
+                mask |= (cps >= lo) & (cps <= hi)
+            counts[script] = np.bincount(row[mask], minlength=n).astype(np.int64)
+    mat = np.stack([counts[s] for s in _SCRIPT_PRIORITY], axis=1)
+    best = mat.argmax(axis=1)  # argmax takes the FIRST max → priority order
+    names = np.array(_SCRIPT_PRIORITY, dtype=object)[best]
+    names[mat.max(axis=1) == 0] = "none"
+    return pa.table({
+        id_col: batch[id_col],
+        "n_latin": pa.array(counts["latin"]),
+        "n_cyrillic": pa.array(counts["cyrillic"]),
+        "n_greek": pa.array(counts["greek"]),
+        "n_han": pa.array(counts["han"]),
+        "main_script": pa.array(names, type=pa.string()),
+    })
+
+
+def mention_contexts(
+    docs: "ray.data.Dataset",
+    terms: "list[str] | set[str]",
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Entity-linker training-window construction (the step after gazetteer
+    matching in every EL stack — BLINK/GENRE train on exactly this shape):
+    for every occurrence of a catalog term in the ``[a-z]+`` lower token
+    stream, emit the ±``window``-token context. → (id_col, pos, term,
+    context) with ``pos`` the 1-based token position and ``context`` the
+    tokens ``[pos-window, pos+window]`` (clamped) joined by single spaces.
+
+    Pure map, zero shuffle; the term set is broadcast in the task closure
+    (entity catalogs are MBs vs TB corpora). Tokenization + matching are
+    vectorized (explode + isin); only the MATCHES — sparse by definition —
+    are sliced in Python, so the per-row loop is match-sized, not
+    corpus-sized.
+    """
+    term_set = frozenset(terms)
+    w = int(window)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        words = texts.str.lower().str.findall(r"[a-z]+")
+        lens = words.str.len().to_numpy().astype(np.int64)
+        idx, vals = _explode_words(words)
+        out = {"doc_id": [], "pos": [], "term": [], "context": []}
+        if len(vals):
+            starts = np.cumsum(lens) - lens  # flat offset of each row
+            pos = np.arange(len(vals), dtype=np.int64) - starts[idx] + 1
+            hit = pd.Series(vals).isin(term_set).to_numpy()
+            wl = words.to_numpy()
+            for j in np.flatnonzero(hit):
+                r = idx[j]
+                p = int(pos[j])
+                toks = wl[r]
+                ctx = toks[max(0, p - 1 - w): min(len(toks), p + w)]
+                out["doc_id"].append(ids[r])
+                out["pos"].append(p)
+                out["term"].append(vals[j])
+                out["context"].append(" ".join(ctx))
+        return pa.table({
+            id_col: pa.array(np.asarray(out["doc_id"], dtype=np.int64)),
+            "pos": pa.array(np.asarray(out["pos"], dtype=np.int64)),
+            "term": pa.array(out["term"], type=pa.string()),
+            "context": pa.array(out["context"], type=pa.string()),
+        })
+
+    return docs.map_batches(kern, batch_format="pyarrow")

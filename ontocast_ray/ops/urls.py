@@ -546,3 +546,62 @@ def anchor_text_top(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def url_path_templates(
+    docs: "ray.data.Dataset",
+    url_col: str = "url",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Crawl-frontier path-template mining: collapse every digit run in the
+    URL path to ``N`` and count pages per (host, template). The report
+    every crawler/curation team uses to spot calendar traps, pagination
+    explosions, and per-item template families before they eat the crawl
+    budget. → (host, template, n_pages).
+
+    Host is lowercased with a leading ``www.`` stripped (the `_canon_series`
+    rule); path excludes query/fragment, trailing slashes collapsed like
+    the canonical form; unparseable URLs group under host ``''`` with the
+    raw string as template (never-drop pass-through). Map-side combiner →
+    one coarse ``hash(host|template) % P`` shuffle of (host, template,
+    count) partials — pages never move.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        urls = df[url_col].astype("string").astype(object).fillna("")
+        parts = urls.str.extract(_URL_RE)
+        ok = parts["scheme"].notna() & parts["host"].notna()
+        host = parts["host"].str.lower()
+        host = host.mask(host.str.startswith("www.", na=False), host.str.slice(4))
+        path = parts["path"].fillna("")
+        path = path.str.replace(r"/+$", "", regex=True)
+        path = path.mask(path == "", "/")
+        tmpl = path.str.replace(r"[0-9]+", "N", regex=True)
+        host = host.where(ok, "")
+        tmpl = tmpl.where(ok, urls)
+        g = (
+            pd.DataFrame({"host": host, "template": tmpl})
+            .groupby(["host", "template"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_pages"})
+        )
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        key = (g["host"] + "\x01" + g["template"]).to_numpy(dtype=object)
+        g["part"] = (hash_u64(key) % np.uint64(n_parts)).astype(np.int32)
+        return g
+
+    def combine(group: "pd.DataFrame") -> "pd.DataFrame":
+        out = group.groupby(["host", "template"], as_index=False).agg(
+            n_pages=("n_pages", "sum")
+        )
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        return out[["host", "template", "n_pages"]]
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

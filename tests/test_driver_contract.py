@@ -215,6 +215,11 @@ _SQL_GATED = [
         "length_drift_report",
         "curation_funnel_report",
         "anchor_text_top",
+        "c4_filtered_docs",
+        "script_profile",
+        "url_templates",
+        "mention_contexts",
+        "taxonomy_closure",
 ]
 
 

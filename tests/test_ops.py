@@ -4191,3 +4191,160 @@ def test_dedup_keep_best_paths_agree(ray_session):
         )
     assert outs[0].equals(outs[1])
     assert outs[0][outs[0]["keep"]]["doc_id"].tolist() == [2, 9, 20]
+
+
+# ---------------------------------------------------------------------------
+# round-5 ops: C4 line rules, script profile, URL templates, mention
+# contexts, ancestor closure
+
+
+def test_c4_line_filter_rules(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.curation import c4_line_filter
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            # kept: two good lines; short + unterminated dropped
+            "A full sentence right here.\nno punct line\nhi.\n"
+            "Another proper sentence!",
+            # page dropped: lorem ipsum
+            "A full sentence right here.\nAnother proper sentence!\n"
+            "this has Lorem Ipsum inside.",
+            # page dropped: '{'
+            "A full sentence right here.\nAnother proper sentence!\n"
+            "code { block }",
+            # line dropped: javascript; page dropped (<2 kept)
+            "Please enable JavaScript to continue now.\nGood line is kept ok.",
+            # kept: quote + question terminal marks count
+            'Is this a question line?\n"Quoted line ends here."',
+        ]),
+    })
+    out = (
+        c4_line_filter(ray.data.from_arrow(docs), min_kept_lines=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 4]
+    assert out.loc[0, "text"] == (
+        "A full sentence right here.\nAnother proper sentence!"
+    )
+    assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text"] == (
+        'Is this a question line?\n"Quoted line ends here."'
+    )
+
+
+def test_script_profile_counts_and_priority(ray_session):
+    from ontocast_ray.ops.text import script_profile
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "abc АБ λ 中",        # latin 3, cyr 2, greek 1, han 1 → latin
+            "АБВГ ab",            # cyr 4 > latin 2 → cyrillic
+            "",                   # all zero → none
+            "λλ 中中",             # tie greek==han==2 → greek (priority)
+        ]),
+    })
+    out = script_profile(batch).to_pandas()
+    assert out["n_latin"].tolist() == [3, 2, 0, 0]
+    assert out["n_cyrillic"].tolist() == [2, 4, 0, 0]
+    assert out["n_greek"].tolist() == [1, 0, 0, 2]
+    assert out["n_han"].tolist() == [1, 0, 0, 2]
+    assert out["main_script"].tolist() == [
+        "latin", "cyrillic", "none", "greek",
+    ]
+
+
+def test_url_path_templates(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.urls import url_path_templates
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "url": pa.array([
+            "https://WWW.Shop.Example.com/item/123",
+            "https://shop.example.com/item/999/",   # same template
+            "https://shop.example.com/item/12/x",   # different template
+            "https://other.net/",                   # root path
+            "junk string 77",                       # unparseable passthrough
+            None,                                   # null url
+        ]),
+    })
+    out = (
+        url_path_templates(ray.data.from_arrow(docs), n_parts=4)
+        .to_pandas().sort_values(["host", "template"]).reset_index(drop=True)
+    )
+    rows = set(map(tuple, out.itertuples(index=False)))
+    assert ("shop.example.com", "/item/N", 2) in rows
+    assert ("shop.example.com", "/item/N/x", 1) in rows
+    assert ("other.net", "/", 1) in rows
+    assert ("", "junk string 77", 1) in rows
+    assert ("", "", 1) in rows  # null url → empty host/raw ''
+
+
+def test_mention_contexts_clamping(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.text import mention_contexts
+
+    docs = pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "text": pa.array(["alpha starts then beta sits mid and ends gamma"]),
+    })
+    out = (
+        mention_contexts(
+            ray.data.from_arrow(docs),
+            terms=("alpha", "beta", "gamma"), window=2,
+        )
+        .to_pandas().sort_values("pos").reset_index(drop=True)
+    )
+    assert out["term"].tolist() == ["alpha", "beta", "gamma"]
+    assert out["pos"].tolist() == [1, 4, 9]
+    # left clamp / full window / right clamp
+    assert out["context"].tolist() == [
+        "alpha starts then",
+        "starts then beta sits mid",
+        "and ends gamma",
+    ]
+
+
+def _closure_expected(parents: dict[int, int]) -> set[tuple[int, int, int]]:
+    exp = set()
+    for n in parents:
+        d, a = 0, n
+        while a in parents:
+            a = parents[a]
+            d += 1
+            exp.add((n, a, d))
+    return exp
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_ancestor_closure_both_paths(ray_session, broadcast_limit):
+    """Recursive doubling must emit every (node, ancestor, depth) exactly
+    once, on the broadcast fast path AND the shuffle-join scale path
+    (broadcast_limit=0), over a deep chain + a branchy forest."""
+    import ray.data
+
+    from ontocast_ray.ops.graph_cc import ancestor_closure
+
+    parents = {i: i - 1 for i in range(1, 12)}      # depth-11 chain
+    parents.update({100 + i: (100 + i - 1) // 3 * 1 for i in range(1, 9)})
+    # ternary forest rooted at 33 (ids 101..108 → parents via (x-1)//3)
+    parents.update({100 + i: 100 + (i - 1) // 3 for i in range(1, 9)})
+    edges = pa.table({
+        "child": pa.array(list(parents), type=pa.int64()),
+        "parent": pa.array(list(parents.values()), type=pa.int64()),
+    })
+    out = ancestor_closure(
+        ray.data.from_arrow(edges), n_parts=4,
+        broadcast_limit=broadcast_limit,
+    ).to_pandas()
+    got = set(map(tuple, out[["node", "ancestor", "depth"]].itertuples(
+        index=False)))
+    assert got == _closure_expected(parents)
+    # disjoint-union property: no duplicate (node, depth) rows ever
+    assert not out.duplicated(["node", "depth"]).any()
