@@ -5123,6 +5123,119 @@ def _q_bigram_lm(sf_dir: str):
     return bigram_lm_scores(docs, n_parts=32, out_parts=16)
 
 
+def _q_kg_provenance(sf_dir: str):
+    """Per-triple provenance ledger over the FLAGSHIP pipeline output —
+    the lineage table the north-rule's per-partition manifests feed: for
+    every canonical FACT triple, how many documents and chunks assert it,
+    and the first (min doc_id, then chunk_idx) asserting occurrence. The
+    audit trail entity-resolution QA reads when a merged triple looks
+    wrong. One coarse hash(s,p,o)%P shuffle of per-batch distinct
+    (triple, doc) partials; golden-pinned like the other kg_* queries
+    (content-hash IRIs)."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "facts"]
+        if df.empty:
+            return pd.DataFrame({
+                "subject": pd.Series([], dtype=object),
+                "predicate": pd.Series([], dtype=object),
+                "object": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_chunks": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        g = (
+            df.groupby(["subject", "predicate", "object", "doc_id"],
+                       as_index=False)
+            .agg(n_chunks=("chunk_hid", "nunique"))
+        )
+        g["doc_id"] = g["doc_id"].astype("int64")
+        g["n_chunks"] = g["n_chunks"].astype("int64")
+        key = (
+            g["subject"].astype(str) + "\x01" + g["predicate"].astype(str)
+            + "\x01" + g["object"].astype(str)
+        )
+        g["part"] = hash_partition(key.to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(["subject", "predicate", "object"], as_index=False)
+            .agg(
+                n_docs=("doc_id", "nunique"),
+                n_chunks=("n_chunks", "sum"),
+                first_doc=("doc_id", "min"),
+            )
+        )
+        for c in ("n_docs", "n_chunks", "first_doc"):
+            out[c] = out[c].astype("int64")
+        return out[["subject", "predicate", "object",
+                    "n_docs", "n_chunks", "first_doc"]]
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_user_trend(sf_dir: str):
+    """Per-user OLS trend of the integer props.k signal over event time,
+    EXACT as integer fractions (slope = num/den) — the featurize-per-
+    entity step where a naive float slope is reduce-order-dependent.
+    One coarse hash(user)%P shuffle; all four moments in one vectorized
+    groupby pass. Oracle mirrors with HUGEINT sums cast to BIGINT."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontocast_ray.ops.windows import user_trend_fractions
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "props"])
+
+    def with_y(batch: pa.Table) -> pa.Table:
+        import json
+
+        ks = [json.loads(p)["k"] for p in batch["props"].to_pylist()]
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "y": pa.array(np.asarray(ks, dtype=np.int64)),
+        })
+
+    return user_trend_fractions(
+        ev.map_batches(with_y, batch_format="pyarrow"), n_parts=16
+    )
+
+
+def _q_mixing_weights(sf_dir: str):
+    """The multi-source mixture planning table (Pile/Dolma 'epochs per
+    source'): per source, doc/whitespace-token totals, ceil-integer
+    epochs to fill a 1M-token budget, and the corpus token share as one
+    IEEE int/int division. Two O(sources)-row shuffles only."""
+    from ontocast_ray.ops.interleave import mixing_weights
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return mixing_weights(docs, token_budget_per_source=1_000_000)
+
+
+def _q_knn_hubness(sf_dir: str):
+    """ANN hubness report (Radovanović et al. 2010): in-degree of every
+    vector in the exact cosine top-5 graph — the health check that
+    catches hub vectors poisoning retrieval. Composition: the golden-
+    anchored exact kNN self-join feeds the exact_dedup-shaped count
+    combiner. Oracle: the knn_self_join SQL + GROUP BY neighbor."""
+    from ontocast_ray.ops.similarity import knn_hubness, knn_self_join
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = knn_self_join(emb, k=5, max_rows_per_shard=200)
+    return knn_hubness(pairs, n_parts=16)
+
+
 def _q_c4_line_filter(sf_dir: str):
     """The C4 line-rule set (Raffel et al. 2020 §2.2) end-to-end: a
     deterministic multi-line page is synthesized per doc (good sentences,
@@ -5499,6 +5612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "mention_contexts": _q_mention_contexts,
         "taxonomy_closure": _q_taxonomy_closure,
+        "kg_triple_provenance": _q_kg_provenance,
+        "user_trend_fractions": _q_user_trend,
+        "mixing_weights": _q_mixing_weights,
+        "knn_hubness": _q_knn_hubness,
     }
 
 
@@ -5538,6 +5655,7 @@ _GOLDEN_QUERIES = [
     "compression_ratio",
     "kg_predicate_profile",
     "kg_validation_report",
+    "kg_triple_provenance",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -8653,6 +8771,71 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # exact integer OLS fractions: HUGEINT moment sums cast to BIGINT,
+        # x = whole minutes since the user's first event (epoch_us // 60e6)
+        "user_trend_fractions": """
+            WITH e AS (
+                SELECT user_id,
+                       (epoch_us(ts)
+                        - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                       // 60000000 AS x,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS y
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS slope_den
+            FROM e GROUP BY user_id
+        """,
+        # mixture planning: whitespace token totals per source, ceil-int
+        # epochs for a 1M budget, corpus share as one int/int division
+        "mixing_weights": r"""
+            WITH tok AS (
+                SELECT source,
+                       CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                trim(text), '\s+')) END AS n_tok
+                FROM documents
+            ), per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((1000000 + n_tokens - 1) // n_tokens
+                                  AS BIGINT)
+                        ELSE 0 END AS epochs,
+                   n_tokens / (SELECT sum(n_tokens) FROM per)::DOUBLE
+                       AS token_share
+            FROM per
+        """,
+        # hubness: the knn_self_join scored CTE + GROUP BY neighbor
+        "knn_hubness": """
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS cosine
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), topk AS (
+                SELECT query_id, neighbor FROM (
+                    SELECT query_id, neighbor,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor ASC) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            )
+            SELECT neighbor AS vec_id,
+                   CAST(count(*) AS BIGINT) AS in_degree
+            FROM topk GROUP BY neighbor
         """,
         # taxonomy closure: WITH RECURSIVE over the same ternary parent
         # rule — the O(depth) re-derivation of the O(log depth) doubling

@@ -459,3 +459,55 @@ def sample_exact_k(
         .groupby("part")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def mixing_weights(
+    docs: "ray.data.Dataset",
+    token_budget_per_source: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """The data-mixture planning table every multi-source training run
+    starts from (the Pile/Dolma 'epochs per source' sheet): per source,
+    document and whitespace-token totals, the number of epochs needed to
+    fill ``token_budget_per_source`` (ceil, integer arithmetic — never
+    float), and the source's share of the corpus as a raw int/int IEEE
+    division. → (source, n_docs, n_tokens, epochs, token_share).
+
+    Map-side combiner (one row per source per block) → one tiny groupby;
+    the corpus-total for the share is a second source-count-sized pass,
+    both shuffles carry O(sources) rows.
+    """
+    import pandas as pd
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        t = df[text_col].astype("string").fillna("")
+        stripped = t.str.strip()
+        n_tok = stripped.str.split(r"\s+", regex=True).str.len()
+        n_tok = n_tok.where(stripped != "", 0).astype(np.int64)
+        g = pd.DataFrame({
+            source_col: df[source_col].to_numpy(),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_tokens": n_tok.to_numpy(),
+        }).groupby(source_col, as_index=False).sum()
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(source_col, as_index=False).sum()
+        total = np.int64(g["n_tokens"].sum())
+        b = np.int64(token_budget_per_source)
+        nt = g["n_tokens"].to_numpy(dtype=np.int64)
+        g["epochs"] = np.where(nt > 0, (b + nt - 1) // np.maximum(nt, 1), 0)
+        g["token_share"] = nt / total if total else np.zeros(len(g))
+        return g[[source_col, "n_docs", "n_tokens", "epochs", "token_share"]]
+
+    # sources are a handful — the final combine is a single tiny group
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(part=np.zeros(len(df), dtype=np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

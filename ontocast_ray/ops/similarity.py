@@ -1044,3 +1044,46 @@ def scalar_quantize_embeddings(
         })
 
     return emb.map_batches(quantize, batch_format="pyarrow")
+
+
+def knn_hubness(
+    knn_pairs: "ray.data.Dataset",
+    neighbor_col: str = "neighbor",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Hubness report over a kNN graph (the standard ANN-index health
+    check: in high dimensions a few 'hub' vectors appear in everyone's
+    top-k and poison downstream clustering/retrieval — Radovanović et al.
+    2010). Input: any (query_id, neighbor, rank) pair table (exact or
+    ANN); → (vec_id, in_degree) counting how many queries list each
+    vector among their neighbors.
+
+    The exact_dedup shape: per-block ``np.unique`` combiner so the coarse
+    ``hash(neighbor) % P`` shuffle carries one (vec, count) row per
+    distinct neighbor per block — never the pair list.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nb = batch[neighbor_col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(nb, return_counts=True)
+        return pa.table({
+            "vec_id": pa.array(uniq.astype(np.int64)),
+            "in_degree": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(
+                (hash_u64(uniq) % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("vec_id", as_index=False)["in_degree"].sum()
+        g["in_degree"] = g["in_degree"].astype(np.int64)
+        return g[["vec_id", "in_degree"]]
+
+    return (
+        knn_pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )

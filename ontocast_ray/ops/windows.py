@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -1182,4 +1183,74 @@ def next_event_context(
         )
         .groupby("part")
         .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def user_trend_fractions(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    y_col: str = "y",
+    minutes_per_unit: int = 1,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key OLS trend of an integer signal over time, kept EXACT as two
+    integer fractions (the featurize-per-entity step of churn/LTV models —
+    and the float-order trap case: a naive float slope differs run-to-run
+    under Ray's nondeterministic reduce order). → (key_col, n, slope_num,
+    slope_den) where slope = slope_num / slope_den, slope_num = n·Σxy −
+    Σx·Σy, slope_den = n·Σx² − (Σx)², x = whole minutes since the key's
+    FIRST event, y the integer signal. All arithmetic is int64; minute
+    resolution keeps n·Σx² far from overflow at real per-key cardinality
+    (x ≤ 5·10⁵ for a year span → n·Σx² ≈ 10¹⁷ at n=1000).
+
+    One coarse ``hash(key) % P`` shuffle (the sessionize shape); the
+    kernel computes min-ts, x, and all four moments per key in ONE
+    vectorized pandas groupby pass — no per-key Python.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(events, n_parts)
+    unit_us = np.int64(minutes_per_unit) * 60_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch[key_col],
+            "_ts": batch[ts_col].cast(pa.int64()),
+            y_col: batch[y_col].cast(pa.int64()),
+            "part": pa.array(
+                (hash_u64(keys) % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts = df["_ts"].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        g = df.groupby(key_col, sort=False)
+        min_ts = g["_ts"].transform("min").to_numpy(dtype=np.int64)
+        x = (ts - min_ts) // unit_us
+        agg = pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            "x": x, "y": y, "xy": x * y, "xx": x * x,
+        }).groupby(key_col, as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        )
+        n = agg["n"].to_numpy(dtype=np.int64)
+        sx = agg["sx"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            key_col: agg[key_col].to_numpy(),
+            "n": n,
+            "slope_num": n * agg["sxy"].to_numpy(dtype=np.int64)
+            - sx * agg["sy"].to_numpy(dtype=np.int64),
+            "slope_den": n * agg["sxx"].to_numpy(dtype=np.int64) - sx * sx,
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
     )

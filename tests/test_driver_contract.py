@@ -220,6 +220,9 @@ _SQL_GATED = [
         "url_templates",
         "mention_contexts",
         "taxonomy_closure",
+        "user_trend_fractions",
+        "mixing_weights",
+        "knn_hubness",
 ]
 
 

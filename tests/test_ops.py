@@ -4348,3 +4348,67 @@ def test_ancestor_closure_both_paths(ray_session, broadcast_limit):
     assert got == _closure_expected(parents)
     # disjoint-union property: no duplicate (node, depth) rows ever
     assert not out.duplicated(["node", "depth"]).any()
+
+
+def test_user_trend_fractions_exact(ray_session):
+    """Known series: y = 3x + 1 at minutes 0,1,2 → slope fraction must
+    reduce to exactly 3; a constant series has slope_num 0; a single
+    event has den 0 (undefined slope, caller's rule)."""
+    import ray.data
+
+    from ontocast_ray.ops.windows import user_trend_fractions
+
+    base = 1_700_000_000_000_000  # µs epoch
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+        "ts": pa.array(
+            [base, base + 60_000_000, base + 120_000_000,
+             base, base + 180_000_000, base],
+            type=pa.timestamp("us"),
+        ),
+        "y": pa.array([1, 4, 7, 5, 5, 9], type=pa.int64()),
+    })
+    out = (
+        user_trend_fractions(ray.data.from_arrow(tbl), n_parts=2)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    # user 1: n=3, x=[0,1,2], y=[1,4,7] → num=3*18-3*12=18, den=3*5-9=6 → 3
+    assert out.loc[1, "slope_num"] == 18 and out.loc[1, "slope_den"] == 6
+    assert out.loc[2, "slope_num"] == 0
+    assert out.loc[3, "slope_den"] == 0 and out.loc[3, "n"] == 1
+
+
+def test_mixing_weights_epochs(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.interleave import mixing_weights
+
+    tbl = pa.table({
+        "source": pa.array(["a", "a", "b", "c"]),
+        "text": pa.array(["one two three", "four five", "six", ""]),
+    })
+    out = (
+        mixing_weights(ray.data.from_arrow(tbl), token_budget_per_source=10)
+        .to_pandas().set_index("source").sort_index()
+    )
+    assert out.loc["a", "n_tokens"] == 5 and out.loc["a", "epochs"] == 2
+    assert out.loc["b", "n_tokens"] == 1 and out.loc["b", "epochs"] == 10
+    assert out.loc["c", "n_tokens"] == 0 and out.loc["c", "epochs"] == 0
+    assert out.loc["a", "token_share"] == 5 / 6
+
+
+def test_knn_hubness_counts(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.similarity import knn_hubness
+
+    pairs = pa.table({
+        "query_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "neighbor": pa.array([9, 9, 9, 5], type=pa.int64()),
+        "rank": pa.array([1, 1, 1, 1], type=pa.int64()),
+    })
+    out = (
+        knn_hubness(ray.data.from_arrow(pairs), n_parts=2)
+        .to_pandas().set_index("vec_id").sort_index()
+    )
+    assert out.loc[9, "in_degree"] == 3 and out.loc[5, "in_degree"] == 1
