@@ -234,27 +234,15 @@ def run_semdedup() -> int:
 
 
 def run_pagerank() -> int:
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import sys as _sys
 
-    from ontocast_ray.ops.joins import distinct_on, hash_join
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
     from ontocast_ray.ops.pagerank import pagerank_int
 
-    li = _read("lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read("orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def mk_edges(batch):
-        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
-        c = pc.add(batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000)
-        return pa.table({"src": pa.concat_arrays([s, c]),
-                         "dst": pa.concat_arrays([c, s])})
-
-    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    # shared broadcast-dim edge builder (same code path the gate queries
+    # run); the PR iterations use the exact integer spec
+    edges = _entry._supplier_customer_edges(SF_DIR, n_parts=16)
     return pagerank_int(edges, n_iters=3).count()
 
 
@@ -414,30 +402,13 @@ def run_label_propagation() -> int:
     # supplier<->customer bipartite graph; forces the broadcast-carrier
     # rounds (the scale path: edges never move) instead of the driver
     # fallback the auto mode would pick at this size
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    import sys as _sys
 
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
     from ontocast_ray.ops.graph_cc import label_propagation
-    from ontocast_ray.ops.joins import distinct_on, hash_join
 
-    li = _read("lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read("orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def both_dirs(b: pa.Table) -> pa.Table:
-        s = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks()
-        c = pc.cast(
-            pc.add(b["o_custkey"], 1_000_000), pa.int64()
-        ).combine_chunks()
-        return pa.table(
-            {"src": pa.concat_arrays([s, c]), "dst": pa.concat_arrays([c, s])}
-        )
-
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    edges = _entry._supplier_customer_edges(SF_DIR, n_parts=16).materialize()
     return label_propagation(
         edges, n_iters=3, n_parts=16, mode="broadcast"
     ).count()

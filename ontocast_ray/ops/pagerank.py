@@ -75,9 +75,15 @@ def _pagerank_driver(
     """Bounded-size fast path: vectorized integer PageRank on the driver.
     With ``seed_mod`` set, teleport + dangling mass flow ONLY to nodes
     with ``node % seed_mod == seed_rem`` (personalized PageRank)."""
-    rows = edges.take_all()
-    src = np.asarray([r["src"] for r in rows], dtype=np.int64)
-    dst = np.asarray([r["dst"] for r in rows], dtype=np.int64)
+    # iter_batches + concat, NOT take_all: a 1M-edge take_all materializes
+    # a Python dict per row (measured ~2 s at the bench's 1.17M edges);
+    # the arrow path is one zero-copy numpy view per block
+    srcs, dsts = [], []
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = (np.concatenate(srcs) if srcs else np.array([], dtype=np.int64)).astype(np.int64)
+    dst = (np.concatenate(dsts) if dsts else np.array([], dtype=np.int64)).astype(np.int64)
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     src_i, dst_i = inv[: len(src)], inv[len(src):]
     n = len(nodes)

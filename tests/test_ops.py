@@ -4412,3 +4412,29 @@ def test_knn_hubness_counts(ray_session):
         .to_pandas().set_index("vec_id").sort_index()
     )
     assert out.loc[9, "in_degree"] == 3 and out.loc[5, "in_degree"] == 1
+
+
+def test_broadcast_join_int_inner(ray_session):
+    import ray.data
+
+    from ontocast_ray.ops.joins import broadcast_join_int
+
+    big = pa.table({
+        "k": pa.array([1, 2, 3, 2, 9], type=pa.int64()),
+        "payload": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    small = pa.table({
+        "sk": pa.array([3, 1, 2], type=pa.int64()),
+        "sv": pa.array([30, 10, 20], type=pa.int64()),
+    })
+    out = (
+        broadcast_join_int(
+            ray.data.from_arrow(big), ray.data.from_arrow(small),
+            big_key="k", small_key="sk", small_val="sv", out_col="v",
+        )
+        .to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+    )
+    # inner semantics: key 9 dropped; dup fact keys both matched
+    assert out["k"].tolist() == [1, 2, 2, 3]
+    assert out["v"].tolist() == [10, 20, 20, 30]
+    assert out["payload"].tolist() == ["a", "b", "d", "c"]
