@@ -5128,6 +5128,58 @@ def _q_kg_provenance(sf_dir: str):
     )
 
 
+def _q_kg_incremental_entities(sf_dir: str):
+    """Incremental KG entity-table update (the daily-crawl shape the
+    north-rule's 10^12-doc scale forces — never reprocess old docs):
+    'yesterday' = the global entity table of docs < 250, 'today's batch'
+    = the triples of docs ≥ 250; the update merges new-batch aggregates
+    into the old table on one coarse key shuffle and tags every row
+    new/updated/unchanged. Property-tested: equals the full-batch
+    global_entity_table over all docs, row for row (merge rules are
+    associative). Golden-pinned (content-hash IRIs)."""
+    import pyarrow.compute as pc
+
+    from ontocast_ray.pipelines.crossdoc import (
+        global_entity_table,
+        incremental_global_entities,
+    )
+
+    triples = _q_kg_triples(sf_dir).materialize()
+
+    def half(lo: int, hi: int):
+        def f(b):
+            ids = pc.cast(
+                pc.if_else(
+                    pc.equal(b["doc_id"], ""), "-1", b["doc_id"]
+                ),
+                "int64",
+            )
+            keep = pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
+            return b.filter(keep)
+
+        return triples.map_batches(f, batch_format="pyarrow")
+
+    old_table = global_entity_table(half(0, 250), n_parts=16)
+    return incremental_global_entities(
+        old_table, half(250, 10**9), n_parts=16
+    ).select_columns(
+        ["entity_uri", "entity_key", "label",
+         "n_docs", "n_mentions", "status"]
+    )
+
+
+def _q_event_bursts(sf_dir: str):
+    """Per-user hourly burst flags (crawl-trap/abuse monitoring): a
+    window bursts when count × n_active_windows > 2 × user_total — pure
+    integer cross-multiplication, no float mean. One coarse user shuffle
+    of (user, window, count) partials. SQL mirror uses the same integer
+    inequality over window functions."""
+    from ontocast_ray.ops.windows import event_bursts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return event_bursts(ev, n_parts=16)
+
+
 def _q_user_trend(sf_dir: str):
     """Per-user OLS trend of the integer props.k signal over event time,
     EXACT as integer fractions (slope = num/den) — the featurize-per-
@@ -5557,6 +5609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_contexts": _q_mention_contexts,
         "taxonomy_closure": _q_taxonomy_closure,
         "kg_triple_provenance": _q_kg_provenance,
+        "kg_incremental_entities": _q_kg_incremental_entities,
+        "event_bursts": _q_event_bursts,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -5600,6 +5654,7 @@ _GOLDEN_QUERIES = [
     "kg_predicate_profile",
     "kg_validation_report",
     "kg_triple_provenance",
+    "kg_incremental_entities",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -8715,6 +8770,28 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # bursts: same integer cross-multiplication over window functions
+        "event_bursts": """
+            WITH w AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                           AS window_start
+                FROM events
+            ), c AS (
+                SELECT user_id, window_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM w GROUP BY user_id, window_start
+            )
+            SELECT user_id, window_start, n_events,
+                   CAST(sum(n_events) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS user_total,
+                   CAST(count(*) OVER (PARTITION BY user_id)
+                        AS BIGINT) AS n_windows,
+                   n_events * (count(*) OVER (PARTITION BY user_id))
+                       > 2 * (sum(n_events) OVER (PARTITION BY user_id))
+                       AS is_burst
+            FROM c
         """,
         # exact integer OLS fractions: HUGEINT moment sums cast to BIGINT,
         # x = whole minutes since the user's first event (epoch_us // 60e6)

@@ -1254,3 +1254,73 @@ def user_trend_fractions(
         .groupby("part")
         .map_groups(kern, batch_format="pandas")
     )
+
+
+def event_bursts(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    every_us: int = 3_600_000_000,
+    factor_num: int = 2,
+    factor_den: int = 1,
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Burst detection — the monitoring primitive behind crawl-trap and
+    abuse detection: per (key, tumbling window) event counts, flagged
+    when the window's count exceeds ``factor_num/factor_den ×`` the key's
+    mean count per ACTIVE window. The comparison is pure integer
+    cross-multiplication (``c · n_windows · den > num · total``) so the
+    flag is bit-exact across engines — no float mean. → (key_col,
+    window_start [µs], n_events, user_total, n_windows, is_burst).
+
+    One coarse ``hash(key) % P`` shuffle of map-side (key, window, count)
+    partials — the raw events never cross the wire; the kernel folds all
+    keys of a partition in two vectorized groupby passes.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(events, n_parts)
+    every = np.int64(every_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        win = (ts // every) * every
+        g = (
+            pd.DataFrame({key_col: keys, "window_start": win})
+            .groupby([key_col, "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["part"] = (
+            hash_u64(g[key_col].to_numpy()) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            df.groupby([key_col, "window_start"], as_index=False)
+            .agg(n_events=("n_events", "sum"))
+        )
+        per_key = g.groupby(key_col, sort=False)["n_events"]
+        total = per_key.transform("sum").to_numpy(dtype=np.int64)
+        nwin = per_key.transform("size").to_numpy(dtype=np.int64)
+        c = g["n_events"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "window_start": g["window_start"].to_numpy(dtype=np.int64),
+            "n_events": c,
+            "user_total": total,
+            "n_windows": nwin,
+            "is_burst": c * nwin * np.int64(factor_den)
+            > np.int64(factor_num) * total,
+        })
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
+    )

@@ -102,3 +102,66 @@ def test_rewrite_is_pure_map():
     assert fact["object"] == "https://example.com/entity/acme_corp"
     sameas = [r for r in rows if r["graph_scope"] == "sameas"]
     assert len(sameas) == 2
+
+
+def test_incremental_equals_full_batch(ray_session):
+    """The associativity contract: merging a new batch into yesterday's
+    table must equal full-batch recomputation over old∪new, row for row
+    (modulo the status column) — the property that makes the incremental
+    op safe to run daily without drift."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ontocast_ray.pipelines.crossdoc import (
+        global_entity_table,
+        incremental_global_entities,
+    )
+
+    corpus = generate_corpus(n_docs=24, seed=7, head_entity_fraction=0.4)
+    docs = ray.data.from_arrow(corpus)
+    triples = build_kg_pipeline(
+        docs, chunk_concurrency=2, extract_concurrency=2,
+        min_chunk_size=200, max_chunk_size=2000,
+    ).materialize()
+
+    # split on the zero-padded doc-id string (corpus ids sort lexically);
+    # sameas/"" rows carry no mentions either way
+    def part_of(b, lo, hi):
+        ids = b["doc_id"].to_pylist()
+        keep = [lo <= (d or "") < hi for d in ids]
+        return b.filter(pa.array(keep))
+
+    old_t = triples.map_batches(
+        lambda b: part_of(b, "doc-000000", "doc-000012"),
+        batch_format="pyarrow")
+    new_t = triples.map_batches(
+        lambda b: part_of(b, "doc-000012", "doc-999999"),
+        batch_format="pyarrow")
+
+    old_table = global_entity_table(old_t, n_parts=4)
+    inc = incremental_global_entities(old_table, new_t, n_parts=4).to_pandas()
+    full = global_entity_table(
+        triples.map_batches(
+            lambda b: part_of(b, "doc-000000", "doc-999999"),
+            batch_format="pyarrow"),
+        n_parts=4,
+    ).to_pandas()
+
+    cols = ["entity_uri", "entity_key", "label", "n_docs", "n_mentions"]
+    a = inc[cols].sort_values("entity_key").reset_index(drop=True)
+    b = full[cols].sort_values("entity_key").reset_index(drop=True)
+    assert a.equals(b), (len(a), len(b))
+    # status sanity: every row is labeled, and old-only keys say unchanged
+    assert set(inc["status"]) <= {"new", "updated", "unchanged"}
+    old_keys = set(old_table.to_pandas()["entity_key"])
+    new_keys = set(
+        incremental_global_entities(
+            global_entity_table(old_t, n_parts=4), new_t, n_parts=4
+        ).to_pandas()
+        .query("status == 'new'")["entity_key"]
+    )
+    assert new_keys.isdisjoint(old_keys)
+    # types merge is a set union
+    ti = inc.set_index("entity_key")["types"]
+    tf = full.set_index("entity_key")["types"]
+    assert all(list(ti[k]) == list(tf[k]) for k in ti.index)

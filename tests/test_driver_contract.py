@@ -223,6 +223,7 @@ _SQL_GATED = [
         "user_trend_fractions",
         "mixing_weights",
         "knn_hubness",
+        "event_bursts",
 ]
 
 
