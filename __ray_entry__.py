@@ -3914,12 +3914,14 @@ def _q_hits_scores(sf_dir: str):
     from ontocast_ray.ops.joins import distinct_on, hash_join
     from ontocast_ray.util import hash_partition
 
+    from ontocast_ray.ops.joins import broadcast_join_int as _bji
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders,
-        left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    # orders is the broadcastable dim side (the edge-builder rule)
+    joined = _bji(
+        li, orders, big_key="l_orderkey", small_key="o_orderkey",
+        small_val="o_custkey", out_col="o_custkey",
     )
     # edges consumed by 3 downstream passes → materialize (CLAUDE.md rule)
     edges = distinct_on(
@@ -3954,21 +3956,26 @@ def _q_hits_scores(sf_dir: str):
 
     # auth1(c) = |{s : s→c}| (hub0 = 1)
     auth1 = _keyed_sum(edges, "o_custkey", None, "auth1")
+    # score tables are NODE-sized (two int64 columns) → broadcast them
+    # back onto the edge stream instead of a partitioned join per
+    # half-iteration (measured 65 s → ~8 s at the sf0.01 gate; hash_join
+    # remains the path when the node table outgrows a broadcast — the
+    # same size gate every broadcast fast path in this repo documents)
+    from ontocast_ray.ops.joins import broadcast_join_int
+
     # hub1(s) = Σ_{c: s→c} auth1(c)
     hub1 = _keyed_sum(
-        hash_join(
-            edges, auth1,
-            left_on="o_custkey", right_on="o_custkey",
-            left_cols=["l_suppkey"], right_cols=["auth1"], n_parts=16,
+        broadcast_join_int(
+            edges, auth1, big_key="o_custkey", small_key="o_custkey",
+            small_val="auth1", out_col="auth1",
         ),
         "l_suppkey", "auth1", "hub",
-    )
+    ).materialize()  # consumed by auth2 AND the tagged output union
     # auth2(c) = Σ_{s: s→c} hub1(s)
     auth2 = _keyed_sum(
-        hash_join(
-            edges, hub1,
-            left_on="l_suppkey", right_on="l_suppkey",
-            left_cols=["o_custkey"], right_cols=["hub"], n_parts=16,
+        broadcast_join_int(
+            edges, hub1, big_key="l_suppkey", small_key="l_suppkey",
+            small_val="hub", out_col="hub",
         ),
         "o_custkey", "hub", "score",
     )
@@ -4450,14 +4457,15 @@ def _q_link_prediction(sf_dir: str):
 
     import ray
 
-    from ontocast_ray.ops.joins import distinct_on, hash_join
+    from ontocast_ray.ops.joins import broadcast_join_int, distinct_on
     from ontocast_ray.util import hash_partition
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
+    # orders is the broadcastable dim side (the edge-builder rule)
+    joined = broadcast_join_int(
+        li, orders, big_key="l_orderkey", small_key="o_orderkey",
+        small_val="o_custkey", out_col="o_custkey",
     )
     pairs = distinct_on(
         joined, ["l_suppkey", "o_custkey"], n_parts=16
@@ -5168,6 +5176,108 @@ def _q_kg_incremental_entities(sf_dir: str):
     )
 
 
+def _q_kg_class_instances(sf_dir: str):
+    """Ontology-usage census over the FLAGSHIP pipeline output: per
+    rdf:type class — distinct instances, total assertions, documents
+    asserting it. The 'which classes does this corpus actually use'
+    report that drives ontology pruning/criticism (the reference's
+    criticise step reasons over exactly this signal per chunk; this is
+    the corpus-wide table). One coarse hash(class)%P shuffle of per-batch
+    distinct partials; golden-pinned (content-hash IRIs)."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    triples = _q_kg_triples(sf_dir)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[(df["graph_scope"] == "facts")
+                & (df["predicate"] == rdf_type)]
+        if df.empty:
+            return pd.DataFrame({
+                "class_uri": pd.Series([], dtype=object),
+                "subject": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        g = (
+            df.groupby(["object", "subject", "doc_id"], as_index=False)
+            .size().rename(columns={"size": "n", "object": "class_uri"})
+        )
+        g["n"] = g["n"].astype("int64")
+        g["part"] = hash_partition(g["class_uri"].to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("class_uri", as_index=False).agg(
+            n_instances=("subject", "nunique"),
+            n_docs=("doc_id", "nunique"),
+            n_assertions=("n", "sum"),
+        )
+        for c in ("n_instances", "n_docs", "n_assertions"):
+            out[c] = out[c].astype("int64")
+        return out[["class_uri", "n_instances", "n_docs", "n_assertions"]]
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_link_density(sf_dir: str):
+    """Link-density quality signal (the boilerplate-page detector every
+    web-text pipeline gates on — nav/footer pages are mostly anchor
+    text): over the same synthetic anchor corpus as anchor_text_top, per
+    doc — total chars, link count, anchor-text chars, and the IEEE
+    int/int anchor-char ratio. Pure map, zero shuffle; one compiled
+    regex per batch. Oracle re-derives with regexp_extract_all."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    link_re = _re.compile(r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>',
+                          _re.IGNORECASE | _re.DOTALL)
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars, n_links, anchor_chars = [], [], []
+        htmls = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            html = (
+                "<html><body><p>" + (t or "") + "</p>"
+                + '<a class="x" href="https://site' + str(d % 7)
+                + '.example.com/p' + str(d % 3) + '">Link One</a>'
+                + ('<A HREF="HTTPS://Site' + str((d * 3 + 1) % 7)
+                   + '.Example.COM/q?a=1"> MORE here </A>')
+                + '<a href="/rel/path">rel</a>'
+                + "</body></html>"
+            )
+            htmls.append(html)
+        for html in htmls:
+            ms = link_re.findall(html)
+            n_chars.append(len(html))
+            n_links.append(len(ms))
+            anchor_chars.append(sum(len(a) for _, a in ms))
+        n_chars = np.asarray(n_chars, dtype=np.int64)
+        anchor_chars = np.asarray(anchor_chars, dtype=np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "n_links": pa.array(np.asarray(n_links, dtype=np.int64)),
+            "anchor_chars": pa.array(anchor_chars),
+            "link_char_ratio": pa.array(
+                anchor_chars / np.maximum(n_chars, 1)
+            ),
+        })
+
+    return docs.map_batches(kern, batch_format="pyarrow")
+
+
 def _q_event_bursts(sf_dir: str):
     """Per-user hourly burst flags (crawl-trap/abuse monitoring): a
     window bursts when count × n_active_windows > 2 × user_total — pure
@@ -5611,6 +5721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triple_provenance": _q_kg_provenance,
         "kg_incremental_entities": _q_kg_incremental_entities,
         "event_bursts": _q_event_bursts,
+        "kg_class_instances": _q_kg_class_instances,
+        "link_density": _q_link_density,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -5655,6 +5767,7 @@ _GOLDEN_QUERIES = [
     "kg_validation_report",
     "kg_triple_provenance",
     "kg_incremental_entities",
+    "kg_class_instances",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -8770,6 +8883,39 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # link density: same synthetic anchor corpus, counts re-derived
+        # with regexp_extract_all; ratio is one IEEE int/int division
+        "link_density": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><body><p>' || COALESCE(text, '') || '</p>'
+                       || '<a class="x" href="https://site'
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || '">Link One</a>'
+                       || '<A HREF="HTTPS://Site'
+                       || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+                       || '.Example.COM/q?a=1"> MORE here </A>'
+                       || '<a href="/rel/path">rel</a>'
+                       || '</body></html>' AS html
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(length(html) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(html,
+                           '<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>',
+                           1, 'is')) AS BIGINT) AS n_links,
+                       CAST(length(array_to_string(regexp_extract_all(
+                           html,
+                           '<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>',
+                           2, 'is'), '')) AS BIGINT) AS anchor_chars
+                FROM pages
+            )
+            SELECT doc_id, n_chars, n_links, anchor_chars,
+                   anchor_chars / greatest(n_chars, 1)::DOUBLE
+                       AS link_char_ratio
+            FROM m
         """,
         # bursts: same integer cross-multiplication over window functions
         "event_bursts": """

@@ -224,6 +224,7 @@ _SQL_GATED = [
         "mixing_weights",
         "knn_hubness",
         "event_bursts",
+        "link_density",
 ]
 
 
