@@ -4138,32 +4138,9 @@ def _q_deepwalk(sf_dir: str):
     the graph, so the SQL oracle re-derives every hop exactly (ranked
     adjacency + the splitmix mirror). Each hop = two partitioned hash
     joins on composite keys; adjacency ranked once and reused."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ontocast_ray.ops.joins import distinct_on, hash_join
     from ontocast_ray.ops.walks import deterministic_walks
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(
-        li, orders,
-        left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_suppkey"], right_cols=["o_custkey"], n_parts=16,
-    )
-    pairs = distinct_on(joined, ["l_suppkey", "o_custkey"], n_parts=16)
-
-    def mk_edges(batch: "pa.Table") -> "pa.Table":
-        s = batch["l_suppkey"].combine_chunks().cast(pa.int64())
-        c = pc.add(
-            batch["o_custkey"].combine_chunks().cast(pa.int64()), 1_000_000
-        )
-        return pa.table({
-            "src": pa.concat_arrays([s, c]),
-            "dst": pa.concat_arrays([c, s]),
-        })
-
-    edges = pairs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = _supplier_customer_edges(sf_dir, n_parts=16)
     return deterministic_walks(
         edges, n_steps=3, seed=41, start_below=1_000_000, n_parts=16
     )

@@ -4438,3 +4438,31 @@ def test_broadcast_join_int_inner(ray_session):
     assert out["k"].tolist() == [1, 2, 2, 3]
     assert out["v"].tolist() == [10, 20, 20, 30]
     assert out["payload"].tolist() == ["a", "b", "d", "c"]
+
+
+def test_deterministic_walks_paths_agree(ray_session):
+    """Driver fast path ≡ distributed-join path (small_edge_limit=0) —
+    same walk corpus row for row; dead-end nodes stop walking."""
+    import ray.data
+
+    from ontocast_ray.ops.walks import deterministic_walks
+
+    edges = pa.table({
+        "src": pa.array([1, 1, 2, 3, 3, 3, 4], type=pa.int64()),
+        "dst": pa.array([2, 3, 1, 1, 2, 4, 5], type=pa.int64()),
+    })  # node 5 is a dead end
+    a = (
+        deterministic_walks(ray.data.from_arrow(edges), n_steps=3, seed=41)
+        .to_pandas().sort_values(["start", "step"]).reset_index(drop=True)
+    )
+    b = (
+        deterministic_walks(
+            ray.data.from_arrow(edges), n_steps=3, seed=41,
+            n_parts=2, small_edge_limit=0,
+        )
+        .to_pandas().sort_values(["start", "step"]).reset_index(drop=True)
+    )
+    assert a.equals(b), (a, b)
+    assert set(a["start"]) == {1, 2, 3, 4}
+    assert (a[a["step"] == 0]["node"].to_numpy()
+            == a[a["step"] == 0]["start"].to_numpy()).all()
