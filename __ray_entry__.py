@@ -5255,6 +5255,67 @@ def _q_link_density(sf_dir: str):
     return docs.map_batches(kern, batch_format="pyarrow")
 
 
+def _q_bpe_trained_merges(sf_dir: str):
+    """BPE tokenizer TRAINING over the corpus (the HF/SentencePiece
+    industrial shape): one distributed word-frequency pass, then the
+    merge loop over the weighted vocabulary — 24 learned merges with
+    their winning pair counts. Anchored by a pure-python reference
+    trainer + a hand-derived merge sequence in tests; golden-pinned
+    (iterative argmax is not SQL-expressible)."""
+    from ontocast_ray.ops.packing import bpe_train
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(docs, n_merges=24, n_parts=16)
+
+
+def _q_orders_weekly_deltas(sf_dir: str):
+    """Weekly order-volume time series with week-over-week integer
+    deltas (the ops dashboard every ingestion pipeline watches): orders
+    bucketed by epoch week, counts + LAG delta. One small groupby (weeks
+    are few); the delta pass is a driver-side sort over the week-count
+    table. SQL mirror: date_trunc + LAG."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        # epoch-µs → ISO-Monday week start (1970-01-01 was a Thursday:
+        # shift 3 days so day 0 is a Monday, floor to weeks, shift back)
+        day_us = 86_400_000_000
+        week = ((t // day_us + 3) // 7) * 7 * day_us - 3 * day_us
+        g = (
+            pd.DataFrame({"week_start": week})
+            .groupby("week_start", as_index=False).size()
+            .rename(columns={"size": "n_orders"})
+        )
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("week_start", as_index=False)["n_orders"].sum()
+        g = g.sort_values("week_start").reset_index(drop=True)
+        prev = g["n_orders"].shift(1)
+        g["delta"] = (g["n_orders"] - prev.fillna(0)).astype(np.int64)
+        g.loc[prev.isna(), "delta"] = 0
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g[["week_start", "n_orders", "delta"]]
+
+    # the week table is tiny (one row per calendar week) → single group
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda df: df.assign(part=np.zeros(len(df), dtype=np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_event_bursts(sf_dir: str):
     """Per-user hourly burst flags (crawl-trap/abuse monitoring): a
     window bursts when count × n_active_windows > 2 × user_total — pure
@@ -5700,6 +5761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_bursts": _q_event_bursts,
         "kg_class_instances": _q_kg_class_instances,
         "link_density": _q_link_density,
+        "bpe_trained_merges": _q_bpe_trained_merges,
+        "orders_weekly_deltas": _q_orders_weekly_deltas,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -5745,6 +5808,7 @@ _GOLDEN_QUERIES = [
     "kg_triple_provenance",
     "kg_incremental_entities",
     "kg_class_instances",
+    "bpe_trained_merges",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -8860,6 +8924,21 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # weekly order volumes: date_trunc week + LAG delta (first week 0)
+        "orders_weekly_deltas": """
+            WITH w AS (
+                SELECT epoch_us(date_trunc('week', o_orderdate))
+                           AS week_start,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT week_start, n_orders,
+                   CAST(COALESCE(
+                       n_orders - LAG(n_orders)
+                           OVER (ORDER BY week_start), 0
+                   ) AS BIGINT) AS delta
+            FROM w
         """,
         # link density: same synthetic anchor corpus, counts re-derived
         # with regexp_extract_all; ratio is one IEEE int/int division

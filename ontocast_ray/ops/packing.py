@@ -220,3 +220,126 @@ def sliding_token_windows(
         )
 
     return docs.map_batches(kern, batch_format="pyarrow")
+
+
+def bpe_train(
+    docs: "ray.data.Dataset",
+    n_merges: int = 16,
+    text_col: str = "text",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """BPE merge-table TRAINING over the corpus — the tokenizer-training
+    inner loop (the GPT-2/HF algorithm, industrial shape: ONE distributed
+    word-frequency pass over the corpus, then the merge loop runs over
+    the weighted vocabulary — exactly how HF `tokenizers` and
+    SentencePiece train; the corpus is never re-scanned per merge).
+    → (rank, left, right, n): the learned merges in order, each with the
+    weighted pair count that won its round. Ties break lexicographically
+    on (left, right) bytes — no RNG, bit-stable across parallelism.
+    `left`/`right` are latin-1-decoded byte strings (lossless for any
+    byte sequence). Feed them to ``ByteBPETokenizer`` as
+    ``[(l.encode('latin-1'), r.encode('latin-1')), ...]``.
+
+    Scale shape: the corpus pass is the term_counts combiner (map-side
+    word counts, one coarse ``hash(word) % P`` shuffle); the vocabulary
+    (distinct whitespace tokens + counts) is catalog-sized next to a TB
+    corpus — the decontaminate/gazetteer broadcast contract — and the
+    merge loop is O(vocab) per round with incremental pair-count updates.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    def wc_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        words = (
+            df[text_col].astype("string").fillna("")
+            .str.strip().str.split(r"\s+", regex=True).explode()
+        )
+        words = words[words.notna() & (words != "")]
+        g = words.value_counts().rename_axis("word").reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        g["part"] = (
+            hash_u64(g["word"].to_numpy(dtype=object))
+            % np.uint64(n_parts)
+        ).astype(np.int32)
+        return g
+
+    def wc_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("word", as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g[["word", "n"]]
+
+    vocab_rows = (
+        docs.map_batches(wc_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(wc_combine, batch_format="pandas")
+    )
+    words: list[str] = []
+    freqs: list[int] = []
+    for b in vocab_rows.iter_batches(batch_size=None, batch_format="pandas"):
+        words.extend(b["word"].tolist())
+        freqs.extend(b["n"].tolist())
+
+    # ---- vocab-local merge loop (pure function of the count table) ----
+    symseqs = [tuple(bytes([c]) for c in w.encode("utf-8")) for w in words]
+    pair_counts: dict[tuple[bytes, bytes], int] = {}
+    pair_words: dict[tuple[bytes, bytes], set[int]] = {}
+    for wi, seq in enumerate(symseqs):
+        f = freqs[wi]
+        for a, b in zip(seq, seq[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+            pair_words.setdefault((a, b), set()).add(wi)
+
+    merges: list[tuple[bytes, bytes, int]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        best = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        (la, rb), cnt = best
+        if cnt <= 0:
+            break
+        merges.append((la, rb, cnt))
+        merged = la + rb
+        for wi in list(pair_words.get((la, rb), ())):
+            seq = symseqs[wi]
+            f = freqs[wi]
+            # remove this word's contribution to all its pairs
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+                    if not ws:
+                        pair_words.pop(p, None)
+            # apply the merge greedily left-to-right
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == la and seq[i + 1] == rb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = tuple(out)
+            symseqs[wi] = seq
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wi)
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.table({
+        "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+        "left": pa.array(
+            [m[0].decode("latin-1") for m in merges], type=pa.string()
+        ),
+        "right": pa.array(
+            [m[1].decode("latin-1") for m in merges], type=pa.string()
+        ),
+        "n": pa.array(np.asarray([m[2] for m in merges], dtype=np.int64)),
+    }))

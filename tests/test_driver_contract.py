@@ -225,6 +225,7 @@ _SQL_GATED = [
         "knn_hubness",
         "event_bursts",
         "link_density",
+        "orders_weekly_deltas",
 ]
 
 

@@ -4466,3 +4466,72 @@ def test_deterministic_walks_paths_agree(ray_session):
     assert set(a["start"]) == {1, 2, 3, 4}
     assert (a[a["step"] == 0]["node"].to_numpy()
             == a[a["step"] == 0]["start"].to_numpy()).all()
+
+
+def test_bpe_train_reference_and_roundtrip(ray_session):
+    """bpe_train must reproduce a hand-checkable merge sequence on a tiny
+    weighted corpus, match a pure-python reference trainer on a larger
+    one, and its merge table must drive ByteBPETokenizer end-to-end."""
+    import ray.data
+
+    from ontocast_ray.functions.tokenizer import ByteBPETokenizer
+    from ontocast_ray.ops.packing import bpe_train
+
+    # 'aaab' x3 + 'ab': pairs aa=6, ab=4 → merge1 ('a','a') n=6;
+    # then aaa? seqs: (aa,a,b)x3,(a,b): pairs (aa,a)=3,(a,b)=4,(ab? no)
+    # → merge2 ('a','b') n=4; then (aa,ab)=3... → merge3 ('aa','ab')? no:
+    # seqs (aa,a,b)->after ab merge: (aa,ab)x3? careful: (aa,a,b) has
+    # (a,b) adjacent → (aa,ab)x3, ('ab') alone → merge3 ('aa','ab') n=3
+    docs = pa.table({"text": pa.array(["aaab aaab", "aaab ab"])})
+    m = (
+        bpe_train(ray.data.from_arrow(docs), n_merges=3, n_parts=2)
+        .to_pandas()
+    )
+    got = list(map(tuple, m[["left", "right", "n"]].itertuples(index=False)))
+    assert got == [("a", "a", 6), ("a", "b", 4), ("aa", "ab", 3)], got
+
+    # reference trainer (independent, naive O(vocab) recount per round)
+    def ref_train(word_freqs, k):
+        seqs = {w: [bytes([c]) for c in w.encode()] for w in word_freqs}
+        out = []
+        for _ in range(k):
+            pc = {}
+            for w, f in word_freqs.items():
+                s = seqs[w]
+                for p in zip(s, s[1:]):
+                    pc[p] = pc.get(p, 0) + f
+            if not pc:
+                break
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a.decode("latin-1"), b.decode("latin-1"), n))
+            for w in seqs:
+                s, ns, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b); i += 2
+                    else:
+                        ns.append(s[i]); i += 1
+                seqs[w] = ns
+        return out
+
+    texts = [
+        "the theory thesis then and sand band landing",
+        "the the the and and in inner dinner thin",
+        "standard standing understand other mother",
+    ]
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    docs2 = pa.table({"text": pa.array(texts)})
+    m2 = bpe_train(ray.data.from_arrow(docs2), n_merges=12, n_parts=2).to_pandas()
+    got2 = list(map(tuple, m2[["left", "right", "n"]].itertuples(index=False)))
+    assert got2 == ref_train(freqs, 12), (got2, ref_train(freqs, 12))
+
+    # the trained table drives the real tokenizer
+    tok = ByteBPETokenizer(
+        merges=[(l.encode("latin-1"), r.encode("latin-1"))
+                for l, r in zip(m2["left"], m2["right"])]
+    )
+    ids = tok.encode("the standard dinner")
+    assert ids and all(isinstance(i, int) for i in ids)
