@@ -5316,6 +5316,144 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_kg_from_curated(sf_dir: str):
+    """The full production story in ONE streaming pipeline: quality-gate
+    the raw corpus (Gopher rule set, pure map) → spanify survivors into
+    the north-rule interleaved shape → flagship KG extraction →
+    per-document triple/entity yield. The curate-then-extract
+    composition a real KG build runs — rejected docs never reach the
+    (expensive) extraction stage, which is the whole point of gating
+    first. Golden-pinned (content-hash IRIs)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ontocast_ray.ops.text import gopher_quality_filter
+    from ontocast_ray.pipelines.kg import (
+        build_kg_pipeline,
+        spanify_flat_documents,
+    )
+    from ontocast_ray.util import hash_partition
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(KG_DOC_LIMIT))),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by the gate AND the keep-join below
+    gates = gopher_quality_filter_ds = docs.map_batches(
+        gopher_quality_filter, batch_format="pyarrow"
+    ).select_columns(["doc_id", "kept"])
+
+    # keep-list is corpus-row-sized booleans → broadcast the kept ids
+    # (the apply_keep_list fast-path shape)
+    import numpy as np
+
+    import ray
+
+    kept_ids = []
+    for b in gates.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        k = b["kept"].to_numpy(zero_copy_only=False)
+        kept_ids.append(ids[k.astype(bool)])
+    kept = np.sort(np.concatenate(kept_ids)) if kept_ids else np.array([], np.int64)
+    kref = ray.put(kept)
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+        return batch.filter(pa.array(ks[pos] == ids))
+
+    survivors = docs.map_batches(keep_only, batch_format="pyarrow")
+    spans = spanify_flat_documents(survivors, seed=42, inject_entities=True)
+    triples = build_kg_pipeline(
+        spans, chunk_concurrency=4, extract_concurrency=4,
+        min_chunk_size=200, max_chunk_size=2000,
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "facts"]
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                "n_triples": pd.Series([], dtype="int64"),
+                "n_entities": pd.Series([], dtype="int64"),
+                "part": pd.Series([], dtype="int32"),
+            })
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_triples=("subject", "size"),
+            n_entities=("subject", "nunique"),
+        )
+        g["n_triples"] = g["n_triples"].astype("int64")
+        g["n_entities"] = g["n_entities"].astype("int64")
+        g["part"] = hash_partition(g["doc_id"].to_numpy(), 8)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_triples=("n_triples", "sum"),
+            n_entities=("n_entities", "sum"),
+        )
+        out["n_triples"] = out["n_triples"].astype("int64")
+        out["n_entities"] = out["n_entities"].astype("int64")
+        return out[["doc_id", "n_triples", "n_entities"]]
+
+    return (
+        triples.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 silhouette with EXACT integer measures (quantities are
+    integral doubles → BIGINT cast on both engines; money columns are
+    floats and stay out — the repo-wide float-sum rule): per
+    (returnflag, linestatus) — line count, summed quantity, distinct
+    parts. Map-side combiner, one tiny groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_partkey"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.assign(q=df["l_quantity"].to_numpy().astype(np.int64))
+        g = df.groupby(["l_returnflag", "l_linestatus", "l_partkey"],
+                       as_index=False).agg(
+            n=("q", "size"), sq=("q", "sum"),
+        )
+        return g
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            count_order=("n", "sum"),
+            sum_qty=("sq", "sum"),
+            n_parts=("l_partkey", "nunique"),
+        )
+        for c in ("count_order", "sum_qty", "n_parts"):
+            g[c] = g[c].astype(np.int64)
+        return g[["l_returnflag", "l_linestatus",
+                  "count_order", "sum_qty", "n_parts"]]
+
+    # 6 (flag, status) groups → single-part final combine; the partial
+    # keeps partkey so distinct-parts merges exactly
+    return (
+        li.map_batches(partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(part=np.zeros(len(df), dtype=np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_event_bursts(sf_dir: str):
     """Per-user hourly burst flags (crawl-trap/abuse monitoring): a
     window bursts when count × n_active_windows > 2 × user_total — pure
@@ -5763,6 +5901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_density": _q_link_density,
         "bpe_trained_merges": _q_bpe_trained_merges,
         "orders_weekly_deltas": _q_orders_weekly_deltas,
+        "kg_from_curated": _q_kg_from_curated,
+        "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -5809,6 +5949,7 @@ _GOLDEN_QUERIES = [
     "kg_incremental_entities",
     "kg_class_instances",
     "bpe_trained_merges",
+    "kg_from_curated",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -8924,6 +9065,17 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # Q1 silhouette: integral-double quantities cast to BIGINT on
+        # both engines; float money columns excluded by the repo rule
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
         """,
         # weekly order volumes: date_trunc week + LAG delta (first week 0)
         "orders_weekly_deltas": """

@@ -226,6 +226,7 @@ _SQL_GATED = [
         "event_bursts",
         "link_density",
         "orders_weekly_deltas",
+        "lineitem_pricing_summary",
 ]
 
 
