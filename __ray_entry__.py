@@ -5316,6 +5316,18 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Per-doc 3-gram novelty (Lee et al. 2022 dedup-analysis metric):
+    share of the doc's distinct word-3-shingles whose global first
+    occurrence (min doc_id) is this doc. Two coarse shuffles (shingle →
+    min doc, winners → doc); hashes only on the wire. Oracle re-derives
+    with string grams (the dup_span_scrub equivalence)."""
+    from ontocast_ray.ops.dedup import gram_novelty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return gram_novelty(docs, k=3, n_parts=16)
+
+
 def _q_kg_from_curated(sf_dir: str):
     """The full production story in ONE streaming pipeline: quality-gate
     the raw corpus (Gopher rule set, pure map) → spanify survivors into
@@ -5903,6 +5915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weekly_deltas": _q_orders_weekly_deltas,
         "kg_from_curated": _q_kg_from_curated,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
+        "gram_novelty": _q_gram_novelty,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -9065,6 +9078,37 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # gram novelty: string 3-grams (the dup_span_scrub hash↔string
+        # equivalence), whole-text gram for <3-word docs, min-doc winners
+        "gram_novelty": r"""
+            WITH ws AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(trim(COALESCE(text, ''))), '\s+') AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) >= 3 THEN len(w) - 2
+                            ELSE 1 END AS ng
+                FROM ws
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN n >= 3
+                            THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            ELSE array_to_string(w, ' ') END AS gram
+                FROM g, UNNEST(range(1, ng + 1)) AS t(i)
+            ), firstd AS (
+                SELECT gram, min(doc_id) AS fd FROM grams GROUP BY gram
+            )
+            SELECT gr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE f.fd = gr.doc_id)
+                        AS BIGINT) AS n_novel,
+                   count(*) FILTER (WHERE f.fd = gr.doc_id)
+                       / greatest(count(*), 1)::DOUBLE AS novelty
+            FROM grams gr JOIN firstd f USING (gram)
+            GROUP BY gr.doc_id
         """,
         # Q1 silhouette: integral-double quantities cast to BIGINT on
         # both engines; float money columns excluded by the repo rule

@@ -648,6 +648,27 @@ def main() -> None:
     run_bigram_lm()
     extras["bigram_lm"] = round(time.perf_counter() - t, 3)
 
+    # round-5 operator legs
+    t = time.perf_counter()
+    run_deepwalk()
+    extras["deepwalk"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_hits()
+    extras["hits"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_taxonomy_closure()
+    extras["taxonomy_closure"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_bpe_train()
+    extras["bpe_train"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    run_incremental_entities()
+    extras["kg_incremental_entities"] = round(time.perf_counter() - t, 3)
+
     print(
         json.dumps(
             {
@@ -666,6 +687,35 @@ def main() -> None:
     import ray
 
     ray.shutdown()
+
+
+def _entry_query(name: str) -> int:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as _entry
+
+    return _entry.queries()[name](SF_DIR).count()
+
+
+def run_deepwalk() -> int:
+    return _entry_query("deepwalk_walks")
+
+
+def run_hits() -> int:
+    return _entry_query("hits_scores")
+
+
+def run_taxonomy_closure() -> int:
+    return _entry_query("taxonomy_closure")
+
+
+def run_bpe_train() -> int:
+    return _entry_query("bpe_trained_merges")
+
+
+def run_incremental_entities() -> int:
+    return _entry_query("kg_incremental_entities")
 
 
 def run_paragraph_dedup() -> int:

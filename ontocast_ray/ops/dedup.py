@@ -1885,3 +1885,103 @@ def wordset_dedup(
         .groupby("part")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def gram_novelty(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document n-gram NOVELTY — the Lee et al. (2022) dedup-analysis
+    metric ("what fraction of this page's k-grams appear here first?"):
+    for each doc, the count of its distinct word-k-shingles whose global
+    FIRST occurrence (min doc_id) is this doc, plus the novelty ratio.
+    Template/boilerplate pages score near 0; fresh content near 1.
+    → (id_col, n_grams, n_novel, novelty).
+
+    Two coarse shuffles: (shingle → min doc) with per-batch distinct
+    combiners on ``hash(shingle) % P`` (hash values only — text never
+    moves), then the winners flow back on ``hash(doc) % P`` to meet each
+    doc's distinct-gram counts. Ratio is one IEEE int/int division.
+    Empty docs carry the single whole-text sentinel shingle, same as the
+    MinHash kernel.
+    """
+    from ontocast_ray.util import hash_u64  # noqa: F401  (doc parity)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes, ranges, empty = _word_hashes_batch(texts)
+        out_h, out_d = [], []
+        for i, (s, e) in enumerate(ranges):
+            sh = (
+                np.zeros(1, dtype=np.uint64)
+                if empty[i] else _fold_kgrams(hashes[s:e], k)
+            )
+            out_h.append(sh)
+            out_d.append(np.full(len(sh), ids[i], dtype=np.int64))
+        h = np.concatenate(out_h) if out_h else np.zeros(0, np.uint64)
+        d = np.concatenate(out_d) if out_d else np.zeros(0, np.int64)
+        return pa.table({
+            "gram": pa.array(h),
+            id_col: pa.array(d),
+            "part": pa.array(
+                (h % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    grams = docs.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def min_doc(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("gram", as_index=False)[id_col].min()
+        g = g.rename(columns={id_col: "first_doc"})
+        return g[["gram", "first_doc"]]
+
+    winners = grams.groupby("part").map_groups(
+        min_doc, batch_format="pandas"
+    )
+
+    # flow winners back on the doc key: gram rows re-keyed by their doc,
+    # winner rows re-keyed by the winning doc (only winners count)
+    def tag_gram(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col],
+            "novel": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "dpart": pa.array(
+                (d.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    def tag_winner(batch: pa.Table) -> pa.Table:
+        d = batch["first_doc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch["first_doc"],
+            "novel": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "one": pa.array(np.zeros(len(batch), dtype=np.int64)),
+            "dpart": pa.array(
+                (d.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+            ),
+        })
+
+    both = grams.map_batches(tag_gram, batch_format="pyarrow").union(
+        winners.map_batches(tag_winner, batch_format="pyarrow")
+    )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(id_col, as_index=False).agg(
+            n_grams=("one", "sum"), n_novel=("novel", "sum")
+        )
+        ng = g["n_grams"].to_numpy(dtype=np.int64)
+        nv = g["n_novel"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_grams": ng,
+            "n_novel": nv,
+            "novelty": nv / np.maximum(ng, 1),
+        })
+
+    return both.groupby("dpart").map_groups(fold, batch_format="pandas")

@@ -227,6 +227,7 @@ _SQL_GATED = [
         "link_density",
         "orders_weekly_deltas",
         "lineitem_pricing_summary",
+        "gram_novelty",
 ]
 
 
