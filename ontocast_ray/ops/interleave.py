@@ -365,15 +365,27 @@ def epoch_shuffle(
 
     # combiner shuffle BEFORE the driver collection: per-block partials
     # are up to 65,536 rows EACH (blocks × 2^16 rows would reach the
-    # driver at scale); after the coarse sum at most 2^16 rows total do
+    # driver at scale); after the coarse sum at most 2^16 rows total do.
+    # Below the limit the partials are driver-safe as-is — fold them
+    # directly and skip that whole AllToAll (one of the two shuffles).
     hist = np.zeros(1 << 16, dtype=np.int64)
-    summed = (
-        mixed.map_batches(_hist, batch_format="pyarrow")
-        .groupby("hpart")
-        .map_groups(_hist_sum, batch_format="pandas")
-    )
-    for row in summed.take_all():
-        hist[row["bucket"]] += row["n"]
+    if mixed.count() <= 4_000_000:
+        for b in mixed.map_batches(
+            _hist, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            np.add.at(
+                hist,
+                b["bucket"].to_numpy(zero_copy_only=False),
+                b["n"].to_numpy(zero_copy_only=False),
+            )
+    else:
+        summed = (
+            mixed.map_batches(_hist, batch_format="pyarrow")
+            .groupby("hpart")
+            .map_groups(_hist_sum, batch_format="pandas")
+        )
+        for row in summed.take_all():
+            hist[row["bucket"]] += row["n"]
     base = np.concatenate(([0], np.cumsum(hist)[:-1]))
     base_ref = ray.put(base)
 
