@@ -210,3 +210,58 @@ def test_kg_job_entry(ray_session, tmp_path, capsys):
     import ray.data
 
     assert ray.data.read_parquet(out).count() > 0
+
+
+def test_incremental_kg_job_entry(ray_session, tmp_path, capsys):
+    """jobs/incremental_kg_job.py main(): day-1 table + day-2 docs →
+    merged entity table with statuses, committed manifest, idempotent
+    re-run (skips without recompute)."""
+    import json
+    import sys
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ontocast_ray.corpus import generate_corpus
+    from ontocast_ray.pipelines.crossdoc import global_entity_table
+    from ontocast_ray.pipelines.kg import build_kg_pipeline
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import incremental_kg_job
+
+    # day-1 state: entity table of a 8-doc corpus
+    day1 = generate_corpus(n_docs=8, seed=5)
+    t1 = build_kg_pipeline(
+        ray.data.from_arrow(day1), min_chunk_size=200, max_chunk_size=2000,
+    )
+    ent_dir = str(tmp_path / "entities_v1")
+    global_entity_table(t1, n_parts=2).write_parquet(ent_dir)
+
+    # day-2 batch: 6 fresh docs (different seed → overlapping + new keys)
+    day2 = generate_corpus(n_docs=6, seed=11)
+    docs2 = str(tmp_path / "day2.parquet")
+    pq.write_table(day2, docs2)
+
+    out = str(tmp_path / "entities_v2")
+    rc = incremental_kg_job.main(
+        ["--new-docs", docs2, "--entities", ent_dir, "--out", out,
+         "--min-chunk-size", "200", "--max-chunk-size", "2000"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["entities"] > 0 and stats["new_docs"] == 6
+
+    merged = ray.data.read_parquet(out).to_pandas()
+    assert set(merged["status"]) <= {"new", "updated", "unchanged"}
+    assert (merged["status"] == "new").any()
+    assert (merged["status"] == "unchanged").any()
+
+    # idempotent re-run: committed manifest short-circuits
+    rc2 = incremental_kg_job.main(
+        ["--new-docs", docs2, "--entities", ent_dir, "--out", out,
+         "--min-chunk-size", "200", "--max-chunk-size", "2000"]
+    )
+    assert rc2 == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2.get("skipped") is True
