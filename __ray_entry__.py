@@ -5316,6 +5316,17 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_activity_streaks(sf_dir: str):
+    """Longest consecutive-day streak per user (gaps-and-islands, the
+    retention feature): distinct active days, islands by day − rank,
+    max island + total days. One coarse user shuffle of deduped
+    (user, day) rows. SQL mirror: the ROW_NUMBER islands idiom."""
+    from ontocast_ray.ops.windows import activity_streaks
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return activity_streaks(ev, n_parts=16)
+
+
 def _q_gram_novelty(sf_dir: str):
     """Per-doc 3-gram novelty (Lee et al. 2022 dedup-analysis metric):
     share of the doc's distinct word-3-shingles whose global first
@@ -5916,6 +5927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_from_curated": _q_kg_from_curated,
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "gram_novelty": _q_gram_novelty,
+        "activity_streaks": _q_activity_streaks,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -9078,6 +9090,28 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # streaks: the ROW_NUMBER gaps-and-islands idiom over distinct
+        # (user, epoch-day) rows
+        "activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), isl AS (
+                SELECT user_id, day,
+                       day - ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY day) AS island
+                FROM days
+            ), runs AS (
+                SELECT user_id, island,
+                       CAST(count(*) AS BIGINT) AS run
+                FROM isl GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(max(run) AS BIGINT) AS longest_streak,
+                   CAST(sum(run) AS BIGINT) AS n_active_days
+            FROM runs GROUP BY user_id
         """,
         # gram novelty: string 3-grams (the dup_span_scrub hash↔string
         # equivalence), whole-text gram for <3-word docs, min-doc winners

@@ -1324,3 +1324,64 @@ def event_bursts(
         .groupby("part")
         .map_groups(kern, batch_format="pandas")
     )
+
+
+def activity_streaks(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    n_parts: int | None = None,
+) -> "ray.data.Dataset":
+    """Longest consecutive-day activity streak per key — the classic
+    gaps-and-islands analytic (engagement/retention feature): distinct
+    active days per user, islands found by the ``day − rank`` trick,
+    longest island length + total active days reported. → (key_col,
+    longest_streak, n_active_days). All integers; SQL mirror is the
+    ROW_NUMBER gaps-and-islands idiom.
+
+    Map-side (key, day) dedup prunes the wire to one row per active
+    user-day per block; ONE coarse ``hash(key) % P`` shuffle; the kernel
+    folds every key of a partition in vectorized groupby passes.
+    """
+    import pandas as pd
+
+    from ontocast_ray.util import hash_u64
+
+    n_parts = resolve_n_parts(events, n_parts)
+    day_us = np.int64(86_400_000_000)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({key_col: keys, "day": ts // day_us})
+            .drop_duplicates()
+        )
+        g["part"] = (
+            hash_u64(g[key_col].to_numpy()) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def kern(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates([key_col, "day"]).sort_values(
+            [key_col, "day"], kind="mergesort"
+        )
+        rank = df.groupby(key_col, sort=False).cumcount().to_numpy(np.int64)
+        df = df.assign(island=df["day"].to_numpy(np.int64) - rank)
+        runs = (
+            df.groupby([key_col, "island"], as_index=False)
+            .agg(run=("day", "size"))
+        )
+        out = runs.groupby(key_col, as_index=False).agg(
+            longest_streak=("run", "max"),
+            n_active_days=("run", "sum"),
+        )
+        out["longest_streak"] = out["longest_streak"].astype(np.int64)
+        out["n_active_days"] = out["n_active_days"].astype(np.int64)
+        return out[[key_col, "longest_streak", "n_active_days"]]
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kern, batch_format="pandas")
+    )

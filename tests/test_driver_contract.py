@@ -228,6 +228,7 @@ _SQL_GATED = [
         "orders_weekly_deltas",
         "lineitem_pricing_summary",
         "gram_novelty",
+        "activity_streaks",
 ]
 
 
