@@ -5316,6 +5316,100 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_customer_recency(sf_dir: str):
+    """Days-since-last-order per customer (the R of RFM, integer-exact):
+    per-customer max order day + frequency via the count combiner; the
+    anchor is the corpus-wide max order date (one scalar broadcast
+    driver-side — never row data). Money columns stay out (float-sum
+    rule). SQL mirror: max(day) window anchor."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_u64
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        d = ts.to_numpy(zero_copy_only=False) // day_us
+        g = (
+            pd.DataFrame({
+                "o_custkey": batch["o_custkey"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "day": d,
+            })
+            .groupby("o_custkey", as_index=False)
+            .agg(last_day=("day", "max"), n_orders=("day", "size"))
+        )
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        g["part"] = (
+            hash_u64(g["o_custkey"].to_numpy()) % np.uint64(16)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow"
+    ).materialize()  # consumed by the anchor max AND the final combine
+    anchor = int(partials.max("last_day"))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum")
+        )
+        g["recency_days"] = (anchor - g["last_day"]).astype(np.int64)
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g[["o_custkey", "recency_days", "n_orders"]]
+
+    return (
+        partials.groupby("part").map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_kg_sameas_audit(sf_dir: str):
+    """owl:sameAs lineage audit over the global rewrite: per global
+    entity URI, how many distinct doc-canonical aliases merged into it —
+    the fan-in report entity-resolution QA reads next to the provenance
+    ledger. One coarse hash(global)%P shuffle of per-batch distinct
+    (global, alias) partials; golden-pinned (content-hash IRIs)."""
+    import pandas as pd
+
+    from ontocast_ray.util import hash_partition
+
+    rewritten = _q_kg_rewritten_global(sf_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["graph_scope"] == "sameas"]
+        if df.empty:
+            return pd.DataFrame({
+                "entity_uri": pd.Series([], dtype=object),
+                "alias": pd.Series([], dtype=object),
+                "part": pd.Series([], dtype="int32"),
+            })
+        g = df[["object", "subject"]].drop_duplicates().rename(
+            columns={"object": "entity_uri", "subject": "alias"}
+        )
+        g["part"] = hash_partition(g["entity_uri"].to_numpy(), 16)
+        return g
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.drop_duplicates(["entity_uri", "alias"])
+            .groupby("entity_uri", as_index=False)
+            .agg(n_aliases=("alias", "nunique"))
+        )
+        out["n_aliases"] = out["n_aliases"].astype("int64")
+        return out[["entity_uri", "n_aliases"]]
+
+    return (
+        rewritten.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def _q_activity_streaks(sf_dir: str):
     """Longest consecutive-day streak per user (gaps-and-islands, the
     retention feature): distinct active days, islands by day − rank,
@@ -5928,6 +6022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _q_lineitem_pricing_summary,
         "gram_novelty": _q_gram_novelty,
         "activity_streaks": _q_activity_streaks,
+        "customer_order_recency": _q_customer_recency,
+        "kg_sameas_audit": _q_kg_sameas_audit,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -5975,6 +6071,7 @@ _GOLDEN_QUERIES = [
     "kg_class_instances",
     "bpe_trained_merges",
     "kg_from_curated",
+    "kg_sameas_audit",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -9090,6 +9187,19 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # recency: integer epoch-days, corpus-max anchor
+        "customer_order_recency": """
+            WITH d AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) // 86400000000 AS day
+                FROM orders
+            )
+            SELECT o_custkey,
+                   CAST((SELECT max(day) FROM d) - max(day) AS BIGINT)
+                       AS recency_days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM d GROUP BY o_custkey
         """,
         # streaks: the ROW_NUMBER gaps-and-islands idiom over distinct
         # (user, epoch-day) rows

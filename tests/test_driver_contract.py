@@ -229,6 +229,7 @@ _SQL_GATED = [
         "lineitem_pricing_summary",
         "gram_novelty",
         "activity_streaks",
+        "customer_order_recency",
 ]
 
 
