@@ -5316,6 +5316,19 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_pca_projection(sf_dir: str):
+    """Distributed PCA top-2 projection of the embedding corpus: exact
+    integer second moments (the embedding_gram shuffle), d×d eig on the
+    driver, components broadcast, projection pure-map. Eigenbasis is a
+    pure function of the exact integer moments → identical at any
+    parallelism (sign fixed by the max-|coef| convention); anchored by
+    a numpy-equality test, golden-pinned (eig is not SQL)."""
+    from ontocast_ray.ops.features import pca_project
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pca_project(emb, k=2, scale=1 << 8, n_parts=8)
+
+
 def _q_customer_recency(sf_dir: str):
     """Days-since-last-order per customer (the R of RFM, integer-exact):
     per-customer max order day + frequency via the count combiner; the
@@ -6024,6 +6037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_streaks": _q_activity_streaks,
         "customer_order_recency": _q_customer_recency,
         "kg_sameas_audit": _q_kg_sameas_audit,
+        "pca_projection_top2": _q_pca_projection,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -6072,6 +6086,7 @@ _GOLDEN_QUERIES = [
     "bpe_trained_merges",
     "kg_from_curated",
     "kg_sameas_audit",
+    "pca_projection_top2",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT

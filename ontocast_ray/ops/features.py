@@ -407,3 +407,100 @@ def rademacher_project(
         )
 
     return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def pca_project(
+    embeddings: "ray.data.Dataset",
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 8,
+    n_parts: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed PCA projection (the whitening/visualization prep step):
+    exact integer second moments via `embedding_gram`'s shuffle (float
+    Gram sums are accumulation-order-dependent; quantized int64 sums are
+    not), covariance eigendecomposition on the driver (d×d is
+    feature-small by contract), components broadcast once, projection a
+    pure map. → (id_col, pc1..pck) per vector.
+
+    Determinism: the eigenbasis is a pure function of the EXACT integer
+    (Gram, sum, n) triple, so it is identical at any parallelism; sign
+    is fixed by making each component's largest-|coefficient| entry
+    positive (eigenvectors are sign-ambiguous). Ties in eigenvalues
+    would rotate the basis — real corpora (and the synthetic table)
+    have distinct spectra; golden-pinned regardless.
+    """
+    import ray
+
+    from ontocast_ray.util import vectors_2d
+
+    emb = embeddings.materialize()  # consumed by moments AND projection
+    gram_rows = embedding_gram(
+        emb.select_columns([vec_col]), vec_col=vec_col,
+        scale=scale, n_parts=n_parts,
+    )
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        q = np.floor(vecs * float(scale)).astype(np.int64)
+        s = q.sum(axis=0)
+        d = len(s)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "qs": pa.array(s),
+            "n": pa.array(np.full(d, len(q), dtype=np.int64)),
+        })
+
+    # d-sized partials → driver fold (exact int64, order-free)
+    d = None
+    qsum_vec = None
+    n_total = 0
+    for b in emb.map_batches(
+        sum_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        dim = b["dim"].to_numpy(zero_copy_only=False)
+        qs = b["qs"].to_numpy(zero_copy_only=False)
+        if qsum_vec is None:
+            d = int(dim.max()) + 1
+            qsum_vec = np.zeros(d, dtype=np.int64)
+        np.add.at(qsum_vec, dim, qs)
+        # one dim==0 row per upstream block; iter_batches may coalesce
+        # several partials into one batch — sum them all
+        n_total += int(
+            b["n"].to_numpy(zero_copy_only=False)[dim == 0].sum()
+        )
+
+    gram = None
+    for b in gram_rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        i = b["i"].to_numpy(zero_copy_only=False)
+        j = b["j"].to_numpy(zero_copy_only=False)
+        v = b["qsum"].to_numpy(zero_copy_only=False)
+        if gram is None:
+            gram = np.zeros((d, d), dtype=np.int64)
+        np.add.at(gram, (i, j), v)
+
+    n = max(n_total, 2)
+    mean = qsum_vec.astype(np.float64) / n
+    cov = (gram.astype(np.float64) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]  # (d, k)
+    # sign convention: largest-|coefficient| entry positive per component
+    for c in range(comps.shape[1]):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, v = ray.get(ref)
+        vecs = vectors_2d(batch[vec_col], dtype=np.float64)
+        q = np.floor(vecs * float(scale)).astype(np.int64)
+        p = (q - mu) @ v  # (n, k)
+        cols = {id_col: batch[id_col]}
+        for c in range(p.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(p[:, c])
+        return pa.table(cols)
+
+    return emb.map_batches(project, batch_format="pyarrow")

@@ -4535,3 +4535,42 @@ def test_bpe_train_reference_and_roundtrip(ray_session):
     )
     ids = tok.encode("the standard dinner")
     assert ids and all(isinstance(i, int) for i in ids)
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """pca_project must equal a driver-side numpy PCA of the SAME
+    quantized vectors (same centering, same sign convention), at any
+    parallelism."""
+    import ray.data
+
+    from ontocast_ray.ops.features import pca_project
+
+    rng_free = [  # deterministic anisotropic cloud (no RNG)
+        [float((i * 7) % 13) / 3.0, float((i * 3) % 5) / 7.0,
+         float(i % 2) / 11.0, 0.25]
+        for i in range(40)
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.array(rng_free, type=pa.list_(pa.float32())),
+    })
+    out = (
+        pca_project(ray.data.from_arrow(tbl), k=2, scale=1 << 8, n_parts=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    q = np.floor(np.asarray(
+        pa.table(tbl)["embedding"].to_pylist(), dtype=np.float64
+    ) * 256.0).astype(np.int64)
+    n = len(q)
+    mean = q.sum(axis=0) / n
+    cov = (q.astype(np.float64).T @ q - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:2]]
+    for c in range(2):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    expect = (q - mean) @ comps
+    assert np.allclose(out["pc1"].to_numpy(), expect[:, 0], atol=1e-9)
+    assert np.allclose(out["pc2"].to_numpy(), expect[:, 1], atol=1e-9)
