@@ -409,6 +409,43 @@ def rademacher_project(
     return embeddings.map_batches(project, batch_format="pyarrow")
 
 
+def _jacobi_eigh(a: "np.ndarray", max_sweeps: int = 64,
+                 tol: float = 1e-14) -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic symmetric eigendecomposition by cyclic Jacobi
+    rotations — elementwise numpy only (no BLAS), fixed (p, q) sweep
+    order, so the result is bit-identical regardless of thread count or
+    parallelism. O(d³) per sweep; intended for feature-small d."""
+    a = np.array(a, dtype=np.float64, copy=True)
+    d = a.shape[0]
+    v = np.eye(d, dtype=np.float64)
+    scale = float(np.abs(a).max()) or 1.0
+    for _ in range(max_sweeps):
+        off = np.sqrt((a ** 2).sum() - (np.diag(a) ** 2).sum())
+        if off <= tol * scale * d:
+            break
+        for p in range(d - 1):
+            for q in range(p + 1, d):
+                apq = a[p, q]
+                if abs(apq) <= tol * scale:
+                    continue
+                theta = (a[q, q] - a[p, p]) / (2.0 * apq)
+                t = np.sign(theta) / (
+                    abs(theta) + np.sqrt(theta * theta + 1.0)
+                ) if theta != 0.0 else 1.0
+                c = 1.0 / np.sqrt(t * t + 1.0)
+                s = t * c
+                rp, rq = a[p, :].copy(), a[q, :].copy()
+                a[p, :] = c * rp - s * rq
+                a[q, :] = s * rp + c * rq
+                cp, cq = a[:, p].copy(), a[:, q].copy()
+                a[:, p] = c * cp - s * cq
+                a[:, q] = s * cp + c * cq
+                vp, vq = v[:, p].copy(), v[:, q].copy()
+                v[:, p] = c * vp - s * vq
+                v[:, q] = s * vp + c * vq
+    return np.diag(a).copy(), v
+
+
 def pca_project(
     embeddings: "ray.data.Dataset",
     k: int = 2,
@@ -483,7 +520,12 @@ def pca_project(
     n = max(n_total, 2)
     mean = qsum_vec.astype(np.float64) / n
     cov = (gram.astype(np.float64) - n * np.outer(mean, mean)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)
+    # NOT np.linalg.eigh: LAPACK/OpenBLAS reduction order varies with the
+    # session's thread count, so the last-ulp eigenbasis differed between
+    # num_cpus=2 and 16 sessions (caught by the determinism probe). The
+    # cyclic-Jacobi solver below uses only elementwise numpy ops in a
+    # fixed order — bit-identical anywhere, and d is feature-small.
+    evals, evecs = _jacobi_eigh(cov)
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order]  # (d, k)
     # sign convention: largest-|coefficient| entry positive per component
@@ -497,7 +539,13 @@ def pca_project(
         mu, v = ray.get(ref)
         vecs = vectors_2d(batch[vec_col], dtype=np.float64)
         q = np.floor(vecs * float(scale)).astype(np.int64)
-        p = (q - mu) @ v  # (n, k)
+        centered = q - mu
+        # elementwise multiply + pairwise axis-sum, NOT a BLAS gemm —
+        # gemm blocking varies with the session's thread count
+        p = np.stack(
+            [(centered * v[:, c]).sum(axis=1) for c in range(v.shape[1])],
+            axis=1,
+        )
         cols = {id_col: batch[id_col]}
         for c in range(p.shape[1]):
             cols[f"pc{c + 1}"] = pa.array(p[:, c])
