@@ -5316,6 +5316,62 @@ def _q_orders_weekly_deltas(sf_dir: str):
     )
 
 
+def _q_events_dow_hour(sf_dir: str):
+    """Day-of-week × hour activity heatmap (the traffic table every ops
+    dashboard opens with): counts per (dow, hour) in PURE integer epoch
+    arithmetic — dow = (epoch_days + 4) % 7 with 0=Sunday (1970-01-01
+    was a Thursday), hour = epoch-hours % 24 — identical formulas on
+    both engines, no date/timezone functions to drift. Map-side combiner
+    → one 168-row groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((t // 86_400_000_000) + 4) % 7
+        hour = (t // 3_600_000_000) % 24
+        g = (
+            pd.DataFrame({"dow": dow, "hour": hour})
+            .groupby(["dow", "hour"], as_index=False).size()
+            .rename(columns={"size": "n_events"})
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["dow", "hour"], as_index=False)["n_events"].sum()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g[["dow", "hour", "n_events"]]
+
+    # ≤168 distinct cells → single-part final combine
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda df: df.assign(part=np.zeros(len(df), dtype=np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def _q_minhash_calibration(sf_dir: str):
+    """MinHash calibration table (the num_perm-tuning report): per LSH
+    candidate pair, signature-estimated Jaccard vs EXACT shingle Jaccard
+    and the absolute error. Signatures broadcast once (doc-count-sized
+    catalog); pairs from pair_mode='all'; exact values from the
+    distributed Bloom-pruned verifier. Golden-pinned (hash-based)."""
+    from ontocast_ray.ops.dedup import minhash_estimate_errors
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_estimate_errors(
+        docs, num_perm=64, bands=16, shingle_k=3, n_parts=16
+    )
+
+
 def _q_pca_projection(sf_dir: str):
     """Distributed PCA top-2 projection of the embedding corpus: exact
     integer second moments (the embedding_gram shuffle), d×d eig on the
@@ -6038,6 +6094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_recency": _q_customer_recency,
         "kg_sameas_audit": _q_kg_sameas_audit,
         "pca_projection_top2": _q_pca_projection,
+        "minhash_calibration": _q_minhash_calibration,
+        "events_dow_hour": _q_events_dow_hour,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -6087,6 +6145,7 @@ _GOLDEN_QUERIES = [
     "kg_from_curated",
     "kg_sameas_audit",
     "pca_projection_top2",
+    "minhash_calibration",
 ]
 
 # Exact word-3-shingle Jaccard ≥ 0.8 over all doc pairs — an INDEPENDENT
@@ -9202,6 +9261,13 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # dow×hour heatmap: identical integer epoch arithmetic
+        "events_dow_hour": """
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         # recency: integer epoch-days, corpus-max anchor
         "customer_order_recency": """

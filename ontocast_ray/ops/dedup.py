@@ -1985,3 +1985,77 @@ def gram_novelty(
         })
 
     return both.groupby("dpart").map_groups(fold, batch_format="pandas")
+
+
+def minhash_estimate_errors(
+    docs: "ray.data.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """MinHash CALIBRATION report — the num_perm-tuning table every dedup
+    deployment reads before fixing its threshold: for every within-bucket
+    candidate pair, the signature-estimated Jaccard (matching-component
+    fraction) next to the EXACT shingle Jaccard and the absolute error.
+    → (doc_id_a, doc_id_b, n_matching, est_jaccard, exact_jaccard,
+    abs_err).
+
+    Shapes reused whole: signatures from the MinHasher actor kernel
+    (doc-count-sized, num_perm ints each → broadcast as one sorted
+    matrix, the gazetteer catalog contract); candidates from
+    ``pair_mode="all"`` (the pair list IS the product here); exact
+    Jaccard from the Bloom-pruned distributed verifier at threshold 0.
+    The estimate is an exact int/int division — bit-stable.
+    """
+    import ray
+
+    docs = docs.materialize()  # consumed by signatures, LSH, verifier
+    sigs = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "shingle_k": shingle_k,
+        },
+        batch_format="pyarrow",
+        concurrency=pool(4),
+    )
+    ids_l, sig_l = [], []
+    for b in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        m = np.asarray(b["minhash"].to_pylist(), dtype=np.int64)
+        sig_l.append(m.reshape(len(b), -1))
+    ids = np.concatenate(ids_l).astype(np.int64)
+    mat = np.concatenate(sig_l, axis=0)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    sig_ref = ray.put((ids, mat))
+
+    pairs = minhash_lsh_candidates(
+        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        n_parts=n_parts, pair_mode="all",
+    )
+    exact = ngram_jaccard_verify(
+        docs, pairs, threshold=0.0, shingle_k=shingle_k, n_parts=n_parts
+    )
+
+    np_f = float(num_perm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sids, smat = ray.get(sig_ref)
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_idx = np.searchsorted(sids, a)
+        pb_idx = np.searchsorted(sids, b)
+        match = (smat[pa_idx] == smat[pb_idx]).sum(axis=1).astype(np.int64)
+        est = match / np_f
+        exact_j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id_a": batch["doc_id_a"],
+            "doc_id_b": batch["doc_id_b"],
+            "n_matching": pa.array(match),
+            "est_jaccard": pa.array(est),
+            "exact_jaccard": batch["jaccard"],
+            "abs_err": pa.array(np.abs(est - exact_j)),
+        })
+
+    return exact.map_batches(score, batch_format="pyarrow")

@@ -230,6 +230,7 @@ _SQL_GATED = [
         "gram_novelty",
         "activity_streaks",
         "customer_order_recency",
+        "events_dow_hour",
 ]
 
 
