@@ -49,17 +49,36 @@ def _kg_docs(sf_dir: str, limit: int = KG_DOC_LIMIT):
     return spanify_flat_documents(flat, seed=42, inject_entities=True)
 
 
+# flagship triples are consumed by 8+ kg_* analytics queries; without a
+# cache each one re-runs the whole extraction pipeline (~5 s per query at
+# the sf0.01 gate). Key includes the Ray job id so a cached (materialized)
+# dataset never outlives its session's object store.
+_KG_TRIPLES_CACHE: dict = {}
+
+
 def _q_kg_triples(sf_dir: str):
     """Flagship KG pipeline: spans -> chunk -> extract -> validate -> canonicalize; per-doc triples (golden; anchored by reference fixture replay P/R=1.0)."""
+    import ray
+
     from ontocast_ray.pipelines.kg import build_kg_pipeline
 
-    return build_kg_pipeline(
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    key = (sf_dir, job)
+    cached = _KG_TRIPLES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    out = build_kg_pipeline(
         _kg_docs(sf_dir),
         chunk_concurrency=4,
         extract_concurrency=4,
         min_chunk_size=200,
         max_chunk_size=2000,
-    )
+    ).materialize()
+    _KG_TRIPLES_CACHE[key] = out
+    return out
 
 
 def _q_kg_chunks(sf_dir: str):
