@@ -2642,6 +2642,64 @@ def _q_doc_group_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _q_component_size_hist(sf_dir: str):
+    """Duplicate-cluster SIZE DISTRIBUTION (the dedup accounting chart:
+    how many 2-clusters vs giant components — the number that decides
+    between keep-first and keep-best policies): component sizes from the
+    star-edge CC, folded to (size, n_components). Two count combiners on
+    coarse hash keys; the histogram itself is O(distinct sizes). Oracle:
+    the window-CTE closure + double GROUP BY."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ontocast_ray.util import hash_u64
+
+    comps = _q_doc_group_components(sf_dir)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        c = batch["component"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({
+            "component": pa.array(uniq.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "part": pa.array(
+                (hash_u64(uniq) % np.uint64(8)).astype(np.int32)
+            ),
+        })
+
+    def size_combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("component", as_index=False)["n"].sum()
+        h = g.groupby("n", as_index=False).size().rename(
+            columns={"n": "size", "size": "partial"}
+        )
+        h["partial"] = h["partial"].astype(np.int64)
+        return h[["size", "partial"]]
+
+    sizes = (
+        comps.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(size_combine, batch_format="pandas")
+    )
+
+    def hist_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("size", as_index=False)["partial"].sum().rename(
+            columns={"partial": "n_components"}
+        )
+        g["n_components"] = g["n_components"].astype(np.int64)
+        return g[["size", "n_components"]]
+
+    # distinct sizes are a handful → single-group final fold
+    return (
+        sizes.map_batches(
+            lambda df: df.assign(part=np.zeros(len(df), dtype=np.int32)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(hist_fold, batch_format="pandas")
+    )
+
+
 def _q_neardup_keep_list(sf_dir: str):
     """Near-dup keep-list: MinHash candidates → exact Jaccard → components."""
     from ontocast_ray.ops.dedup import minhash_lsh_candidates, ngram_jaccard_verify
@@ -6115,6 +6173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection_top2": _q_pca_projection,
         "minhash_calibration": _q_minhash_calibration,
         "events_dow_hour": _q_events_dow_hour,
+        "component_size_hist": _q_component_size_hist,
         "user_trend_fractions": _q_user_trend,
         "mixing_weights": _q_mixing_weights,
         "knn_hubness": _q_knn_hubness,
@@ -9280,6 +9339,18 @@ def _sql_oracles() -> dict[str, str]:
                                    ' ') AS context
             FROM ex
             WHERE term IN ('alpha', 'beta', 'gamma')
+        """,
+        # cluster-size histogram: the components window CTE + double GROUP BY
+        "component_size_hist": """
+            WITH g AS (
+                SELECT min(doc_id) AS component,
+                       CAST(count(*) AS BIGINT) AS size
+                FROM documents
+                GROUP BY source, lang
+                HAVING count(*) > 1
+            )
+            SELECT size, CAST(count(*) AS BIGINT) AS n_components
+            FROM g GROUP BY size
         """,
         # dow×hour heatmap: identical integer epoch arithmetic
         "events_dow_hour": """

@@ -231,6 +231,7 @@ _SQL_GATED = [
         "activity_streaks",
         "customer_order_recency",
         "events_dow_hour",
+        "component_size_hist",
 ]
 
 
